@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered operators, module by module. */
   def registry: Seq[Q] =
-    Relational.all
+    Relational.all ++ Cdc.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** CDC semantics (SURVEY.md §2.2, §2.4), factored as batch transforms so
+  * the DuckDB oracle can check them and the streaming layer can reuse them
+  * unchanged inside foreachBatch.
+  *
+  * Reference grounding: the Debezium connectors apply ExtractNewRecordState
+  * (reference: debezium.json:27-28, all.json:26-27) so consumed values are
+  * after-images and deletes arrive as null-value tombstones that the
+  * consumer skips (reference: main.py:37-39). snapshot.mode=initial
+  * (reference: debezium.json:18) makes the stream fully determine table
+  * state, so "materialize" = latest non-tombstone row per key — the
+  * ClickHouse ReplacingMergeTree-FINAL equivalent. created_at rides as a
+  * Debezium MicroTimestamp raw long (reference: schema.avsc:17-29).
+  */
+object Cdc {
+
+  /** Latest row per key under a version order — the upsert-materialization
+    * primitive (ST2). One shuffle on the key columns; at 100 TB this is
+    * the minimal-movement plan (partition by PK, per-partition top-1, no
+    * global sort). AQE handles skewed keys.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Upsert + delete propagation (ST2 + ST3): materialized state = latest
+    * row per key, dropped entirely when that latest row is a tombstone. */
+  def materialize(
+      changelog: DataFrame,
+      keys: Seq[String],
+      version: Seq[Column],
+      isTombstone: Column): DataFrame =
+    latestByKey(changelog.withColumn("__graft_del", isTombstone), keys, version)
+      .filter(!col("__graft_del"))
+      .drop("__graft_del")
+
+  /** Raw Debezium envelope shape for the non-unwrapped mode
+    * (FIXTURES.md §1.2; reference: debezium.json:27-28 is what removes it
+    * upstream in the reference topology). */
+  def envelopeSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row, nullable = true),
+    StructField("after", row, nullable = true),
+    StructField("op", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false)))
+
+  /** D4: ExtractNewRecordState as a Spark projection — after-image of
+    * creates/updates/snapshot-reads; deletes drop out (their after is
+    * null, i.e. the tombstone the reference consumer skips,
+    * reference: main.py:37-39). */
+  def unwrapEnvelope(envelopes: DataFrame): DataFrame =
+    envelopes.filter(col("op") =!= "d").select(col("after.*"))
+
+  /** D5: tombstone routing — (upserts, deleteKeys). */
+  def routeTombstones(records: DataFrame, valueCol: String, keyCols: Seq[String])
+      : (DataFrame, DataFrame) =
+    (records.filter(col(valueCol).isNotNull),
+      records.filter(col(valueCol).isNull).select(keyCols.map(col): _*))
+
+  /** D8: Debezium MicroTimestamp (µs-since-epoch long) → Spark timestamp. */
+  def microsToTs(c: Column): Column = timestamp_micros(c)
+
+  // ── oracle-checked query entries over the events changelog ──
+  // events doubles as a changelog: key = user_id, version = (ts, event_id).
+
+  /** ST2 upsert materialization: latest event per user. */
+  val upsertLatest: Q = Q(
+    "cdc_upsert_latest",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    latestByKey(events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** ST2+ST3: materialized state with delete propagation — users whose
+    * latest change is a tombstone ('error' stands in for the null-value
+    * tombstone of the reference stream) disappear from the state. */
+  val tombstoneState: Q = Q(
+    "cdc_tombstone_state",
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    materialize(events(s, d), Seq("user_id"),
+        Seq(col("ts"), col("event_id")),
+        isTombstone = col("event_type") === "error")
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** ST5: at-least-once redelivery dedup — the doubled changelog collapses
+    * back to the original under key dedup, so downstream aggregates are
+    * delivery-count-independent. */
+  val dedupRedelivery: Q = Q(
+    "cdc_dedup_redelivery",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    ev.unionAll(ev) // simulated duplicate delivery (poll-loop re-read)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(val4(col("value"))).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** D4 envelope unwrap, batch-shaped: wrap each event in a Debezium-style
+    * envelope (signup→c, error→d, else u), then ExtractNewRecordState —
+    * deletes drop, after-images project out. */
+  val envelopeUnwrap: Q = Q(
+    "cdc_envelope_unwrap",
+    """SELECT event_id, user_id, value
+      |FROM events
+      |WHERE event_type <> 'error'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val row = struct(col("event_id"), col("user_id"), col("value"))
+    val envelopes = events(s, d).select(
+      when(op =!= "c", row).as("before"),
+      when(op =!= "d", row).as("after"),
+      op.as("op"),
+      unix_millis(col("ts")).as("ts_ms"))
+    unwrapEnvelope(envelopes).orderBy("event_id")
+  }
+
+  /** D8 MicroTimestamp round trip: timestamp → raw µs long (the wire form
+    * of schema.avsc's created_at) → timestamp again. */
+  val microTsRoundtrip: Q = Q(
+    "cdc_micro_ts_roundtrip",
+    """SELECT event_id, EPOCH_US(ts) AS us, MAKE_TIMESTAMP(EPOCH_US(ts)) AS ts_rt
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        microsToTs(unix_micros(col("ts"))).as("ts_rt"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    upsertLatest, tombstoneState, dedupRedelivery, envelopeUnwrap,
+    microTsRoundtrip)
+}
