@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Multimodal columns (SURVEY.md §2.5): media as opaque `binary` columns
+  * with typed metadata riding alongside, plus a per-partition
+  * decode/feature-extract stage.
+  *
+  * The container ships no image/audio codecs, so the DECODE STEP IS A
+  * STUB — a deterministic fake (byte histogram) standing in for "decode
+  * JPEG → resize → embed". Everything around it is real and tested: the
+  * schema (binary + metadata struct), the typed Dataset plumbing, the
+  * per-partition batch shape (one iterator pass per partition, no
+  * per-row task overhead), and the partitioning story (media rows are
+  * processed where they live; no shuffle before feature extraction).
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media: Array[Byte],
+      format: String,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      n_bytes: Long,
+      features: Array[Double])
+
+  /** ??? in spirit — STUB decoder (see class doc): deterministic 8-bin
+    * byte histogram, normalized. A real deployment swaps this one
+    * function for an actual codec; the Spark plumbing is unchanged. */
+  def decodeStub(bytes: Array[Byte]): Array[Double] = {
+    val bins = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) {
+      bins((bytes(i) & 0xFF) >>> 5) += 1.0
+      i += 1
+    }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 8) { bins(j) /= bytes.length; j += 1 }
+    }
+    bins
+  }
+
+  /** Per-partition feature extraction: the mapPartitions batch shape a
+    * real decoder needs (amortized model/codec init per partition). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    media.mapPartitions { it =>
+      // real impl: init codec/model once here, then stream the batch
+      it.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes,
+        decodeStub(r.media)))
+    }(Encoders.product[MediaFeatures])
+
+  /** documents.text as a stand-in media payload (UTF-8 bytes). */
+  def asMedia(docs: DataFrame): Dataset[MediaRecord] =
+    docs.select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("text/plain").as("format"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))
+      .as(Encoders.product[MediaRecord])
+
+  /** Binary column + metadata battery, oracle-checked: byte length,
+    * SHA-256 content address, hex prefix — the dedup/addressing layer a
+    * multimodal lakehouse needs on opaque payloads. */
+  val binaryMeta: Q = Q(
+    "mm_binary_meta",
+    """SELECT doc_id,
+      |  OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+      |  SHA256(text) AS content_sha,
+      |  LOWER(HEX(ENCODE(SUBSTRING(text, 1, 8)))) AS prefix_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("content_sha"),
+        lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("prefix_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** Stubbed decode pipeline end-to-end (media → features); deterministic
+    * output, rows-only driver check (mapPartitions isn't SQL). */
+  val featureStub: Q = Q.noOracle("mm_feature_stub") { (s, d) =>
+    extractFeatures(asMedia(documents(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 4).as("f3"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, featureStub)
+}

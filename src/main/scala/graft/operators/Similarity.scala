@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.5).
+  *
+  * Two tiers:
+  *   - [[topkBruteForce]]: exact cosine top-k — the correctness baseline.
+  *     The query side is small (broadcast), so at 100 TB this is one
+  *     broadcast-nested-loop over the corpus with a per-partition top-k
+  *     (window) — no corpus shuffle of embeddings, only of the k·|Q|
+  *     survivors.
+  *   - [[annLsh]]: random-hyperplane LSH — corpus is bucketed by a 16-bit
+  *     sign signature (4 bands × 4 bits); candidates come from band-equal
+  *     hash joins, then exact cosine re-ranks. This is the 100 TB path:
+  *     candidate generation is a hash join on (band, sig), touching a
+  *     ~2^-4 fraction of the corpus per query per band.
+  */
+object Similarity {
+
+  private val EmbDim = 64
+  val K = 5
+  private val NumQueries = 10
+
+  /** Deterministic pseudo-random hyperplanes: component (p, i) has sign
+    * from the parity of xxhash64(p, i) — reproducible across engines and
+    * runs without any RNG state. */
+  private def signBit(p: Int, i: Column): Column =
+    when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** ±1-hyperplane dot sign for plane p over an embedding column. */
+  private def planeSign(p: Int, emb: Column): Column = {
+    val proj = aggregate(
+      zip_with(emb, sequence(lit(0), lit(EmbDim - 1)),
+        (x, i) => x.cast("double") * signBit(p, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** 16-bit sign signature packed as a long. */
+  def lshSignature(emb: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, p) =>
+      acc.bitwiseOR(shiftleft(planeSign(p, emb), p))
+    }
+
+  /** Exact top-k cosine neighbors for the first [[NumQueries]] vectors.
+    * Scores are sequential-fold doubles → bit-identical to the DuckDB
+    * oracle, so rank order (score desc, id asc) matches exactly. */
+  val topkBruteForce: Q = Q(
+    "sim_topk_cosine",
+    s"""SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckCosine("q.embedding", "c.embedding", EmbDim)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosine("q.embedding", "c.embedding", EmbDim)} DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN: LSH-bucketed candidate generation + exact re-rank. Approximate
+    * (bucket misses are possible) → no SQL oracle; SimilaritySpec
+    * measures recall against [[topkBruteForce]]. */
+  val annLsh: Q = Q.noOracle("sim_ann_lsh") { (s, d) =>
+    annTopk(embeddings(s, d), numQueries = NumQueries, k = K)
+  }
+
+  /** LSH top-k: 4 bands × 4 bits of the 16-bit signature; candidates share
+    * any band value with the query. */
+  def annTopk(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val signed = emb.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding")).as("sig"))
+    val banded = signed.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xFL))): _*))
+        .as(Seq("band", "bsig")))
+    val queries = banded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("band"), col("bsig"))
+    val cand = banded
+      .join(queries,
+        Seq("band", "bsig")) // hash join on bucket
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"),
+        col("embedding").as("c_emb"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    cand
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label corpus stats via order-independent aggregates (min/max are
+    * safe on doubles; means go through exact folds per row only). */
+  val embStats: Q = Q(
+    "sim_emb_stats",
+    s"""SELECT label, COUNT(*) AS n,
+       |  MIN(${duckNorm("embedding", EmbDim)}) AS min_norm,
+       |  MAX(${duckNorm("embedding", EmbDim)}) AS max_norm
+       |FROM embeddings
+       |GROUP BY label
+       |ORDER BY label""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(norm(col("embedding"))).as("min_norm"),
+        max(norm(col("embedding"))).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(topkBruteForce, annLsh, embStats)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §2.5 / driver north star): token counting, quality scoring, language
+  * identification, document fingerprinting. Everything is per-row
+  * higher-order-function work — no shuffle at all, embarrassingly
+  * parallel at 100 TB, and stays inside whole-stage codegen.
+  *
+  * Oracle parity: ratios are single double divisions of exact integers;
+  * rolling hashes are sequential integer folds — identical in DuckDB.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens of the (trimmed) document text */
+  def words(text: Column): Column = split(trim(text), " ")
+
+  /** Per-language "stopword" profiles over the corpus vocabulary. A real
+    * deployment would ship per-language frequency profiles; the scoring
+    * machinery (term-frequency match count + deterministic argmax) is the
+    * operator under test. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("slow", "merge", "group", "window"),
+    "en" -> Seq("the", "a", "table", "row"),
+    "es" -> Seq("data", "value", "fast", "line"),
+    "fr" -> Seq("query", "filter", "join", "order"),
+    "zh" -> Seq("hash", "scan", "batch", "key"))
+
+  /** occurrences of profile words (term frequency, duplicates counted) */
+  def profileHits(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, w => profile.map(w === _).reduce(_ || _))).cast("bigint")
+
+  private def duckProfileHits(profile: Seq[String]): String =
+    s"LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), w -> w IN (${profile.map("'" + _ + "'").mkString(", ")})))"
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over the character
+    * codes of `text` — sequential integer fold, engine-independent. */
+  def polyHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1))).cast("bigint")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Winnowing-style fingerprint: minimum polynomial hash over all 8-char
+    * windows — robust to edits outside the matching window. */
+  def minWindowHash(text: Column, win: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), length(text) - (win - 1)),
+      i => aggregate(
+        sequence(lit(0), lit(win - 1)),
+        lit(0L),
+        (acc, k) => (acc * 31 + ascii(text.substr(i + k, lit(1)))) % 1000000007L)))
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens (letter
+    * runs / digit runs / single punctuation). */
+  val tokens: Q = Q(
+    "text_tokens",
+    """SELECT doc_id,
+      |  LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_ws_tokens,
+      |  LEN(REGEXP_EXTRACT_ALL(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)) AS n_re_tokens,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+        col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)"))
+          .cast("bigint").as("n_re_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, type-token ratio, mean word length,
+    * stopword ratio, and a keep/drop flag — the standard pre-training
+    * corpus filters. */
+  val quality: Q = Q(
+    "text_quality",
+    s"""SELECT doc_id,
+       |  LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+       |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE) / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr,
+       |  CAST(LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(STRING_SPLIT(TRIM(text), ' '), w -> LENGTH(w)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / LEN(STRING_SPLIT(TRIM(text), ' ')) AS avg_word_len,
+       |  CAST(${duckProfileHits(Seq("the", "a", "of", "and"))} AS DOUBLE) / LEN(STRING_SPLIT(TRIM(text), ' ')) AS stop_ratio,
+       |  (LEN(STRING_SPLIT(TRIM(text), ' ')) BETWEEN 20 AND 80) AND (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE) / LEN(STRING_SPLIT(TRIM(text), ' ')) >= 0.3) AS keep
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("bigint")
+    val ttr = size(array_distinct(ws)).cast("double") / size(ws)
+    documents(s, d).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        ttr.as("ttr"),
+        (aggregate(transform(ws, w => length(w).cast("bigint")), lit(0L),
+          (a, b) => a + b).cast("double") / size(ws)).as("avg_word_len"),
+        (profileHits(ws, Seq("the", "a", "of", "and")).cast("double") / size(ws))
+          .as("stop_ratio"),
+        (nWords.between(20, 80) && ttr >= 0.3).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: term-frequency score against each language profile,
+    * deterministic argmax (ties resolve in fixed profile order). */
+  val langId: Q = {
+    val duckScores = langProfiles
+      .map { case (l, p) => s"  ${duckProfileHits(p)} AS s_$l" }
+      .mkString(",\n")
+    val duckCase = langProfiles
+      .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+      .mkString(" ")
+    Q(
+      "text_langid",
+      s"""WITH scored AS (SELECT doc_id,
+         |$duckScores
+         |FROM documents)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+         |  CASE $duckCase END AS pred_lang
+         |FROM (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scored)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      val scored = documents(s, d).select(
+        col("doc_id") +: langProfiles.map { case (l, p) =>
+          profileHits(ws, p).as(s"s_$l")
+        }: _*)
+      val m = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = langProfiles.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, _)) =>
+          when(acc.isNotNull, acc).otherwise(when(col(s"s_$l") === m, l))
+      }
+      scored
+        .select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"),
+          col("s_fr"), col("s_zh"), pred.as("pred_lang"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Document fingerprinting: full-document polynomial hash + minimum
+    * 8-char window hash (winnowing primitive). */
+  val fingerprint: Q = Q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1), i -> ASCII(text[i])::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS full_hash,
+      |  LIST_MIN(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6), i ->
+      |    LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(RANGE(0, 8), k -> ASCII(text[i + k])::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007))) AS min_win_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+        col("doc_id"),
+        polyHash(col("text")).as("full_hash"),
+        minWindowHash(col("text")).as("min_win_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def exactPairs =
+    Dedup.ngramJaccard.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+  test("minhash-LSH + exact verify returns exactly the true pair set") {
+    val lsh = Dedup.minhashLsh.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh === exactPairs)
+  }
+
+  test("simhash bucketing recovers the planted near-dup pairs") {
+    val sim = Dedup.simhashPairs.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = exactPairs
+    val recall = planted.intersect(sim).size.toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${planted.size} pairs")
+  }
+
+  test("shingles: distinct 3-gram word windows; short docs yield none") {
+    val got = Seq("a b c d", "x y").toDF("text")
+      .select(Dedup.shingles(col("text")).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("exact dedup collapses identical normalized text") {
+    val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
+      .toDF("doc_id", "text")
+    val got = docs.groupBy(lower(trim(col("text"))))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    // note: the registered query lower+trims, exactly this
+    assert(got === Set((10L, 2L), (12L, 1L)))
+  }
+}

