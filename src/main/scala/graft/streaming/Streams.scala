@@ -1,0 +1,113 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Cdc
+
+/** Structured-Streaming layer (SURVEY.md §2.4 ST1–ST6): watermarked
+  * event-time windows, stream dedup, arbitrary keyed state, and the
+  * foreachBatch upsert sink that reuses the batch CDC transforms
+  * unchanged. All builders take unbounded DataFrames from any source
+  * (Kafka in production, MemoryStream in tests) — the plans are
+  * incrementalized by MicroBatchExecution, and state stores shard by the
+  * grouping key, so parallelism scales with partitions exactly like the
+  * batch plans.
+  */
+object Streams {
+
+  /** ST4: watermarked tumbling/sliding window aggregation. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      windowLen: String,
+      slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None    => window(col(tsCol), windowLen)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** ST4: session windows — gap-based grouping per user. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("user_id"), col("n"))
+
+  /** ST5: at-least-once redelivery dedup bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** ST6 state record: per-user running aggregate. */
+  final case class UserState(user_id: Long, n_events: Long, total: Double)
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+
+  /** ST6: arbitrary keyed state via mapGroupsWithState — running per-user
+    * totals that survive across micro-batches. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserState] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserState, UserState](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0))
+          var n = prev.n_events; var t = prev.total
+          batch.foreach { e => n += 1; t += e.value }
+          val next = UserState(uid, n, t)
+          state.update(next)
+          next
+      }(Encoders.product[UserState], Encoders.product[UserState])
+
+  /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
+    * keyed state (here an in-memory map; in production the same merge
+    * runs as a MERGE INTO / ReplacingMergeTree insert) by replaying each
+    * micro-batch through the *batch* CDC materialization logic — the
+    * exactly-once-on-sink upgrade of the reference's at-least-once
+    * consumer (reference: main.py:27-55). */
+  final class UpsertMemorySink(keyCol: String, versionCols: Seq[String],
+      tombstoneCol: String) {
+    private val state = TrieMap.empty[Any, (Seq[Any], Row)]
+
+    /** merge one micro-batch; within-batch dedup via Cdc.latestByKey,
+      * cross-batch via version comparison (idempotent under replay). */
+    def merge(batch: DataFrame): Unit = {
+      val compacted = Cdc.latestByKey(batch, Seq(keyCol), versionCols.map(col))
+      compacted.collect().foreach { row =>
+        val k = row.getAs[Any](keyCol)
+        val v = versionCols.map(row.getAs[Any])
+        val newer = state.get(k).forall { case (oldV, _) => gt(v, oldV) }
+        if (newer) {
+          if (row.getAs[Boolean](tombstoneCol)) state.remove(k)
+          else state.put(k, (v, row))
+        }
+      }
+    }
+
+    private def gt(a: Seq[Any], b: Seq[Any]): Boolean =
+      a.zip(b).find { case (x, y) => x != y } match {
+        case Some((x: Long, y: Long)) => x > y
+        case Some((x: java.sql.Timestamp, y: java.sql.Timestamp)) => x.after(y)
+        case Some((x: Int, y: Int)) => x > y
+        case _ => true // equal versions: replay of the same record
+      }
+
+    def snapshot: Map[Any, Row] = state.map { case (k, (_, r)) => k -> r }.toMap
+  }
+}

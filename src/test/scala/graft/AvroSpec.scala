@@ -1,0 +1,100 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AvroCodec
+
+/** D1–D3: Confluent-framed Avro decode against real Avro-encoded bytes,
+  * with the users schema shape from the reference (schema.avsc). */
+class AvroSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val usersSchemaJson =
+    """{"type":"record","name":"users","fields":[
+      |{"name":"id","type":"int"},
+      |{"name":"username","type":"string"},
+      |{"name":"email","type":"string"},
+      |{"name":"created_at","type":[{"type":"long",
+      |  "connect.name":"io.debezium.time.MicroTimestamp"},"null"],"default":0}
+      |]}""".stripMargin
+
+  private def encodeUser(id: Int, username: String, email: String,
+      createdAt: Option[Long]): Array[Byte] = {
+    val schema = new Schema.Parser().parse(usersSchemaJson)
+    val rec: GenericRecord = new GenericData.Record(schema)
+    rec.put("id", id); rec.put("username", username); rec.put("email", email)
+    rec.put("created_at", createdAt.map(Long.box).orNull)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def confluentFrame(schemaId: Int, body: Array[Byte]): Array[Byte] =
+    ByteBuffer.allocate(5 + body.length)
+      .put(0.toByte).putInt(schemaId).put(body).array()
+
+  test("fromConfluentAvro decodes a framed users record") {
+    val framed = confluentFrame(7,
+      encodeUser(1, "ann", "a@x.io", Some(1700000000123456L)))
+    val df = Seq(framed).toDF("value")
+      .select(AvroCodec.fromConfluentAvro(col("value"), usersSchemaJson).as("r"))
+    val row = df.select("r.id", "r.username", "r.email", "r.created_at")
+      .as[(Int, String, String, Long)].head()
+    assert(row === ((1, "ann", "a@x.io", 1700000000123456L)))
+  }
+
+  test("union-with-null created_at decodes to null (nullable column)") {
+    val framed = confluentFrame(7, encodeUser(2, "bob", "b@x.io", None))
+    val got = Seq(framed).toDF("value")
+      .select(AvroCodec.fromConfluentAvro(col("value"), usersSchemaJson)
+        .getField("created_at").as("c"))
+      .collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("confluentSchemaId reads the big-endian registry id") {
+    val framed = confluentFrame(123456, encodeUser(1, "x", "y", None))
+    val got = Seq(framed).toDF("value")
+      .select(AvroCodec.confluentSchemaId(col("value"))).as[Int].head()
+    assert(got === 123456)
+  }
+
+  test("lenient decode routes corrupt records to null (D7 resilience)") {
+    val bad = confluentFrame(1, Array[Byte](1, 2)) // truncated body
+    val good = confluentFrame(1, encodeUser(3, "cat", "c@x.io", Some(5L)))
+    val df = Seq(bad, good).toDF("value")
+      .select(AvroCodec.fromAvroLenient(
+        AvroCodec.stripConfluentHeader(col("value")), usersSchemaJson).as("r"))
+    val rows = df.select(col("r").isNull.as("corrupt")).as[Boolean].collect()
+    assert(rows.count(identity) === 1) // bad → null
+    assert(df.filter(col("r").isNotNull)
+      .select("r.username").as[String].head() === "cat")
+  }
+
+  test("hexKeyToString unhexes the replay consumer's key bytes") {
+    val key = "7b226964223a317d".getBytes("UTF-8") // hex of {"id":1}
+    val got = Seq(key).toDF("key")
+      .select(AvroCodec.hexKeyToString(col("key"))).as[String].head()
+    assert(got === """{"id":1}""")
+  }
+
+  test("MicroTimestamp long converts via timestamp_micros downstream") {
+    val framed = confluentFrame(7,
+      encodeUser(4, "dee", "d@x.io", Some(1700000000000000L)))
+    val got = Seq(framed).toDF("value")
+      .select(timestamp_micros(
+        AvroCodec.fromConfluentAvro(col("value"), usersSchemaJson)
+          .getField("created_at")).cast("string")).as[String].head()
+    assert(got === "2023-11-14 22:13:20")
+  }
+}

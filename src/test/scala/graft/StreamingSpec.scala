@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** ST1–ST6 against MemoryStream (no broker in this environment;
+  * SURVEY.md §5.3) — watermark windows, late-data drop, stream dedup,
+  * keyed state, and the foreachBatch upsert sink. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window drops data later than the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedCounts(
+      in.toDF.toDF("ts", "event_type", "value"), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      // batch 1: one event at 10:00, one at 10:30 → watermark ≈ 10:20
+      in.addData((ts("2024-01-01 10:00:00"), "a", 1.0),
+        (ts("2024-01-01 10:30:00"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: late event inside the already-passed 10:00 window → dropped
+      in.addData((ts("2024-01-01 10:01:00"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to finalize everything
+      in.addData((ts("2024-01-01 11:30:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("win_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") === 1L) // late row NOT counted
+      assert(rows("2024-01-01 10:30:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses redelivered events") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streams.dedupWithinWatermark(
+      in.toDF.toDF("event_id", "ts", "value"), "ts", "10 minutes",
+      Seq("event_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // same event redelivered in a later micro-batch
+      in.addData((1L, ts("2024-01-01 10:00:00"), 5.0),
+        (2L, ts("2024-01-01 10:01:00"), 6.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect()
+      assert(ids.sorted === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val out = Streams.runningUserTotals(in.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      in.addData(Streams.UserEvent(1L, "click", 2.0),
+        Streams.UserEvent(1L, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1L, "purchase", 5.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out")
+        .filter($"user_id" === 1L).orderBy($"n_events".desc)
+        .as[Streams.UserState].head()
+      assert(last === Streams.UserState(1L, 3L, 10.0))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
+    implicit val ctx = spark.sqlContext
+    val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
+    val in = MemoryStream[(Int, String, Long, Boolean)]
+    val q = in.toDF.toDF("id", "name", "offset", "is_del")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.merge(df))
+      .start()
+    try {
+      in.addData((1, "ann", 0L, false), (2, "bob", 1L, false))
+      q.processAllAvailable()
+      // update key 1, delete key 2, and REPLAY offset 0 (stale — ignored)
+      in.addData((1, "ann2", 2L, false), (2, null.asInstanceOf[String], 3L, true),
+        (1, "ann", 0L, false))
+      q.processAllAvailable()
+      val state = sink.snapshot
+      assert(state.keySet === Set(1))
+      assert(state(1).getAs[String]("name") === "ann2")
+    } finally q.stop()
+  }
+}
