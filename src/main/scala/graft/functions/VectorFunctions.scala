@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** dot(a, b) in double precision, sequential fold over array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** dot(a, b) in double precision, sequential accumulation in array
+    * order — a native codegen'd expression ([[DotProduct]]); the
+    * equivalent HOF fold `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * produces bit-identical results but runs interpreted (~100× slower
+    * in the 2M-pair joins). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** L2 norm, same fold. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -24,14 +24,36 @@ object Dedup {
   val JaccardThreshold = 0.5
 
   /** distinct 3-gram word shingles of a document */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(trim(text), " ")
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(rawShingles(text, n))
+
+  /** 3-gram shingles from an already-materialized words array. The words
+    * argument MUST be a plain column reference, not an inline
+    * `split(...)`: expressions referenced inside a higher-order-function
+    * lambda are re-evaluated per element in interpreted mode, so an
+    * inline split turns O(words) into O(words²·splitcost) per document
+    * (measured 8× slowdown on the corpus). */
+  def shinglesFromWords(ws: Column, n: Int = 3): Column =
     // guard: sequence(1, size-2) would DESCEND for docs under n words
     when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
+      .otherwise(transform(
         sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
-  }
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+
+  /** all 3-gram shingles (with duplicates) — for single-column contexts;
+    * the distinct step is done relationally in [[shingleRows]] because
+    * `array_distinct` is an interpreted O(len²) expression. */
+  def rawShingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(split(trim(text), " "), n)
+
+  /** (doc_id, shingle) distinct rows — the corpus-wide shingle relation
+    * every near-dup variant builds on. Dedup happens in a codegen'd
+    * hash aggregate (scales with corpus size, spilling if needed),
+    * not per-row interpreted array ops. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " ").as("__ws"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("__ws"))).as("shingle"))
+      .distinct()
 
   private val duckShingles =
     """CASE WHEN LEN(STRING_SPLIT(TRIM(text), ' ')) < 3 THEN []::VARCHAR[]
@@ -78,14 +100,18 @@ object Dedup {
   }
 
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
-      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("shingle"))
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+      // doc-size sides are tiny aggregates → broadcast, no extra shuffle
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb")), "b_id")
       .withColumn("sim", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("sim") >= JaccardThreshold)
       .select("a_id", "b_id", "sim")
@@ -94,15 +120,19 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 16 // × 2 rows/band: P(miss | j=0.5) = (1-0.25)^16 ≈ 1%
 
-  /** MinHash signature columns: mh_i = min over shingles of a per-i
-    * 64-bit hash — computed entirely per-row (no shuffle, no UDF). */
-  def withMinhash(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
-    docs.select(
-      col("doc_id") +: col("text") +:
-        (0 until NumHashes).map(i =>
-          array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh_$i")): _*)
-  }
+  /** MinHash signatures: mh_i = min over shingles of a per-i 64-bit hash.
+    * Computed as ONE codegen'd hash aggregation over the exploded shingle
+    * relation (NumHashes min-columns at once) — at corpus scale this is a
+    * single shuffle keyed by doc_id with map-side partial mins; the
+    * per-row HOF formulation re-evaluated the shingle array per hash
+    * function and ran interpreted. */
+  def withMinhash(docs: DataFrame): DataFrame =
+    shingleRows(docs)
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("mh_0"),
+        (1 until NumHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")): _*)
 
   /** MinHash-LSH near-dup: signature → band buckets → hash-join candidate
     * pairs → exact-Jaccard verification. The verified output equals the
@@ -122,10 +152,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sh = documents(s, d).select(col("doc_id"), shingles(col("text")).as("s"))
+    // exact-Jaccard verification, materialized only for candidate docs
+    // (sparse at any scale — shingle sets are collected per candidate,
+    // never for the whole corpus)
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = shingleRows(documents(s, d))
+      .join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
     cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id"))
+      .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))))
       .withColumn("sim", col("inter").cast("double") /
         (size(col("sa.s")) + size(col("sb.s")) - col("inter")))
@@ -134,17 +171,25 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash from shingle hashes: per-bit weighted vote, packed
-    * back into one long. Hash-seeded → no SQL oracle; DedupSpec asserts
+  /** 64-bit SimHash per document: per-bit ±1 vote over shingle hashes,
+    * packed into one long. One codegen'd hash aggregation with 64 sum
+    * columns over the exploded shingle relation (map-side partials →
+    * single doc_id shuffle); the per-row formulation ran 64 interpreted
+    * folds per document. Hash-seeded → no SQL oracle; DedupSpec asserts
     * recall of the planted near-dup pairs. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(shingles(text), s => xxhash64(s))
-    val bitSums = (0 until 64).map(i =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(bitSums(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val voted = shingleRows(docs)
+      .select(col("doc_id"), h.as("h"))
+      .groupBy("doc_id")
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b_0"),
+        (1 until 64).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b_$i")): _*)
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     }
+    voted.select(col("doc_id"), packed.as("sh"))
   }
 
   /** SimHash near-dup: bucket by 8-bit chunks (pigeonhole: hamming ≤ 7
@@ -154,7 +199,7 @@ object Dedup {
     * pair sits at hamming ≈27, so ≤14 separates cleanly; at much larger
     * corpora widen the chunks (and multi-probe) to keep buckets sparse. */
   val simhashPairs: Q = Q.noOracle("dedup_simhash") { (s, d) =>
-    val docs = documents(s, d).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val docs = simhashDf(documents(s, d))
     val chunks = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 8).map(k =>
         shiftrightunsigned(col("sh"), 8 * k).bitwiseAND(lit(0xFFL))): _*))
@@ -183,11 +228,15 @@ object Dedup {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${VectorFunctions.duckCosine("a.embedding", "b.embedding", EmbDim)} >= $CosineThreshold
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val e = embeddings(s, d)
+    // norms once per row (not per pair); sim math stays bit-identical to
+    // the oracle's dot/(‖a‖·‖b‖)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",
-        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= CosineThreshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("sim"))
       .orderBy("a_id", "b_id")

@@ -64,13 +64,17 @@ object Similarity {
        |  WHERE q.vec_id < $NumQueries)
        |WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
-    val e = embeddings(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"))
+    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
       .join(broadcast(queries), col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= K)
       .select("q_id", "n_id", "rank", "sim")
@@ -88,24 +92,26 @@ object Similarity {
     * any band value with the query. */
   def annTopk(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val signed = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       lshSignature(col("embedding")).as("sig"))
-    val banded = signed.select(col("vec_id"), col("embedding"),
+    val banded = signed.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xFL))): _*))
         .as(Seq("band", "bsig")))
     val queries = banded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("band"), col("bsig"))
+        col("nrm").as("q_nrm"), col("band"), col("bsig"))
     val cand = banded
       .join(queries,
         Seq("band", "bsig")) // hash join on bucket
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"),
-        col("embedding").as("c_emb"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("n_id"), col("embedding").as("c_emb"), col("nrm"))
       .distinct()
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     cand
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
