@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Joins, Relational2}
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of rows share one hot key — the salting target
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (20L, "a"), (1000L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().toSet
+    val salted = Joins.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted === plain)
+    assert(plain.size === 1802) // 1800 hot-key rows + keys 20 and 1000
+  }
+
+  test("saltedJoin left_outer keeps unmatched big-side rows exactly once") {
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val small = Seq((1L, "m")).toDF("k", "name")
+    val got = Joins.saltedJoin(big, small, Seq("k"), 4, "left_outer")
+      .select("k", "v", "name").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(got === Set((1L, "x", Some("m")), (2L, "y", None)))
+  }
+
+  test("approx_count_distinct is within its rsd of exact") {
+    val got = Relational2.q28ApproxDistinct.run(spark, TestSpark.tiny)
+      .select("l_returnflag", "approx_parts").as[(String, Long)]
+      .collect().toMap
+    val exact = Tables.lineitem(spark, TestSpark.tiny)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val err = math.abs(got(k) - n).toDouble / n
+      assert(err < 0.05, s"flag $k: approx ${got(k)} vs exact $n (err $err)")
+    }
+  }
+}

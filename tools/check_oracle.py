@@ -42,6 +42,14 @@ def main():
         got, exp = got[gc], exp[ec]
         dt_warn = [f"{c}: {got[c].dtype}!={exp[c].dtype}" for c in gc
                    if str(got[c].dtype) != str(exp[c].dtype)]
+        # normalize array cells (numpy arrays / lists) to tuples so both
+        # sorting and == behave
+        for c in gc:
+            if got[c].dtype == object or exp[c].dtype == object:
+                norm = lambda v: tuple(v) if isinstance(
+                    v, (list, tuple)) or type(v).__name__ == "ndarray" else v
+                got[c] = got[c].map(norm)
+                exp[c] = exp[c].map(norm)
         got = got.sort_values(by=gc).reset_index(drop=True)
         exp = exp.sort_values(by=ec).reset_index(drop=True)
         if len(got) != len(exp):
