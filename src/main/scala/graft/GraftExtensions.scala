@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.AvroCodec.AvroDecodeExpression
+import graft.functions.DotProduct
+
+/** Catalyst integration point: registers graft's native expressions with
+  * the SQL function registry so `spark.sql("... dot_product(a, b) ...")`
+  * plans them directly (whole-stage-codegen'd, no UDF wrapping).
+  *
+  * Use at session build time:
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotProduct)
+    e.injectFunction(GraftExtensions.avroDecode)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    info("dot_product",
+      "dot_product(a, b) - double-precision dot product of two float arrays"),
+    (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+
+  val avroDecode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("avro_decode"),
+    info("avro_decode",
+      "avro_decode(bin, schemaJson[, lenient]) - decode headerless Avro binary"),
+    (exprs: Seq[Expression]) => {
+      val schemaJson = exprs(1) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          lit.value.toString
+        case other =>
+          throw new IllegalArgumentException(
+            s"avro_decode schema must be a string literal, got $other")
+      }
+      val lenient = exprs.lift(2).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v == true
+        case _ => false
+      }
+      AvroDecodeExpression(exprs(0), schemaJson, lenient)
+    })
+
+  /** Register on an already-built session (e.g. the driver's). */
+  def register(spark: SparkSession): Unit =
+    Seq(dotProduct, avroDecode).foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

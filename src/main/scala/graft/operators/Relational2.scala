@@ -132,6 +132,36 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** Session windows in batch (the ST4 session shape): Spark's native
+    * session_window vs a gaps-and-islands oracle. Spark merges an event
+    * into a session iff ts < last_ts + gap (end-exclusive), so the
+    * oracle's island break uses `<` too; session_end = max(ts) + gap. */
+  val q29SessionWindow: Q = Q(
+    "q29_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(val4(col("value"))).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[Q] = Seq(q23ExplodeTokens, q24ArrayAgg, q25MathFuncs,
-    q26CorrelatedSubquery, q27Percentiles, q28ApproxDistinct)
+    q26CorrelatedSubquery, q27Percentiles, q28ApproxDistinct,
+    q29SessionWindow)
 }

@@ -88,14 +88,16 @@ object Similarity {
     annTopk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 
-  /** LSH top-k: 4 bands × 4 bits of the 16-bit signature; candidates share
-    * any band value with the query. */
+  /** LSH top-k: 8 bands × 4 bits of a 32-bit signature; candidates share
+    * any band value with the query. More bands = higher recall at the
+    * cost of more candidates (each 4-bit band passes ~1/16 of the
+    * corpus) — tune bands/bits to the recall/throughput target. */
   def annTopk(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val signed = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
-      lshSignature(col("embedding")).as("sig"))
+      lshSignature(col("embedding"), bits = 32).as("sig"))
     val banded = signed.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until 8).map(b =>
         shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xFL))): _*))
         .as(Seq("band", "bsig")))
     val queries = banded.filter(col("vec_id") < numQueries)

@@ -28,10 +28,9 @@ class SimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annLsh.run(spark, TestSpark.tiny)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(ann).size.toDouble / exact.size
-    // 16 random hyperplanes over near-orthogonal synthetic vectors is a
-    // weak filter; assert it's doing clearly better than chance while
-    // remaining approximate (candidates ≪ corpus).
-    assert(recall >= 0.3, s"ANN recall@5 = $recall")
+    // 8 bands × 4 bits of a 32-hyperplane signature: measured 0.74 on
+    // this corpus; floor leaves headroom for hash-sensitivity
+    assert(recall >= 0.5, s"ANN recall@5 = $recall")
     info(f"ANN recall@5 = $recall%.2f")
   }
 
