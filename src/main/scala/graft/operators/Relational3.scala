@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Third relational batch (SURVEY.md §2.3): pivot, multiset set ops,
+  * distribution window functions, map functions. */
+object Relational3 {
+
+  /** Pivot (CASE-aggregation under the hood — the oracle spells that
+    * out): order counts per priority × status. */
+  val q30Pivot: Q = Q(
+    "q30_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Multiset set operators (ALL variants preserve duplicates). */
+  val q31SetOpsAll: Q = Q(
+    "q31_set_ops_all",
+    """WITH a AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'),
+      |     b AS (SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'inter' AS tag, l_quantity, COUNT(*) AS n
+      |FROM (SELECT l_quantity FROM a INTERSECT ALL SELECT l_quantity FROM b)
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'except' AS tag, l_quantity, COUNT(*) AS n
+      |FROM (SELECT l_quantity FROM a EXCEPT ALL SELECT l_quantity FROM b)
+      |GROUP BY 2
+      |ORDER BY tag, l_quantity""".stripMargin) { (s, d) =>
+    val li = lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A").select("l_quantity")
+    val b = li.filter(col("l_returnflag") === "R").select("l_quantity")
+    a.intersectAll(b).groupBy("l_quantity")
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("inter"))
+      .unionByName(a.exceptAll(b).groupBy("l_quantity")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("except")))
+      .select("tag", "l_quantity", "n")
+      .orderBy("tag", "l_quantity")
+  }
+
+  /** Distribution window functions: percent_rank / cume_dist /
+    * nth_value over a deterministic per-customer order. */
+  val q32WindowDistribution: Q = Q(
+    "q32_window_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wAll).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Map functions: per-priority month→count map built from entries,
+    * plus keyed access. */
+  val q33MapFuncs: Q = Q(
+    "q33_map_funcs",
+    """WITH mc AS (
+      |  SELECT o_orderpriority, CAST(MONTH(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority,
+      |  MAP_FROM_ENTRIES(LIST_SORT(LIST({'key': m, 'value': n}))) AS month_counts,
+      |  CAST(LEN(LIST(m)) AS BIGINT) AS n_keys
+      |FROM mc
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"), month(col("o_orderdate")).cast("bigint").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderpriority")
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(col("m").as("key"),
+          col("n").as("value"))))).as("month_counts"),
+        count(lit(1)).as("n_keys"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
+    q33MapFuncs)
+}

@@ -46,8 +46,14 @@ def main():
         # sorting and == behave
         for c in gc:
             if got[c].dtype == object or exp[c].dtype == object:
-                norm = lambda v: tuple(v) if isinstance(
-                    v, (list, tuple)) or type(v).__name__ == "ndarray" else v
+                def norm(v):
+                    if isinstance(v, dict):
+                        if set(v) == {"key", "value"}:  # duckdb map repr
+                            return tuple(sorted(zip(v["key"], v["value"])))
+                        return tuple(sorted(v.items()))
+                    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                        return tuple(v)
+                    return v
                 got[c] = got[c].map(norm)
                 exp[c] = exp[c].map(norm)
         got = got.sort_values(by=gc).reset_index(drop=True)
