@@ -120,6 +120,65 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: cluster the corpus with k-means, probe the
+    * nProbe centroids nearest each query, exact-rank within the probed
+    * cells. The 100 TB shape: centroids are tiny and broadcast; the
+    * corpus is partitioned by cell, so each query touches ~nProbe/k of
+    * it. Driver-side work is bounded by |queries|·k centroid distances.
+    * Deterministic via fixed seed → rows-only check + recall spec. */
+  def ivfTopk(emb: DataFrame, numQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val withVec = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nProbe nearest cells per query (|queries| × k distances, driver-side)
+    val queries = withVec.filter(col("vec_id") < numQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.flatMap { case (qid, v) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) =>
+          val d = c.zip(v).map { case (x, y) => val t = x - y; t * t }.sum
+          (ci, d)
+        }
+        .sortBy(_._2).take(nProbe)
+        .map { case (ci, _) => (qid, ci) }
+    }
+    import spark.implicits._
+    val probeDf = probes.toSeq.toDF("q_id", "cell")
+    val qSide = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .join(broadcast(probeDf), "q_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    assigned
+      .join(broadcast(qSide), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF ANN as a registered operator (approximate → rows-only check;
+    * SimilaritySpec measures recall vs brute force). */
+  val annIvf: Q = Q.noOracle("sim_ann_ivf") { (s, d) =>
+    ivfTopk(embeddings(s, d), numQueries = NumQueries, k = K)
+  }
+
   /** Per-label corpus stats via order-independent aggregates (min/max are
     * safe on doubles; means go through exact folds per row only). */
   val embStats: Q = Q(
@@ -138,5 +197,5 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(topkBruteForce, annLsh, embStats)
+  val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, embStats)
 }

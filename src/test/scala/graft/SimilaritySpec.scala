@@ -34,6 +34,16 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"ANN recall@5 = $recall%.2f")
   }
 
+  test("IVF ANN recall@5 vs brute force is usable") {
+    val exact = Similarity.topkBruteForce.run(spark, TestSpark.tiny)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf.run(spark, TestSpark.tiny)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+    info(f"IVF recall@5 = $recall%.2f")
+  }
+
   test("ANN candidate set is much smaller than the corpus (it prunes)") {
     // every returned neighbor must share a 4-bit band with its query
     val ann = Similarity.annLsh.run(spark, TestSpark.tiny)
