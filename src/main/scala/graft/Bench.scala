@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader init shouldn't be
+    // attributed to whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val pattern = args.headOption.getOrElse(".*")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.matches(pattern))

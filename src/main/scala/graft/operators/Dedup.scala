@@ -127,8 +127,11 @@ object Dedup {
     * per-row HOF formulation re-evaluated the shingle array per hash
     * function and ran interpreted. */
   def withMinhash(docs: DataFrame): DataFrame =
-    shingleRows(docs)
-      .groupBy("doc_id")
+    withMinhashFrom(shingleRows(docs))
+
+  /** signatures from a pre-built (possibly cached) shingle relation */
+  def withMinhashFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(
         min(xxhash64(lit(0), col("shingle"))).as("mh_0"),
         (1 until NumHashes).map(i =>
@@ -140,7 +143,11 @@ object Dedup {
     * probability ≤(1-j²)^16, ≈1% at j=0.5, ~1e-7 at j=0.8), which the
     * DedupSpec asserts against the exact query; hence the same oracle. */
   val minhashLsh: Q = Q("dedup_minhash_lsh", duckJaccardPairs) { (s, d) =>
-    val signed = withMinhash(documents(s, d))
+    // the shingle relation feeds signatures AND candidate verification;
+    // recomputing it beats caching here — the columnar cache build costs
+    // more than the extra codegen'd scan and blocks exchange reuse
+    val sh = shingleRows(documents(s, d))
+    val signed = withMinhashFrom(sh)
     val bands = signed.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map(j =>
@@ -157,7 +164,7 @@ object Dedup {
     // never for the whole corpus)
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val candSets = shingleRows(documents(s, d))
+    val candSets = sh
       .join(broadcast(candDocs), "doc_id")
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
     cand

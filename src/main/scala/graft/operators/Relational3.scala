@@ -103,6 +103,49 @@ object Relational3 {
       .orderBy("o_orderpriority")
   }
 
+  /** Deterministic sampling / train-validation fold assignment — the
+    * training-pipeline staple. Multiplicative (Knuth) hashing over the
+    * key in portable BIGINT arithmetic, so the split is reproducible on
+    * any engine and stable under repartitioning (unlike rand()-based
+    * sampling). 10 folds; fold 0 doubles as a 10% sample. */
+  val q34FoldAssign: Q = Q(
+    "q34_fold_assign",
+    """WITH folded AS (
+      |  SELECT lang, ((doc_id * 2654435761) % 4294967296) % 10 AS fold
+      |  FROM documents)
+      |SELECT lang, fold, COUNT(*) AS n
+      |FROM folded
+      |GROUP BY lang, fold
+      |ORDER BY lang, fold""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        (((col("doc_id") * 2654435761L) % 4294967296L) % 10).as("fold"))
+      .groupBy("lang", "fold")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "fold")
+  }
+
+  /** RANGE window frame: per-customer trailing-30-day spend (event-time
+    * range frame, not row count). Completes the frame coverage: rows
+    * frames in q09, unbounded in q32, range here. */
+  val q35RangeFrame: Q = Q(
+    "q35_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-2592000L, Window.currentRow)
+    orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(money(col("o_totalprice"))).over(w).cast("double")
+          .as("trailing_30d_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
-    q33MapFuncs)
+    q33MapFuncs, q34FoldAssign, q35RangeFrame)
 }
