@@ -210,7 +210,11 @@ object Relational {
 
   /** Per-group top-k via ranking window: top-3 orders per customer by
     * total price (deterministic tiebreak on order key). At scale this is
-    * the single-shuffle pattern — partition by customer, sort within. */
+    * the single-shuffle pattern — partition by customer, sort within —
+    * and Catalyst's InferWindowGroupLimit plants a two-phase
+    * WindowGroupLimit (map-side top-k pruning BEFORE the shuffle, final
+    * after), so only ≤k rows per group per mapper ever move. Verified in
+    * the physical plan; no custom rewrite rule needed. */
   val q08TopkPerGroup: Q = Q(
     "q08_topk_per_group",
     """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
