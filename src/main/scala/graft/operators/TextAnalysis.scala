@@ -156,5 +156,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint)
+  /** Corpus-wide top-10 tokens via the Misra-Gries typed Aggregator
+    * ([[graft.functions.FrequentItems]]). With capacity 4096 ≫ the
+    * corpus vocabulary no decrement fires, so counts are exact and the
+    * SQL oracle applies; at true scale the same operator degrades
+    * gracefully to ε-approximate counts in bounded memory. */
+  val frequentTokens: Q = Q(
+    "text_frequent_tokens",
+    """SELECT token, n, rank FROM (
+      |  SELECT token, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+      |  FROM (SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS token FROM documents)
+      |  GROUP BY token)
+      |WHERE rank <= 10
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val agg = new graft.functions.FrequentItems(4096)
+    val tokens = documents(s, d)
+      .select(explode(words(col("text"))).as("token")).as[String]
+    tokens.select(agg.toColumn.name("items"))
+      .select(explode(col("items")).as("kv"))
+      .select(col("kv._1").as("token"), col("kv._2").as("n"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, frequentTokens)
 }
