@@ -136,6 +136,76 @@ object AvroCodec {
   def fromAvroLenient(value: Column, schemaJson: String): Column =
     ColumnBridge.column(AvroDecodeExpression(ColumnBridge.expression(value), schemaJson, lenient = true))
 
+  private[functions] def fromCatalyst(v: Any, s: Schema): Any = v match {
+    case null => null
+    case _ => s.getType match {
+      case Schema.Type.UNION =>
+        val branch = s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        fromCatalyst(v, branch)
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[InternalRow]
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          val value =
+            if (row.isNullAt(i)) null
+            else fromCatalyst(row.get(i, fieldType(f.schema())._1), f.schema())
+          rec.put(i, value)
+        }
+        rec
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val out = new java.util.ArrayList[Any](arr.numElements())
+        (0 until arr.numElements()).foreach { i =>
+          out.add(fromCatalyst(arr.get(i, sparkType(s.getElementType)),
+            s.getElementType))
+        }
+        out
+      case _ => v
+    }
+  }
+
+  /** Inverse of [[AvroDecodeExpression]]: struct column → headerless
+    * Avro binary (the publish path — what the reference's Debezium side
+    * does upstream, now available engine-side for writing change streams
+    * back to Kafka). Struct fields must align positionally with the
+    * schema. */
+  case class AvroEncodeExpression(child: Expression, schemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val avroSchema =
+      new Schema.Parser().parse(schemaJson)
+    @transient private lazy val writer =
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "avro_encode"
+
+    override def nullSafeEval(input: Any): Any = {
+      val rec = fromCatalyst(input, avroSchema).asInstanceOf[GenericRecord]
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get.binaryEncoder(out, null)
+      writer.write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Expression = copy(child = newChild)
+  }
+
+  /** to_avro over a struct column. */
+  def toAvro(value: Column, schemaJson: String): Column =
+    ColumnBridge.column(
+      AvroEncodeExpression(ColumnBridge.expression(value), schemaJson))
+
+  /** Confluent framing: 0x00 magic + big-endian schema id + body. */
+  def toConfluentAvro(value: Column, schemaJson: String, schemaId: Int): Column = {
+    val header = ByteBuffer.allocate(5).put(0.toByte).putInt(schemaId).array()
+    concat(lit(header), toAvro(value, schemaJson))
+  }
+
   /** Strip the 5-byte Confluent wire-format header (D1). */
   def stripConfluentHeader(value: Column): Column =
     value.substr(lit(6), length(value) - 5)

@@ -81,6 +81,29 @@ class AvroSpec extends AnyFunSuite {
       .select("r.username").as[String].head() === "cat")
   }
 
+  test("encode → frame → decode round-trips through the publish path") {
+    import graft.sources.KafkaSink
+    val rows = Seq((1, "ann", "a@x.io", Some(123456L)),
+        (2, "bob", "b@x.io", None))
+      .toDF("id", "username", "email", "created_at")
+    val records = KafkaSink.toRecords(rows,
+      key = col("id").cast("string"),
+      valueStruct = struct(col("id"), col("username"), col("email"),
+        col("created_at")),
+      valueSchemaJson = usersSchemaJson, schemaId = 42, topic = "t.out")
+    assert(records.columns.toSeq === Seq("key", "value", "topic"))
+    // registry id survives framing
+    assert(records.select(AvroCodec.confluentSchemaId(col("value")))
+      .as[Int].collect().toSet === Set(42))
+    // and the reference-style consumer decodes what we published
+    val back = records.select(
+        AvroCodec.fromConfluentAvro(col("value"), usersSchemaJson).as("r"))
+      .select("r.id", "r.username", "r.email", "r.created_at")
+      .as[(Int, String, String, Option[Long])].collect().toSet
+    assert(back === Set((1, "ann", "a@x.io", Some(123456L)),
+      (2, "bob", "b@x.io", None)))
+  }
+
   test("hexKeyToString unhexes the replay consumer's key bytes") {
     val key = "7b226964223a317d".getBytes("UTF-8") // hex of {"id":1}
     val got = Seq(key).toDF("key")
