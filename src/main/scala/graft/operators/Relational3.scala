@@ -146,6 +146,23 @@ object Relational3 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Ordered string aggregation (LISTAGG shape) — built from
+    * sort_array(collect_list) + array_join so the order is explicit and
+    * engine-independent. */
+  val q36StringAgg: Q = Q(
+    "q36_string_agg",
+    """SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+      |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY r.r_name""".stripMargin) { (s, d) =>
+    val r = region(s, d); val n = nation(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy("r_name")
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
-    q33MapFuncs, q34FoldAssign, q35RangeFrame)
+    q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg)
 }
