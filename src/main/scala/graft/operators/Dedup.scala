@@ -249,6 +249,65 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: each node adopts the smallest label among
+    * itself and its neighbors until fixpoint. Iterations are driver-side
+    * loop steps over DataFrames (the standard large-scale CC shape —
+    * hash-partitioned joins, O(diameter) rounds, each a single shuffle);
+    * near-dup clusters have tiny diameters so this converges in a few
+    * rounds even on huge corpora. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // iterative-DataFrame hygiene: persist the loop-invariant edge set
+    // (otherwise every iteration's action re-derives the pair pipeline)
+    // and localCheckpoint each label generation to truncate lineage —
+    // without it, iteration i re-executes all i-1 predecessors.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // smallest label among self + neighbors
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("rep_id"))
+      val next = labels.select(col("id"), col("rep_id"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("rep_id").as("rep_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep_id") =!= col("o.rep_id")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup clusters: representative (min doc_id) per near-dup component
+    * of the exact-Jaccard pair graph. */
+  val components: Q = Q(
+    "dedup_components",
+    s"""WITH RECURSIVE jp AS ($duckJaccardPairs),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT id, rep_id FROM (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep_id
+       |  FROM reach GROUP BY src)
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    connectedComponents(jaccardPairs(documents(s, d)))
+      .select(col("id"), col("rep_id"))
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs,
-    embeddingCosine)
+    embeddingCosine, components)
 }

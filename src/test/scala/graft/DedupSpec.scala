@@ -27,6 +27,16 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${planted.size} pairs")
   }
 
+  test("connectedComponents: min-label propagation over a known graph") {
+    // components: {1,2,3,9} (chain 1-2-3 + 3-9), {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("shingles: distinct 3-gram word windows; short docs yield none") {
     val got = Seq("a b c d", "x y").toDF("text")
       .select(Dedup.shingles(col("text")).as("s"))
