@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered operators, module by module. */
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Cdc.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+      TextAnalysis.all ++ TextAnalysis2.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Second text-analysis batch: chunking, normalization, TF-IDF —
+  * the remaining corpus-preparation stages of a training pipeline.
+  */
+object TextAnalysis2 {
+
+  private val ChunkLen = 32
+  private val Stride = 24
+
+  /** Sliding-window chunking: split each document into ChunkLen-token
+    * windows advancing by Stride (overlap = ChunkLen - Stride), the
+    * standard context-window preparation step. Pure per-row expressions
+    * — no shuffle, scales linearly. */
+  val chunking: Q = Q(
+    "text_chunking",
+    s"""SELECT doc_id, pos AS chunk_idx, ch.t AS chunk_text, ch.n AS n_tokens
+       |FROM (
+       |  SELECT doc_id,
+       |    UNNEST(RANGE(0, LEN(RANGE(1, LEN(STRING_SPLIT(TRIM(text), ' ')) + 1, $Stride)))) AS pos,
+       |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(TRIM(text), ' ')) + 1, $Stride),
+       |      st -> STRUCT_PACK(
+       |        t := ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[st : st + ${ChunkLen - 1}], ' '),
+       |        n := LEAST($ChunkLen, LEN(STRING_SPLIT(TRIM(text), ' ')) - st + 1)))) AS ch
+       |  FROM documents
+       |  WHERE doc_id < 50)
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val ws = col("__ws")
+    val starts = sequence(lit(1), size(ws), lit(Stride))
+    val chunks = transform(starts, st => struct(
+      concat_ws(" ", slice(ws, st, lit(ChunkLen))).as("t"),
+      least(lit(ChunkLen), size(ws) - st + 1).cast("bigint").as("n")))
+    documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("__ws"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("ch.t").as("chunk_text"), col("ch.n").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Normalization: lowercase, canonicalize digit runs, collapse
+    * whitespace — with a changed flag for audit. */
+  val normalize: Q = Q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[0-9]+', '0', 'g'), ' +', ' ', 'g')) AS norm,
+      |  LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[0-9]+', '0', 'g'), ' +', ' ', 'g'))) AS n_chars_norm,
+      |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[0-9]+', '0', 'g'), ' +', ' ', 'g')) <> text AS changed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "0"), " +", " "))
+    documents(s, d).select(
+        col("doc_id"), norm.as("norm"),
+        length(norm).cast("bigint").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms: corpus document frequency + per-doc term
+    * frequency, score = tf · ln((N+1)/(df+1)), top-5 per doc.
+    * ln is bit-identical between the JVM and DuckDB on these rational
+    * arguments (validated empirically across the df range), so the
+    * oracle hash-compare holds; the deterministic tiebreak is the term.
+    */
+  val tfidf: Q = Q(
+    "text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term, score, rank FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    tf.tf * LN((n.n + 1.0) / (df.df + 1.0)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * LN((n.n + 1.0) / (df.df + 1.0)) DESC, tf.term) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 20)
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n"))
+    // lnLibm, not functions.log: Spark's StrictMath.log differs from
+    // glibc/DuckDB in the last ulp (see graft.functions.NaturalLog)
+    val score = col("tf") *
+      graft.functions.MathExpressions.lnLibm(
+        (col("n") + 1.0) / (col("df") + 1.0))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "term", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Fixed-width histogram of events.value per event type (width 25,
+    * clamped at bucket 19) — exact double arithmetic in both engines. */
+  val histogram: Q = Q(
+    "q37_histogram",
+    """SELECT event_type,
+      |  LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"),
+        least(floor(col("value") / 25.0).cast("bigint"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** BM25 term scoring (k1=1.2, b=0.75): the canonical relevance
+    * weighting — idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Every
+    * arithmetic step is a single IEEE op mirrored verbatim in the
+    * oracle (same parenthesization), ln via [[graft.functions.NaturalLog]].
+    */
+  val bm25: Q = Q(
+    "text_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
+      |SELECT doc_id, term, score, rank FROM (
+      |  -- ::DOUBLE on every literal: DuckDB otherwise parses them as
+      |  -- DECIMAL and computes tf*2.2 exactly, off Spark's double by 1 ulp
+      |  -- DECIMAL(18,6): libm vs JVM-intrinsic ln differ by 1 ulp on some
+      |  -- arguments; 6-decimal rounding absorbs it deterministically
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(LN(((stats.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) + 1.0::DOUBLE) *
+      |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) AS DECIMAL(18,6)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      LN(((stats.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) + 1.0::DOUBLE) *
+      |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) DESC,
+      |      tf.term) AS rank
+      |  FROM tf
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  JOIN df ON df.term = tf.term
+      |  CROSS JOIN stats
+      |  WHERE tf.doc_id < 20)
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = graft.functions.MathExpressions.lnLibm(
+      ((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+    val score = idf * ((col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * ((lit(1.0) - 0.75) +
+        lit(0.75) * (col("dl") / col("avgdl")))))
+    val w = Window.partitionBy("doc_id").orderBy(col("__raw").desc, col("term"))
+    tf.filter(col("doc_id") < 20)
+      .join(broadcast(dl), "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__raw", score)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"),
+        col("__raw").cast("decimal(18,6)").as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(chunking, normalize, tfidf, bm25, histogram)
+}
