@@ -107,11 +107,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-      // doc-size sides are tiny aggregates → broadcast, no extra shuffle
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na")), "a_id")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb")), "b_id")
+      // sizes is corpus-sized (one row per doc) — no broadcast hint;
+      // AQE broadcasts it at small SF and shuffles at real scale
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
       .withColumn("sim", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("sim") >= JaccardThreshold)
       .select("a_id", "b_id", "sim")

@@ -100,8 +100,10 @@ object TextAnalysis2 {
       graft.functions.MathExpressions.lnLibm(
         (col("n") + 1.0) / (col("df") + 1.0))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    // df is vocab-sized — leave the join strategy to AQE (broadcast at
+    // test SF, shuffle at corpus scale); only the 1-row n is hinted
     tf.filter(col("doc_id") < 20)
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -173,9 +175,11 @@ object TextAnalysis2 {
       (col("tf") + lit(1.2) * ((lit(1.0) - 0.75) +
         lit(0.75) * (col("dl") / col("avgdl")))))
     val w = Window.partitionBy("doc_id").orderBy(col("__raw").desc, col("term"))
+    // dl (per-doc) and df (vocab) are corpus-sized — no broadcast hint;
+    // stats is a single row
     tf.filter(col("doc_id") < 20)
-      .join(broadcast(dl), "doc_id")
-      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .join(df, "term")
       .crossJoin(broadcast(stats))
       .withColumn("__raw", score)
       .withColumn("rank", row_number().over(w).cast("bigint"))
