@@ -163,6 +163,24 @@ object Relational3 {
       .orderBy("r_name")
   }
 
+  /** NOT IN with three-valued logic: a NULL in the subquery makes
+    * NOT IN unsatisfiable (count 0) — identical SQL text runs on both
+    * engines, exercising Catalyst's null-aware anti join. */
+  val q38NotIn: Q = {
+    val sql =
+      """SELECT 'no_null' AS tag, COUNT(*) AS n FROM customer
+        |WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+        |UNION ALL
+        |SELECT 'with_null' AS tag, COUNT(*) AS n FROM customer
+        |WHERE c_nationkey NOT IN (SELECT NULLIF(n_nationkey, 0) FROM nation)
+        |ORDER BY tag""".stripMargin
+    Q("q38_not_in", sql) { (s, d) =>
+      customer(s, d).createOrReplaceTempView("customer")
+      nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
-    q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg)
+    q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn)
 }

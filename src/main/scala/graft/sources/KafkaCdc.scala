@@ -91,6 +91,21 @@ object KafkaCdc {
       col("topic"), col("partition"), col("offset"), col("timestamp"))
   }
 
+  /** S7 per-table demux: one multi-topic stream (subscribePattern over
+    * the whole-DB connector prefix) split into per-table changelogs,
+    * each decoded with its own registry-resolved schema. The filter is a
+    * partition-pruning predicate on the topic column — at scale each
+    * table's pipeline reads only its topic's partitions. */
+  def demuxTables(
+      records: DataFrame,
+      registry: SchemaRegistry,
+      topics: Seq[String]): Map[String, DataFrame] =
+    topics.map { t =>
+      val (_, schema) = registry.latest(s"$t-value").getOrElse(
+        throw new IllegalStateException(s"no schema for $t-value"))
+      t -> decodeCdc(records.filter(col("topic") === t), schema)
+    }.toMap
+
   /** Materialized table state from a decoded, bounded changelog: latest
     * image per key in (partition, offset) order, tombstoned keys dropped
     * — the full S5+ST2+ST3 path as one call.

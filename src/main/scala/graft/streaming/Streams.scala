@@ -55,6 +55,28 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream join: purchases matched to the signups of the same
+    * user within a bounded interval. Both sides carry watermarks so the
+    * join state is GC-able — the condition bounds how long a signup is
+    * retained (the production-correct shape; an unbounded stream-stream
+    * join would accumulate state forever). */
+  def purchasesWithSignup(
+      signups: DataFrame,
+      purchases: DataFrame,
+      maxAge: String = "1 hour"): DataFrame = {
+    val sg = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val pu = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    pu.join(sg,
+      col("p_user") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $maxAge"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("signup_ts"), col("value"))
+  }
+
   /** ST6 state record: per-user running aggregate. */
   final case class UserState(user_id: Long, n_events: Long, total: Double)
   final case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -82,6 +82,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to in-window signups") {
+    implicit val ctx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.purchasesWithSignup(
+      signups.toDF.toDF("user_id", "ts"),
+      purchases.toDF.toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      signups.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:30:00"), 9.0), // in window (30 min after)
+        (2L, ts("2024-01-01 12:30:00"), 7.0), // too late (>1h)
+        (3L, ts("2024-01-01 10:10:00"), 5.0)) // no signup
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("user_id", "value")
+        .as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 9.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
     implicit val ctx = spark.sqlContext
     val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
