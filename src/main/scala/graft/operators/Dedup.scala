@@ -281,6 +281,7 @@ object Dedup {
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep_id") =!= col("o.rep_id")).count()
+      labels.unpersist() // drop the superseded generation's blocks
       labels = next
       i += 1
     }

@@ -179,6 +179,29 @@ object Similarity {
     ivfTopk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 
+  /** L2 normalization: embedding → unit vector (double components).
+    * Per-element division by the per-row norm — deterministic per
+    * element, so the whole array is oracle-exact. The standard prep step
+    * that turns cosine ranking into plain dot products. */
+  val normalizeVectors: Q = Q(
+    "sim_normalize",
+    s"""SELECT vec_id,
+       |  LIST_TRANSFORM(embedding, x -> x::DOUBLE / ${duckNorm("embedding", EmbDim)}) AS unit,
+       |  ${duckNorm("embedding", EmbDim)} AS nrm
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    // norm materialized as a column first — captured non-attribute
+    // expressions are re-evaluated per array element in HOF lambdas
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm"))
+          .as("unit"),
+        col("nrm"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label corpus stats via order-independent aggregates (min/max are
     * safe on doubles; means go through exact folds per row only). */
   val embStats: Q = Q(
@@ -197,5 +220,6 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, embStats)
+  val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, normalizeVectors,
+    embStats)
 }
