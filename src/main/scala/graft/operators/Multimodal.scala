@@ -59,6 +59,39 @@ object Multimodal {
         decodeStub(r.media)))
     }(Encoders.product[MediaFeatures])
 
+  /** STUB resize (see class doc): a real impl decodes, scales to w×h,
+    * re-encodes; the fake deterministically downsamples the byte stream
+    * to w·h bytes so the plumbing (payload transform keeping metadata,
+    * per-partition batches) is testable. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h)
+    if (bytes.length <= target) bytes
+    else {
+      val out = new Array[Byte](target)
+      val step = bytes.length.toDouble / target
+      var i = 0
+      while (i < target) { out(i) = bytes((i * step).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** STUB frame sampling: a real impl demuxes video and keeps every
+    * n-th frame; the fake splits the payload into fixed-size "frames"
+    * and keeps every n-th — one input row fans out to many frame rows
+    * (the generator shape downstream training jobs consume). */
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      everyN: Int): Dataset[MediaFrame] =
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        r.media.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 =>
+            MediaFrame(r.doc_id, idx.toLong, frame)
+        }
+      }
+    }(Encoders.product[MediaFrame])
+
   /** documents.text as a stand-in media payload (UTF-8 bytes). */
   def asMedia(docs: DataFrame): Dataset[MediaRecord] =
     docs.select(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Joins, Relational2}
+import graft.operators.{Joins, Relational2, Relational3}
 
 class JoinsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -29,6 +29,20 @@ class JoinsSpec extends AnyFunSuite {
       .select("k", "v", "name").as[(Long, String, Option[String])]
       .collect().toSet
     assert(got === Set((1L, "x", Some("m")), (2L, "y", None)))
+  }
+
+  test("fold assignment is stable under repartitioning (q34 claim)") {
+    val base = Relational3.q34FoldAssign.run(spark, TestSpark.tiny)
+      .collect().map(_.toSeq).toSeq
+    val docs = Tables.documents(spark, TestSpark.tiny).repartition(13)
+    docs.createOrReplaceTempView("graft_docs_reparted")
+    // same hash arithmetic over the repartitioned table
+    val reparted = docs
+      .select(col("lang"),
+        (((col("doc_id") * 2654435761L) % 4294967296L) % 10).as("fold"))
+      .groupBy("lang", "fold").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "fold").collect().map(_.toSeq).toSeq
+    assert(base === reparted)
   }
 
   test("approx_count_distinct is within its rsd of exact") {

@@ -17,6 +17,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(Array.emptyByteArray).sum === 0.0)
   }
 
+  test("resizeStub bounds payloads at w*h bytes, deterministically") {
+    val in = (0 until 1000).map(_.toByte).toArray
+    val out = Multimodal.resizeStub(in, 8, 8)
+    assert(out.length === 64)
+    assert(out.toSeq === Multimodal.resizeStub(in, 8, 8).toSeq) // stable
+    assert(Multimodal.resizeStub(Array[Byte](1, 2), 8, 8).toSeq === Seq(1, 2))
+  }
+
+  test("sampleFrames fans one media row into every-nth frame rows") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(docs), frameBytes = 2, everyN = 2).collect()
+    // 5 frames of 2 bytes, keep idx 0,2,4
+    assert(frames.map(_.frame_idx).sorted === Array(0L, 2L, 4L))
+    assert(new String(frames.find(_.frame_idx == 2L).get.frame) === "ef")
+  }
+
   test("media pipeline: binary payload + metadata survive mapPartitions") {
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
