@@ -77,6 +77,17 @@ object Streams {
         col("signup_ts"), col("value"))
   }
 
+  /** S9 production wiring: a foreachBatch body that appends each decoded
+    * micro-batch to the at-rest parquet changelog (append-only, so the
+    * write is idempotent-safe under retries when paired with the
+    * checkpoint; state is recovered via Compaction.stateView /
+    * compact). Partition by a demux key at scale. */
+  def changelogAppend(path: String, partitionCols: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit =
+    (batch, _) =>
+      graft.sources.ParquetSink.writePartitioned(
+        batch, path, partitionCols, mode = "append")
+
   /** ST6 state record: per-user running aggregate. */
   final case class UserState(user_id: Long, n_events: Long, total: Double)
   final case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -29,6 +29,29 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(back.columns.sorted === events.columns.sorted)
   }
 
+  test("stream → changelog parquet → compaction → state (full loop)") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.Compaction
+    val dir = Files.createTempDirectory("graft_loop").toString + "/t"
+    val in = MemoryStream[(Int, String, Long, Boolean)]
+    val q = in.toDF.toDF("id", "name", "offset", "is_del")
+      .writeStream.outputMode("append")
+      .foreachBatch(Streams.changelogAppend(dir))
+      .start()
+    try {
+      in.addData((1, "ann", 0L, false), (2, "bob", 1L, false))
+      q.processAllAvailable()
+      in.addData((1, "ann2", 2L, false), (2, null.asInstanceOf[String], 3L, true))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(dir).count() === 4) // append-only changelog
+    Compaction.compact(spark, dir, Seq("id"), Seq(col("offset")),
+      col("is_del"))
+    val state = spark.read.parquet(dir)
+      .select("id", "name").as[(Int, String)].collect().toSet
+    assert(state === Set((1, "ann2")))
+  }
+
   test("checkpointed stream restart does not reprocess merged batches (ST1)") {
     implicit val ctx = spark.sqlContext
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
