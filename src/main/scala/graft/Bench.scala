@@ -27,6 +27,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2fs")
+        // drop leftover cached/checkpointed blocks so iterative queries
+        // don't tax their successors (storage + GC pressure)
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -181,6 +181,42 @@ object Relational3 {
     }
   }
 
+  /** Aggregate FILTER clauses — per-condition counts in one pass over
+    * the fact table (identical SQL text on both engines). */
+  val q39AggFilter: Q = {
+    val sql =
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax >= 0.04) AS DOUBLE) AS taxed_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    Q("q39_agg_filter", sql) { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sql)
+    }
+  }
+
+  /** LATERAL correlated subquery in FROM — per-region top-2 nations
+    * (the planner decorrelates into a ranked join). */
+  val q40Lateral: Q = {
+    val sql =
+      """SELECT r.r_name, t.n_name
+        |FROM region r,
+        |LATERAL (SELECT n_name FROM nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name""".stripMargin
+    Q("q40_lateral", sql) { (s, d) =>
+      region(s, d).createOrReplaceTempView("region")
+      nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
-    q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn)
+    q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn,
+    q39AggFilter, q40Lateral)
 }
