@@ -55,6 +55,21 @@ object CdcProperties extends Properties("Cdc") {
       got == us
     }
 
+  property("shingles yields max(words-2, 0) windows (pre-dedup)") =
+    forAll(Gen.listOf(Gen.identifier.map(_.take(4)))) { words =>
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(graft.operators.Dedup.rawShingles(
+          org.apache.spark.sql.functions.col("text")))
+        .collect()(0).getSeq[String](0).size
+      // same tokenization the operator uses: split(trim(text), " ")
+      val wc = text.trim match {
+        case "" => 1 // split of "" yields [""]
+        case t  => t.split(" ", -1).length
+      }
+      got == math.max(wc - 2, 0)
+    }
+
   property("routeTombstones partitions the changelog exactly") =
     forAll(changelogGen) { rows =>
       val df = rows.map { case (k, v, o) => (k, v.orNull, o) }

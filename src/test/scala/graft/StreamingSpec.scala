@@ -82,6 +82,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops (S4 micro-batching)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 2.0), (2L, 3.0), (1L, 5.0))
+    val q = in.toDF.toDF("user_id", "value")
+      .groupBy("user_id").agg(sum("value").as("total"))
+      .writeStream.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("avail_out").start()
+    try {
+      // AvailableNow processes everything queued, then terminates itself
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      val got = spark.table("avail_out").as[(Long, Double)].collect().toMap
+      assert(got === Map(1L -> 7.0, 2L -> 3.0))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases to in-window signups") {
     implicit val ctx = spark.sqlContext
     val signups = MemoryStream[(Long, Timestamp)]
