@@ -275,9 +275,17 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("rep_id"))
-      val next = labels.select(col("id"), col("rep_id"))
+      val merged = labels.select(col("id"), col("rep_id"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("rep_id").as("rep_id"))
+      // pointer compression (rep := rep's rep) halves the rounds a long
+      // chain needs — O(log diameter) instead of O(diameter). Renamed
+      // projection avoids self-join attribute ambiguity.
+      val reps = merged.select(col("id").as("rep_key"), col("rep_id").as("rep_rep"))
+      val next = merged
+        .join(reps, col("rep_id") === col("rep_key"), "left")
+        .select(col("id"),
+          coalesce(col("rep_rep"), col("rep_id")).as("rep_id"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep_id") =!= col("o.rep_id")).count()
