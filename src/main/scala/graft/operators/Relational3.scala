@@ -216,7 +216,22 @@ object Relational3 {
     }
   }
 
+  /** Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver, never a
+    * global sort (the plan shape that matters at 100 TB). */
+  val q41GlobalTopk: Q = Q(
+    "q41_global_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
     q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn,
-    q39AggFilter, q40Lateral)
+    q39AggFilter, q40Lateral, q41GlobalTopk)
 }
