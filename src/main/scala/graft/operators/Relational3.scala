@@ -231,7 +231,44 @@ object Relational3 {
       .limit(20)
   }
 
+  /** HAVING: post-aggregation predicate (plans as Filter over the
+    * aggregate — pushed nowhere, by design). */
+  val q42Having: Q = Q(
+    "q42_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 15
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(money(col("o_totalprice"))).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+  }
+
+  /** Boolean aggregates: bool_or / bool_and / conditional any-match. */
+  val q43BoolAgg: Q = Q(
+    "q43_bool_agg",
+    """SELECT o_orderpriority,
+      |  BOOL_OR(o_totalprice > 400000) AS any_jumbo,
+      |  BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+      |  BOOL_OR(o_orderstatus = 'P') AS any_pending
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
     q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn,
-    q39AggFilter, q40Lateral, q41GlobalTopk)
+    q39AggFilter, q40Lateral, q41GlobalTopk, q42Having, q43BoolAgg)
 }
