@@ -268,7 +268,57 @@ object Relational3 {
       .orderBy("o_orderpriority")
   }
 
+  /** Bounded sliding ROWS frame: centered 3-order moving spend per
+    * customer (decimal-exact sum over the frame). */
+  val q44MovingWindow: Q = Q(
+    "q44_moving_window",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS moving_spend,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS frame_n
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-1, 1)
+    orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(money(col("o_totalprice"))).over(w).cast("double")
+          .as("moving_spend"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Second string battery: translate/repeat/reverse/split_part/
+    * strpos/starts_with/ends_with. */
+  val q45StringFuncs2: Q = Q(
+    "q45_string_funcs2",
+    """SELECT p_partkey,
+      |  TRANSLATE(p_type, 'aeiou', '.....') AS type_devowel,
+      |  REPEAT(p_brand, 2) AS brand_x2,
+      |  REVERSE(p_name) AS name_rev,
+      |  SPLIT_PART(p_type, ' ', 2) AS type_mid,
+      |  CAST(STRPOS(p_name, 'a') AS BIGINT) AS first_a,
+      |  STARTS_WITH(p_type, 'STANDARD') AS is_standard,
+      |  ENDS_WITH(p_brand, '5') AS brand_ends_5
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d).select(
+        col("p_partkey"),
+        translate(col("p_type"), "aeiou", ".....").as("type_devowel"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        reverse(col("p_name")).as("name_rev"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"),
+        instr(col("p_name"), "a").cast("bigint").as("first_a"),
+        col("p_type").startsWith("STANDARD").as("is_standard"),
+        col("p_brand").endsWith("5").as("brand_ends_5"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
     q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn,
-    q39AggFilter, q40Lateral, q41GlobalTopk, q42Having, q43BoolAgg)
+    q39AggFilter, q40Lateral, q41GlobalTopk, q42Having, q43BoolAgg,
+    q44MovingWindow, q45StringFuncs2)
 }
