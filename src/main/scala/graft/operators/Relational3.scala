@@ -317,8 +317,29 @@ object Relational3 {
       .orderBy("p_partkey")
   }
 
+  /** Salted join through the correctness gate: the skew-spreading plan
+    * (big side salted, small side replicated 8×) must produce exactly
+    * the plain-join result — the oracle is the unsalted SQL join. */
+  val q46SaltedJoin: Q = Q(
+    "q46_salted_join",
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val big = lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    val small = orders(s, d).select("o_orderkey", "o_orderpriority")
+    Joins.saltedJoin(big, small, Seq("o_orderkey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(money(col("l_extendedprice"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q30Pivot, q31SetOpsAll, q32WindowDistribution,
     q33MapFuncs, q34FoldAssign, q35RangeFrame, q36StringAgg, q38NotIn,
     q39AggFilter, q40Lateral, q41GlobalTopk, q42Having, q43BoolAgg,
-    q44MovingWindow, q45StringFuncs2)
+    q44MovingWindow, q45StringFuncs2, q46SaltedJoin)
 }
