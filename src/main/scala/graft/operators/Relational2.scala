@@ -31,11 +31,13 @@ object Relational2 {
   }
 
   /** Array aggregation: sorted distinct order-months per priority +
-    * array ops over the result. */
+    * array ops over the result. The list itself is emitted as a
+    * canonical comma-joined string (the driver's pandas-based checker
+    * cannot sort raw array columns). */
   val q24ArrayAgg: Q = Q(
     "q24_array_agg",
     """SELECT o_orderpriority,
-      |  LIST_SORT(LIST(DISTINCT MONTH(o_orderdate))) AS active_months,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT MONTH(o_orderdate))), ',') AS active_months,
       |  LEN(LIST(DISTINCT MONTH(o_orderdate))) AS n_months,
       |  LIST_CONTAINS(LIST(DISTINCT MONTH(o_orderdate)), 12) AS has_december
       |FROM orders
@@ -44,10 +46,12 @@ object Relational2 {
     orders(s, d)
       .groupBy("o_orderpriority")
       .agg(sort_array(collect_set(month(col("o_orderdate")).cast("bigint")))
-        .as("active_months"))
-      .select(col("o_orderpriority"), col("active_months"),
-        size(col("active_months")).cast("bigint").as("n_months"),
-        array_contains(col("active_months"), 12L).as("has_december"))
+        .as("months"))
+      .select(col("o_orderpriority"),
+        array_join(transform(col("months"), _.cast("string")), ",")
+          .as("active_months"),
+        size(col("months")).cast("bigint").as("n_months"),
+        array_contains(col("months"), 12L).as("has_december"))
       .orderBy("o_orderpriority")
   }
 

@@ -80,15 +80,19 @@ object Relational3 {
   }
 
   /** Map functions: per-priority month→count map built from entries,
-    * plus keyed access. */
+    * round-tripped through map_entries, plus keyed access. The map is
+    * emitted as a canonical "k:v,k:v" string (the driver's pandas-based
+    * checker cannot sort raw map columns). */
   val q33MapFuncs: Q = Q(
     "q33_map_funcs",
     """WITH mc AS (
       |  SELECT o_orderpriority, CAST(MONTH(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n
       |  FROM orders GROUP BY 1, 2)
       |SELECT o_orderpriority,
-      |  MAP_FROM_ENTRIES(LIST_SORT(LIST({'key': m, 'value': n}))) AS month_counts,
-      |  CAST(LEN(LIST(m)) AS BIGINT) AS n_keys
+      |  ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(LIST({'key': m, 'value': n})),
+      |    e -> e.key || ':' || e.value), ',') AS month_counts,
+      |  CAST(LEN(LIST(m)) AS BIGINT) AS n_keys,
+      |  MAX(CASE WHEN m = 12 THEN n END) AS dec_count
       |FROM mc
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
@@ -98,8 +102,14 @@ object Relational3 {
       .groupBy("o_orderpriority")
       .agg(
         map_from_entries(sort_array(collect_list(struct(col("m").as("key"),
-          col("n").as("value"))))).as("month_counts"),
+          col("n").as("value"))))).as("mc"),
         count(lit(1)).as("n_keys"))
+      .select(col("o_orderpriority"),
+        array_join(transform(map_entries(col("mc")),
+          e => concat_ws(":", e.getField("key").cast("string"),
+            e.getField("value").cast("string"))), ",").as("month_counts"),
+        col("n_keys"),
+        element_at(col("mc"), lit(12L)).as("dec_count"))
       .orderBy("o_orderpriority")
   }
 

@@ -181,25 +181,29 @@ object Similarity {
 
   /** L2 normalization: embedding → unit vector (double components).
     * Per-element division by the per-row norm — deterministic per
-    * element, so the whole array is oracle-exact. The standard prep step
-    * that turns cosine ranking into plain dot products. */
+    * element. The unit vector is exploded to (vec_id, pos, component)
+    * scalar rows: the driver's pandas checker cannot sort raw array
+    * columns, and the exploded form checks every component exactly. */
   val normalizeVectors: Q = Q(
     "sim_normalize",
-    s"""SELECT vec_id,
-       |  LIST_TRANSFORM(embedding, x -> x::DOUBLE / ${duckNorm("embedding", EmbDim)}) AS unit,
-       |  ${duckNorm("embedding", EmbDim)} AS nrm
-       |FROM embeddings
-       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    s"""SELECT vec_id, pos, u, nrm FROM (
+       |  SELECT vec_id,
+       |    UNNEST(RANGE(0, $EmbDim)) AS pos,
+       |    UNNEST(LIST_TRANSFORM(embedding, x -> x::DOUBLE / ${duckNorm("embedding", EmbDim)})) AS u,
+       |    ${duckNorm("embedding", EmbDim)} AS nrm
+       |  FROM embeddings)
+       |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
     // norm materialized as a column first — captured non-attribute
     // expressions are re-evaluated per array element in HOF lambdas
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm"))
-          .as("unit"),
-        col("nrm"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("nrm"),
+        posexplode(transform(col("embedding"), x => x.cast("double") / col("nrm")))
+          .as(Seq("pos", "u")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        col("u"), col("nrm"))
+      .orderBy("vec_id", "pos")
   }
 
   /** Per-label corpus stats via order-independent aggregates (min/max are

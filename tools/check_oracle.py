@@ -23,6 +23,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional name-regex filter for local iteration
+        import re
+        pat = re.compile(sys.argv[3])
+        oracle = {k: v for k, v in oracle.items() if pat.search(k)}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
