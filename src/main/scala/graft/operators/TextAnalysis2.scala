@@ -132,60 +132,65 @@ object TextAnalysis2 {
   /** BM25 term scoring (k1=1.2, b=0.75): the canonical relevance
     * weighting — idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). Every
     * arithmetic step is a single IEEE op mirrored verbatim in the
-    * oracle (same parenthesization), ln via [[graft.functions.NaturalLog]].
+    * oracle (same parenthesization). The idf's ln goes through
+    * [[graft.functions.PortableLn]] — an all-IEEE-specified staged
+    * computation over the vocabulary relation that produces bit-identical
+    * doubles on both engines, so the raw double score needs no rounding.
     */
   val bm25: Q = Q(
     "text_bm25",
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-      |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
-      |SELECT doc_id, term, score, rank FROM (
-      |  -- ::DOUBLE on every literal: DuckDB otherwise parses them as
-      |  -- DECIMAL and computes tf*2.2 exactly, off Spark's double by 1 ulp
-      |  -- DECIMAL(18,6): libm vs JVM-intrinsic ln differ by 1 ulp on some
-      |  -- arguments; 6-decimal rounding absorbs it deterministically
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |-- ::DOUBLE on every literal: DuckDB otherwise parses them as
+      |-- DECIMAL and computes tf*2.2 exactly, off Spark's double by 1 ulp
+      |dfx AS (SELECT term, ((stats.n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) + 1.0::DOUBLE AS x
+      |        FROM dfr CROSS JOIN stats),
+      |idf AS (${graft.functions.PortableLn.sqlStages("dfx", Seq("term"), "x", "idf")}),
+      |scored AS (
       |  SELECT tf.doc_id, tf.term,
-      |    CAST(LN(((stats.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) + 1.0::DOUBLE) *
-      |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) AS DECIMAL(18,6)) AS score,
-      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
-      |      LN(((stats.n - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) + 1.0::DOUBLE) *
-      |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) DESC,
-      |      tf.term) AS rank
+      |    idf.idf * ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl.dl / stats.avgdl)))) AS score
       |  FROM tf
       |  JOIN dl ON dl.doc_id = tf.doc_id
-      |  JOIN df ON df.term = tf.term
+      |  JOIN idf ON idf.term = tf.term
       |  CROSS JOIN stats
       |  WHERE tf.doc_id < 20)
+      |SELECT doc_id, term, score, rank FROM (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored)
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val dfr = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val idf = graft.functions.MathExpressions.lnLibm(
-      ((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
-    val score = idf * ((col("tf") * 2.2) /
+    val dfx = dfr.crossJoin(broadcast(stats))
+      .select(col("term"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0).as("x"))
+    val idf = graft.functions.PortableLn.withLn(dfx, "x", "idf")
+      .select("term", "idf")
+    val score = col("idf") * ((col("tf") * 2.2) /
       (col("tf") + lit(1.2) * ((lit(1.0) - 0.75) +
         lit(0.75) * (col("dl") / col("avgdl")))))
-    val w = Window.partitionBy("doc_id").orderBy(col("__raw").desc, col("term"))
-    // dl (per-doc) and df (vocab) are corpus-sized — no broadcast hint;
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    // dl (per-doc) and idf (vocab) are corpus-sized — no broadcast hint;
     // stats is a single row
     tf.filter(col("doc_id") < 20)
       .join(dl, "doc_id")
-      .join(df, "term")
+      .join(idf, "term")
       .crossJoin(broadcast(stats))
-      .withColumn("__raw", score)
+      .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
-      .select(col("doc_id"), col("term"),
-        col("__raw").cast("decimal(18,6)").as("score"), col("rank"))
+      .select("doc_id", "term", "score", "rank")
       .orderBy("doc_id", "rank")
   }
 
