@@ -227,8 +227,10 @@ object Dedup {
   private val EmbDim = 64
   val CosineThreshold = 0.4
 
-  /** Embedding-cosine near-dup pairs (brute force — correctness
-    * baseline; the bucketed scale path lives in [[Similarity]]). */
+  /** Embedding-cosine near-dup pairs ≥ [[CosineThreshold]], EXACT (same
+    * oracle as brute force) but with no cartesian product in the plan:
+    * candidates come from [[cellCosinePairs]] — triangle-inequality-pruned
+    * cell pairs verified by partitioned hash joins. */
   val embeddingCosine: Q = Q(
     "dedup_embedding_cosine",
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -236,18 +238,108 @@ object Dedup {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${VectorFunctions.duckCosine("a.embedding", "b.embedding", EmbDim)} >= $CosineThreshold
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    // norms once per row (not per pair); sim math stays bit-identical to
-    // the oracle's dot/(‖a‖·‖b‖)
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+    cellCosinePairs(embeddings(s, d), CosineThreshold).orderBy("a_id", "b_id")
+  }
+
+  /** Exact all-pairs cosine ≥ threshold WITHOUT an all-pairs join.
+    *
+    * Shape (the 100 TB design — exact, unlike probabilistic LSH banding):
+    *   1. bucket vectors into 2^bits cells by hyperplane sign signature;
+    *   2. one aggregation pass computes each cell's centroid and exact
+    *      angular radius r = max angle(member, centroid);
+    *   3. angular triangle inequality bounds the best achievable pair:
+    *      θ(a,b) ≥ θ(ci,cj) − ri − rj, so a cell pair whose bound exceeds
+    *      arccos(threshold) (+ slack for FP noise — slack only ever ADDS
+    *      candidates, never drops true pairs) is pruned without touching
+    *      its members;
+    *   4. surviving ordered cell pairs (a tiny broadcast relation) drive
+    *      partitioned HASH joins for the exact per-pair cosine verify.
+    *
+    * On a clustered corpus most cell pairs prune and this is near-linear;
+    * on an isotropic corpus at a low threshold (arccos 0.4 ≈ 66°) nothing
+    * CAN prune — every exact method must evaluate ~n² pairs — and this
+    * degrades gracefully into a block-partitioned exact join: balanced
+    * |Ci|·|Cj| tasks, no broadcast of the corpus, no cartesian, memory
+    * bounded by cell size (pick bits ≈ log2(n / targetCellRows) at scale).
+    * Driver-side work is the 2^bits × 2^bits bound matrix — O(K²·dim),
+    * corpus-independent. The probabilistic alternative is counterproductive
+    * here: at sim 0.4 a hyperplane agrees with p ≈ 0.63, so banding with
+    * full recall generates MORE candidate slots than brute force.
+    */
+  def cellCosinePairs(emb: DataFrame, threshold: Double,
+      bits: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"),
+      Similarity.lshSignature(col("embedding"), bits).as("cell"))
+    // centroid per cell: per-dimension mean via explode + hash agg
+    // (map-side partials; one corpus pass), re-assembled in pos order
+    val cent = e.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(sum(col("x").cast("double")).as("sx"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx")).as("cvec"))
+    // exact angular radius per cell (second corpus pass; max is a
+    // map-side-combining agg). Interpreted HOF dot is fine here: one
+    // evaluation per row, not per pair.
+    val cellStats = e.join(cent, "cell")
+      .select(col("cell"), col("cvec"),
+        (aggregate(zip_with(col("embedding"), col("cvec"),
+          (a, c) => a.cast("double") * c), lit(0.0), (acc, x) => acc + x) /
+          (col("nrm") * sqrt(aggregate(zip_with(col("cvec"), col("cvec"),
+            (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))).as("cosang"))
+      .groupBy("cell")
+      .agg(first(col("cvec")).as("cvec"),
+        max(acos(greatest(lit(-1.0), least(lit(1.0), col("cosang")))))
+          .as("radius"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // driver-side K×K bound matrix (K = 2^bits, corpus-independent)
+    val thrAngle = math.acos(threshold)
+    val slack = 1e-6
+    def ang(u: Array[Double], v: Array[Double]): Double = {
+      var d = 0.0; var nu = 0.0; var nv = 0.0; var i = 0
+      while (i < u.length) { d += u(i) * v(i); nu += u(i) * u(i); nv += v(i) * v(i); i += 1 }
+      val denom = math.sqrt(nu) * math.sqrt(nv)
+      if (denom < 1e-300) 0.0 // degenerate centroid: assume closest
+      else math.acos(math.max(-1.0, math.min(1.0, d / denom)))
+    }
+    val surviving = for {
+      (ci, vi, ri) <- cellStats
+      (cj, vj, rj) <- cellStats
+      if ang(vi, vj) - ri - rj <= thrAngle + slack
+    } yield (ci, cj)
+    val pairCells = broadcast(surviving.toSeq.toDF("ci", "cj"))
+    // exact verify: two hash joins routed by the surviving cell pairs;
+    // a_id < b_id dedupes (each unordered pair appears in exactly one
+    // ordered cell pair with that orientation)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("cell").as("ci"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("cell").as("cj"))
+    a.join(pairCells, "ci")
+      .join(b, "cj")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFunctions.dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** All-pairs brute force — spec-only correctness baseline for
+    * [[cellCosinePairs]] (deliberately NOT the registered query: the
+    * `<`-only join is a cartesian). */
+  def bruteForceCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"))
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",
         VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")))
-      .filter(col("sim") >= CosineThreshold)
+      .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("sim"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Connected components over a near-dup pair list by iterative

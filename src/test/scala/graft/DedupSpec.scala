@@ -45,6 +45,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) === Seq.empty)
   }
 
+  test("cellCosinePairs equals brute force and plans no cartesian") {
+    val emb = Tables.embeddings(spark, TestSpark.tiny)
+    val cell = Dedup.cellCosinePairs(emb, Dedup.CosineThreshold)
+    val brute = Dedup.bruteForceCosinePairs(emb, Dedup.CosineThreshold)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cell.as[(Long, Long, Double)].collect().toSet === brute)
+    val physical = cell.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      s"cartesian in plan:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"BNL in plan:\n$physical")
+  }
+
   test("exact dedup collapses identical normalized text") {
     val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
