@@ -12,24 +12,61 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Equi-join with key salting: the big (skewed) side gets a
-    * deterministic per-row salt in [0, saltFactor); the small side is
-    * replicated saltFactor× so every (key, salt) bucket finds its match.
-    * One hot key thus spreads over saltFactor shuffle partitions. */
+  /** Skew-aware equi-join salting.
+    *
+    * Round-1 form replicated the ENTIRE small side saltFactor×, which
+    * multiplies shuffle volume for every key whether skewed or not. This
+    * form salts only detected-hot keys:
+    *
+    *   1. one streaming pass over the big side feeds a Misra-Gries
+    *      heavy-hitter sketch ([[graft.functions.FrequentItems]]) on the
+    *      hashed join key — bounded memory, map-side mergeable, NO extra
+    *      shuffle (any key above ~1/capacity of the rows provably
+    *      survives the sketch);
+    *   2. the top `maxHotKeys` survivors become the hot set (a driver
+    *      list compiled into a codegen'd IN filter — false positives just
+    *      salt a cold key, which is harmless, so no threshold to tune);
+    *   3. hot-key rows get the salted join (big side salted by row hash,
+    *      small side replicated saltFactor× FOR HOT KEYS ONLY);
+    *   4. the cold remainder takes the plain equi-join;
+    *   5. union of the two — an exact partition of the key space.
+    *
+    * Only inner/left_outer are supported: replicating the small side is
+    * semantics-preserving for those (an unmatched replicated small row
+    * would be emitted saltFactor× under right/full outer).
+    */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
       saltFactor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      maxHotKeys: Int = 64): DataFrame = {
     require(saltFactor > 0)
-    // salt from a row hash — deterministic, no RNG state, spreads evenly
-    val salted = big.withColumn("__graft_salt",
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin preserves exact semantics only for inner/left_outer joins, got $joinType")
+    val keyHash = xxhash64(keys.map(col).toIndexedSeq: _*)
+    // detection runs on a 10% sample: a key's SHARE of rows is invariant
+    // under uniform sampling, so sketch survival (share > 1/capacity) is
+    // unaffected, and mis-detection only costs performance, never
+    // correctness — the salted and plain branches compute the same join
+    val sketch = udaf(new graft.functions.FrequentItems(16 * maxHotKeys))
+    val hotKeys: Seq[Long] = big
+      .sample(withReplacement = false, 0.1, seed = 42)
+      .select(keyHash.cast("string").as("__k"))
+      .agg(sketch(col("__k")).as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .take(maxHotKeys).map(_.getString(0).toLong)
+    if (hotKeys.isEmpty) return big.join(small, keys, joinType)
+    val isHot = keyHash.isin(hotKeys: _*)
+    val salted = big.filter(isHot).withColumn("__graft_salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)))
-    val expanded = small.withColumn("__graft_salt",
+    val expanded = small.filter(isHot).withColumn("__graft_salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
-    salted.join(expanded, keys :+ "__graft_salt", joinType)
+    val hotJoined = salted.join(expanded, keys :+ "__graft_salt", joinType)
       .drop("__graft_salt")
+    val coldJoined = big.filter(!isHot).join(small.filter(!isHot), keys, joinType)
+    hotJoined.unionByName(coldJoined)
   }
 
   /** Broadcast a dimension side explicitly (dims below the auto

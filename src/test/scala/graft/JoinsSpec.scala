@@ -31,6 +31,25 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === Set((1L, "x", Some("m")), (2L, "y", None)))
   }
 
+  test("saltedJoin with no skew matches plain join (cold path only)") {
+    val big = (1 to 500).map(i => (i.toLong, i)).toDF("k", "v") // all unique
+    val small = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name").collect().toSet
+    val salted = Joins.saltedJoin(big, small, Seq("k"), 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin rejects right/full outer (replication breaks them)") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("k"), 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("k"), 4, "right")
+    }
+  }
+
   test("fold assignment is stable under repartitioning (q34 claim)") {
     val base = Relational3.q34FoldAssign.run(spark, TestSpark.tiny)
       .collect().map(_.toSeq).toSeq
