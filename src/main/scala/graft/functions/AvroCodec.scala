@@ -162,7 +162,26 @@ object AvroCodec {
             s.getElementType))
         }
         out
-      case _ => v
+      case Schema.Type.MAP =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val vt = sparkType(s.getValueType)
+        val out = new java.util.HashMap[String, Any](m.numElements())
+        val ks = m.keyArray(); val vs = m.valueArray()
+        (0 until m.numElements()).foreach { i =>
+          out.put(ks.getUTF8String(i).toString,
+            if (vs.isNullAt(i)) null
+            else fromCatalyst(vs.get(i, vt), s.getValueType))
+        }
+        out
+      case Schema.Type.FIXED =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        require(bytes.length == s.getFixedSize,
+          s"fixed(${s.getFixedSize}) field got ${bytes.length} bytes")
+        new org.apache.avro.generic.GenericData.Fixed(s, bytes)
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => v
+      case t => throw new IllegalArgumentException(
+        s"avro encode: unsupported type $t")
     }
   }
 

@@ -48,14 +48,18 @@ object TextAnalysis {
       (acc, c) => (acc * 31 + c) % 1000000007L)
 
   /** Winnowing-style fingerprint: minimum polynomial hash over all 8-char
-    * windows — robust to edits outside the matching window. */
+    * windows — robust to edits outside the matching window. Short-text
+    * guard: for texts under `win` chars Spark's `sequence(1, len-7)`
+    * would DESCEND (step −1) and hash clamped substr positions while the
+    * oracle's RANGE is empty and yields NULL — return NULL to match. */
   def minWindowHash(text: Column, win: Int = 8): Column =
-    array_min(transform(
-      sequence(lit(1), length(text) - (win - 1)),
-      i => aggregate(
-        sequence(lit(0), lit(win - 1)),
-        lit(0L),
-        (acc, k) => (acc * 31 + ascii(text.substr(i + k, lit(1)))) % 1000000007L)))
+    when(length(text) < win, lit(null).cast("long"))
+      .otherwise(array_min(transform(
+        sequence(lit(1), length(text) - (win - 1)),
+        i => aggregate(
+          sequence(lit(0), lit(win - 1)),
+          lit(0L),
+          (acc, k) => (acc * 31 + ascii(text.substr(i + k, lit(1)))) % 1000000007L))))
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens (letter
     * runs / digit runs / single punctuation). */

@@ -133,12 +133,22 @@ object Streams {
       }
     }
 
+    /** strict "newer than" on the first differing version component.
+      * Unsupported component types throw instead of silently ordering —
+      * defaulting to true would let a STALE row overwrite fresh state on
+      * out-of-order redelivery. */
     private def gt(a: Seq[Any], b: Seq[Any]): Boolean =
       a.zip(b).find { case (x, y) => x != y } match {
+        case None => true // equal versions: replay of the same record
         case Some((x: Long, y: Long)) => x > y
-        case Some((x: java.sql.Timestamp, y: java.sql.Timestamp)) => x.after(y)
         case Some((x: Int, y: Int)) => x > y
-        case _ => true // equal versions: replay of the same record
+        case Some((x: java.sql.Timestamp, y: java.sql.Timestamp)) => x.after(y)
+        case Some((x: java.time.Instant, y: java.time.Instant)) => x.isAfter(y)
+        case Some((x: Double, y: Double)) => x > y
+        case Some((x: String, y: String)) => x > y
+        case Some((x, y)) => throw new IllegalArgumentException(
+          s"unsupported version column type for upsert ordering: " +
+            s"${x.getClass.getName} vs ${y.getClass.getName}")
       }
 
     def snapshot: Map[Any, Row] = state.map { case (k, (_, r)) => k -> r }.toMap

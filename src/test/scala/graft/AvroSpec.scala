@@ -104,6 +104,23 @@ class AvroSpec extends AnyFunSuite {
       (2, "bob", "b@x.io", None)))
   }
 
+  test("encode round-trips map and fixed fields") {
+    val schema =
+      """{"type":"record","name":"mf","fields":[
+        |{"name":"tags","type":{"type":"map","values":"long"}},
+        |{"name":"checksum","type":{"type":"fixed","name":"c16","size":4}}
+        |]}""".stripMargin
+    val rows = Seq((Map("a" -> 1L, "b" -> 2L), Array[Byte](1, 2, 3, 4)))
+      .toDF("tags", "checksum")
+    val back = rows
+      .select(AvroCodec.toAvro(struct(col("tags"), col("checksum")), schema).as("bin"))
+      .select(AvroCodec.fromAvro(col("bin"), schema).as("r"))
+      .select("r.tags", "r.checksum")
+      .as[(Map[String, Long], Array[Byte])].head()
+    assert(back._1 === Map("a" -> 1L, "b" -> 2L))
+    assert(back._2.toSeq === Seq[Byte](1, 2, 3, 4))
+  }
+
   test("hexKeyToString unhexes the replay consumer's key bytes") {
     val key = "7b226964223a317d".getBytes("UTF-8") // hex of {"id":1}
     val got = Seq(key).toDF("key")
