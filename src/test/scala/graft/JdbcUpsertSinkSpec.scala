@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.JdbcUpsertSink
+
+/** S9 JDBC landing path: staged MERGE upserts into embedded Derby —
+  * version-gated updates, tombstone deletes, idempotent replay. */
+class JdbcUpsertSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def readTable(url: String, table: String) =
+    spark.read.jdbc(url, "\"" + table + "\"", new java.util.Properties)
+
+  test("merge applies upserts, version gating, and tombstone deletes") {
+    val url = "jdbc:derby:memory:graft1;create=true"
+    val sink = JdbcUpsertSink(url, "users_latest", "id", "version", "__deleted")
+
+    val b1 = Seq(
+      (1L, "ann", 10L, false),
+      (2L, "bob", 11L, false),
+      (3L, "cat", 12L, false))
+      .toDF("id", "username", "version", "__deleted")
+    sink(b1, 0L)
+    // update id=1 (newer), stale update id=2 (older — must NOT apply),
+    // delete id=3, insert id=4; also a within-batch older duplicate of 4
+    val b2 = Seq(
+      (1L, "ann2", 20L, false),
+      (2L, "bob_stale", 5L, false),
+      (3L, "cat", 13L, true),
+      (4L, "dee_old", 14L, false),
+      (4L, "dee", 15L, false))
+      .toDF("id", "username", "version", "__deleted")
+    sink(b2, 1L)
+
+    val got = readTable(url, "users_latest")
+      .select("id", "username", "version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "ann2", 20L), (2L, "bob", 11L), (4L, "dee", 15L)))
+
+    // at-least-once replay of the same batch: state unchanged
+    sink(b2, 1L)
+    val replayed = readTable(url, "users_latest")
+      .select("id", "username", "version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed === got)
+  }
+
+  test("drives from a stream via foreachBatch") {
+    val url = "jdbc:derby:memory:graft2;create=true"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    in.addData((1L, "x", 1L, false), (2L, "y", 2L, false), (1L, "x2", 3L, false))
+    val q = in.toDF().toDF("id", "username", "version", "__deleted")
+      .writeStream
+      .foreachBatch(JdbcUpsertSink(url, "t_latest", "id", "version", "__deleted"))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("jdbc_sink_ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val got = readTable(url, "t_latest")
+      .select("id", "username").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "x2"), (2L, "y")))
+  }
+}
