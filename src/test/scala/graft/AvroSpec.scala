@@ -53,6 +53,42 @@ class AvroSpec extends AnyFunSuite {
     assert(row === ((1, "ann", "a@x.io", 1700000000123456L)))
   }
 
+  test("decodes a Confluent-framed Avro KEY end-to-end (debezium key.converter)") {
+    // the reference frames KEYS as Avro too (debezium.json:14-15 sets
+    // key.converter = AvroConverter): the key of pg.public.users is a
+    // one-field record {id} — the table's primary key
+    val keySchemaJson =
+      """{"type":"record","name":"users_key","fields":[
+        |{"name":"id","type":"int"}]}""".stripMargin
+    val schema = new Schema.Parser().parse(keySchemaJson)
+    def encodeKey(id: Int): Array[Byte] = {
+      val rec: GenericRecord = new GenericData.Record(schema)
+      rec.put("id", id)
+      val out = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get.binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+    // a full (key, value) record pair, both Confluent-framed, decoded to
+    // the (pk, row) shape a CDC consumer keys its state by
+    val records = Seq(
+      (confluentFrame(9, encodeKey(1)),
+        confluentFrame(7, encodeUser(1, "ann", "a@x.io", Some(5L)))),
+      (confluentFrame(9, encodeKey(2)),
+        confluentFrame(7, encodeUser(2, "bob", "b@x.io", None))))
+      .toDF("key", "value")
+    // registry ids differ per subject (key vs value), as with a real registry
+    assert(records.select(AvroCodec.confluentSchemaId(col("key")))
+      .as[Int].collect().toSet === Set(9))
+    val decoded = records.select(
+        AvroCodec.fromConfluentAvro(col("key"), keySchemaJson)
+          .getField("id").as("pk"),
+        AvroCodec.fromConfluentAvro(col("value"), usersSchemaJson).as("r"))
+      .select(col("pk"), col("r.username"))
+      .as[(Int, String)].collect().toSet
+    assert(decoded === Set((1, "ann"), (2, "bob")))
+  }
+
   test("union-with-null created_at decodes to null (nullable column)") {
     val framed = confluentFrame(7, encodeUser(2, "bob", "b@x.io", None))
     val got = Seq(framed).toDF("value")
