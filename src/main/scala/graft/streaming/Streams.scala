@@ -108,6 +108,46 @@ object Streams {
           next
       }(Encoders.product[UserState], Encoders.product[UserState])
 
+  /** ST6 session record emitted when a session CLOSES. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  final case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+
+  /** ST6 deep form: sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeout — the arbitrary-state generalization of
+    * session_window (use this shape when the per-session logic can't be
+    * an aggregate: emit-on-close, per-session enrichment, custom merge).
+    * A session closes, and its single record is emitted, only when the
+    * watermark passes last-event + gap; state for the key is removed, so
+    * store size tracks ACTIVE sessions only. */
+  def sessionizeWithTimeout(events: Dataset[UserEvent2], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[ClosedSession] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent2], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs + gapMs), s.n))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              SessionAcc(times.min, times.min, 0L))
+            val next = SessionAcc(math.min(prev.startMs, times.min),
+              math.max(prev.lastMs, times.max), prev.n + times.size)
+            state.update(next)
+            // close when the watermark passes the gap after the last event
+            state.setTimeoutTimestamp(next.lastMs + gapMs)
+            Iterator.empty
+          }
+      }(Encoders.product[SessionAcc], Encoders.product[ClosedSession])
+
+  final case class UserEvent2(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
     * keyed state (here an in-memory map; in production the same merge
     * runs as a MERGE INTO / ReplacingMergeTree insert) by replaying each

@@ -123,6 +123,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent2]
+    val out = Streams.sessionizeWithTimeout(in.toDS(), gapMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 30s apart (same session, gap 60s)
+      in.addData(
+        Streams.UserEvent2(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.UserEvent2(1L, ts("2024-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // session still open
+      // much later event from ANOTHER user advances the watermark past
+      // user 1's last event + gap …
+      in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:00"), 3.0))
+      q.processAllAvailable()
+      // … and the timeout fires on the following trigger
+      in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:01"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Streams.ClosedSession].collect()
+      assert(got.map(_.user_id).toSet === Set(1L))
+      assert(got.head.n_events === 2L)
+      assert(got.head.session_start === ts("2024-01-01 10:00:00"))
+      assert(got.head.session_end === ts("2024-01-01 10:01:30")) // last + gap
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
     implicit val ctx = spark.sqlContext
     val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
