@@ -27,18 +27,12 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(rawShingles(text, n))
 
-  /** 3-gram shingles from an already-materialized words array. The words
-    * argument MUST be a plain column reference, not an inline
-    * `split(...)`: expressions referenced inside a higher-order-function
-    * lambda are re-evaluated per element in interpreted mode, so an
-    * inline split turns O(words) into O(words²·splitcost) per document
-    * (measured 8× slowdown on the corpus). */
+  /** 3-gram shingles from a words array — a native codegen'd expression
+    * ([[graft.functions.WordShingles]]); the HOF formulation ran
+    * interpreted and was the CPU hot spot of every near-dup query.
+    * Short docs (< n words) yield an empty array. */
   def shinglesFromWords(ws: Column, n: Int = 3): Column =
-    // guard: sequence(1, size-2) would DESCEND for docs under n words
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+    graft.functions.WordShingles(ws, n)
 
   /** all 3-gram shingles (with duplicates) — for single-column contexts;
     * the distinct step is done relationally in [[shingleRows]] because
@@ -47,12 +41,12 @@ object Dedup {
     shinglesFromWords(split(trim(text), " "), n)
 
   /** (doc_id, shingle) distinct rows — the corpus-wide shingle relation
-    * every near-dup variant builds on. Dedup happens in a codegen'd
-    * hash aggregate (scales with corpus size, spilling if needed),
-    * not per-row interpreted array ops. */
+    * every near-dup variant builds on. Generation is per-row codegen
+    * BEFORE any exchange; dedup happens in a codegen'd hash aggregate
+    * (scales with corpus size, spilling if needed). */
   def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), " ").as("__ws"))
-      .select(col("doc_id"), explode(shinglesFromWords(col("__ws"))).as("shingle"))
+    docs.select(col("doc_id"),
+        explode(rawShingles(col("text"))).as("shingle"))
       .distinct()
 
   private val duckShingles =
@@ -357,8 +351,13 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep_id", col("id"))
+    // fused round 0: seed every node with min(self, neighbors) — one
+    // aggregation instead of an identity init plus a full propagate
+    // round (diameter-≤2 clusters, the common near-dup case, then
+    // converge after a single verifying iteration)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("rep_id"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
