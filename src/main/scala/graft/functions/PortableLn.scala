@@ -34,23 +34,39 @@ object PortableLn {
 
   private val Ln2 = 0.6931471805599453 // nearest double to ln 2
   private val Sqrt2 = 1.4142135623730951 // nearest double to √2
+  private val HalfSqrt2 = 0.7071067811865476 // nearest double to √2/2
   /** (power of two, exponent shift) halving ladder, covers x < 2^64. */
   private val Halvings: Seq[(Double, Int)] = Seq(
     4294967296.0 -> 32, 65536.0 -> 16, 256.0 -> 8,
     16.0 -> 4, 4.0 -> 2, 2.0 -> 1)
   private val SeriesTerms = 12
 
-  /** Adds `out` = ln(`x`) to `rel` (requires x > 0, x < 2^64). */
+  /** Adds `out` = ln(`x`) to `rel` (requires 2^-64 < x < 2^64). */
   def withLn(rel: DataFrame, x: String, out: String): DataFrame = {
     var cur = rel
       .withColumn("__m", col(x).cast("double"))
       .withColumn("__e", lit(0))
+    // up-ladder: x ≥ 2 divided down by exact powers of two
     for ((p, sh) <- Halvings :+ (Sqrt2, 1)) {
       val div = if (p == Sqrt2) 2.0 else p
       cur = cur
         .withColumn("__mN", when(col("__m") >= p, col("__m") / div)
           .otherwise(col("__m")))
         .withColumn("__eN", when(col("__m") >= p, col("__e") + sh)
+          .otherwise(col("__e")))
+        .drop("__m", "__e")
+        .withColumnRenamed("__mN", "__m")
+        .withColumnRenamed("__eN", "__e")
+    }
+    // down-ladder: x < 1 multiplied up by exact powers of two (no-op for
+    // x ≥ 1), ending with the √2/2 stage so |y| ≤ 0.1716 on both sides
+    for ((p, sh) <- Halvings :+ (2.0 / Sqrt2, 1)) {
+      val thr = if (p == 2.0 / Sqrt2) HalfSqrt2 else 1.0 / p
+      val mul = if (p == 2.0 / Sqrt2) 2.0 else p
+      cur = cur
+        .withColumn("__mN", when(col("__m") < thr, col("__m") * mul)
+          .otherwise(col("__m")))
+        .withColumn("__eN", when(col("__m") < thr, col("__e") - sh)
           .otherwise(col("__e")))
         .drop("__m", "__e")
         .withColumnRenamed("__mN", "__m")
@@ -80,6 +96,13 @@ object PortableLn {
       val div = if (p == Sqrt2) "2.0" else pLit
       cur = s"SELECT $k, CASE WHEN m >= $pLit::DOUBLE THEN m / $div::DOUBLE ELSE m END AS m, " +
         s"CASE WHEN m >= $pLit::DOUBLE THEN e + $sh ELSE e END AS e FROM ($cur)"
+    }
+    for ((p, sh) <- Halvings :+ (2.0 / Sqrt2, 1)) {
+      val thr = if (p == 2.0 / Sqrt2) HalfSqrt2.toString
+        else s"(1.0::DOUBLE / ${f"$p%.1f"}::DOUBLE)"
+      val mul = if (p == 2.0 / Sqrt2) "2.0" else f"$p%.1f"
+      cur = s"SELECT $k, CASE WHEN m < $thr::DOUBLE THEN m * $mul::DOUBLE ELSE m END AS m, " +
+        s"CASE WHEN m < $thr::DOUBLE THEN e - $sh ELSE e END AS e FROM ($cur)"
     }
     cur = s"SELECT $k, e, (m - 1.0::DOUBLE) / (m + 1.0::DOUBLE) AS y FROM ($cur)"
     cur = s"SELECT $k, e, y, y * y AS t FROM ($cur)"

@@ -194,5 +194,61 @@ object TextAnalysis2 {
       .orderBy("doc_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(chunking, normalize, tfidf, bm25, histogram)
+  /** Bigram PMI (collocation mining): pmi(a,b) = ln(p(ab)/(p(a)·p(b))).
+    * The ratio is formed as ONE division of two exact BIGINT products
+    * (c_ab·N_u², N_b·c_a·c_b — both < 2^53 at any corpus this engine
+    * tests; switch the products to DECIMAL beyond ~10^15 tokens), so both
+    * engines see identical doubles, and the ln goes through
+    * [[graft.functions.PortableLn]] → bit-exact raw double PMI scores.
+    * Candidate bigrams come from the codegen'd
+    * [[graft.functions.WordShingles]] at n=2. */
+  val bigramPmi: Q = Q(
+    "text_bigram_pmi",
+    s"""WITH ws AS (SELECT STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |ug AS (SELECT UNNEST(w) AS tok FROM ws),
+       |uc AS (SELECT tok, COUNT(*) AS c FROM ug GROUP BY tok),
+       |nu AS (SELECT COUNT(*) AS n_u FROM ug),
+       |bg AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+       |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY bigram),
+       |nb AS (SELECT COUNT(*) AS n_b FROM bg),
+       |ratio AS (
+       |  SELECT bc.bigram, bc.c_ab,
+       |    CAST(bc.c_ab * nu.n_u * nu.n_u AS DOUBLE) /
+       |      CAST(nb.n_b * a.c * b.c AS DOUBLE) AS x
+       |  FROM bc
+       |  JOIN uc a ON a.tok = SPLIT_PART(bc.bigram, ' ', 1)
+       |  JOIN uc b ON b.tok = SPLIT_PART(bc.bigram, ' ', 2)
+       |  CROSS JOIN nu CROSS JOIN nb
+       |  WHERE bc.c_ab >= 5),
+       |scored AS (${graft.functions.PortableLn.sqlStages(
+             "ratio", Seq("bigram", "c_ab"), "x", "pmi")})
+       |SELECT bigram, c_ab, pmi FROM scored
+       |ORDER BY pmi DESC, bigram
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val ws = documents(s, d).select(split(trim(col("text")), " ").as("w"))
+    val ug = ws.select(explode(col("w")).as("tok"))
+    val uc = ug.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nu = ug.agg(count(lit(1)).as("n_u"))
+    val bg = ws.select(
+      explode(graft.functions.WordShingles(col("w"), 2)).as("bigram"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val nb = bg.agg(count(lit(1)).as("n_b"))
+    // unigram-count joins are vocab-sized (no hint); nu/nb are one row
+    val ratio = bc.filter(col("c_ab") >= 5)
+      .join(uc.as("a"), col("a.tok") === split_part(col("bigram"), lit(" "), lit(1)))
+      .join(uc.as("b"), col("b.tok") === split_part(col("bigram"), lit(" "), lit(2)))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("bigram"), col("c_ab"),
+        ((col("c_ab") * col("n_u") * col("n_u")).cast("double") /
+          (col("n_b") * col("a.c") * col("b.c")).cast("double")).as("x"))
+    graft.functions.PortableLn.withLn(ratio, "x", "pmi")
+      .select(col("bigram"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(chunking, normalize, tfidf, bm25, histogram,
+    bigramPmi)
 }

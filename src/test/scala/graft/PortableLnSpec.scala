@@ -23,7 +23,11 @@ class PortableLnSpec extends AnyFunSuite {
       (1 to 2000).map(df => (1e7 - df + 0.5) / (df + 0.5) + 1.0) ++
       (1 to 1000).map(i => 1.0 + i / 1000.0) ++
       Seq(1.0, 1.0000000001, 2.0, 4.0, 8.0, 1023.5, 65536.0, 1e12, math.pow(2, 40)) ++
-      (1 to 100).map(i => math.exp(i / 5.0))
+      (1 to 100).map(i => math.exp(i / 5.0)) ++
+      // sub-1 range (PMI ratios): down-ladder coverage
+      (1 to 1000).map(i => i / 1000.0) ++
+      Seq(0.5, 0.25, 0.125, 1e-6, 1e-12, 2.3e-10, 0.7071, 0.9999999999) ++
+      (1 to 100).map(i => math.exp(-i / 5.0))
     val in = args.toDF("x")
     val out = PortableLn.withLn(in, "x", "lnx")
       .select("x", "lnx").as[(Double, Double)].collect()
