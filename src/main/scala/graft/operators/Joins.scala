@@ -75,4 +75,30 @@ object Joins {
   def broadcastDim(fact: DataFrame, dim: DataFrame, cond: Column,
       joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), cond, joinType)
+
+  /** Pure range join (no equi key) as a HASH join via bin bucketing —
+    * the shape Spark otherwise plans as a broadcast-nested-loop over the
+    * full cross product, which dies when neither side is tiny.
+    *
+    * Each interval [start, end) explodes to the bins it overlaps
+    * (≤ ceil(len/binWidth)+1 rows); each point maps to exactly ONE bin,
+    * so the bin equi-join meets every true (interval, point) pair exactly
+    * once — no dedup needed — and the exact containment filter drops the
+    * bin-collision false positives. Pick binWidth ≈ the typical interval
+    * length: replication stays ~2× while bins stay selective. All columns
+    * must be integral (days, epoch seconds, …); inner join semantics.
+    */
+  def binnedRangeJoin(intervals: DataFrame, points: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    val ib = intervals.withColumn("__graft_bin",
+      explode(sequence((col(startCol) / binWidth).cast("long"),
+        ((col(endCol) - 1) / binWidth).cast("long"))))
+    val pb = points.withColumn("__graft_bin",
+      (col(pointCol) / binWidth).cast("long"))
+    ib.join(pb, Seq("__graft_bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__graft_bin")
+  }
 }

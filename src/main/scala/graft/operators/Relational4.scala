@@ -101,6 +101,38 @@ object Relational4 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Pure range join (no equi key): lineitems shipped inside each urgent
+    * order's 7-day window, against ALL lineitems. Routed through
+    * [[Joins.binnedRangeJoin]] — a bin-bucketed HASH join — while the
+    * oracle states the plain theta join. Interval owners with zero
+    * matches are restored by a left join (count stays 0). */
+  val q51RangeBinJoin: Q = Q(
+    "q51_range_bin_join",
+    """SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_shipped
+      |FROM orders o
+      |LEFT JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 2000
+      |GROUP BY o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    val epoch = lit("1970-01-01")
+    val ivals = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("s"))
+      .withColumn("e", col("s") + 7)
+    val points = lineitem(s, d)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("p"))
+    val counts = Joins.binnedRangeJoin(ivals, points, "p", "s", "e", binWidth = 7)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    ivals.select("o_orderkey")
+      .join(counts, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n"), lit(0L)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q47Unpivot, q48ExistsScalar, q49StratifiedSample,
-    q50IgnoreNulls)
+    q50IgnoreNulls, q51RangeBinJoin)
 }

@@ -50,6 +50,19 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("binnedRangeJoin equals the theta join and plans no BNL") {
+    val intervals = Seq((1L, 10L, 20L), (2L, 15L, 16L), (3L, 100L, 130L))
+      .toDF("iv_id", "s", "e")
+    val points = (0L to 150L).map(p => (p, s"v$p")).toDF("p", "tag")
+    val binned = Joins.binnedRangeJoin(intervals, points, "p", "s", "e", 10)
+    val theta = intervals.join(points, col("p") >= col("s") && col("p") < col("e"))
+    assert(binned.select("iv_id", "p").collect().toSet ===
+      theta.select("iv_id", "p").collect().toSet)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-hash join:\n$plan")
+  }
+
   test("fold assignment is stable under repartitioning (q34 claim)") {
     val base = Relational3.q34FoldAssign.run(spark, TestSpark.tiny)
       .collect().map(_.toSeq).toSeq
