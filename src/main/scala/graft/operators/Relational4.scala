@@ -133,6 +133,21 @@ object Relational4 {
       .orderBy("o_orderkey")
   }
 
+  /** Approximate percentiles (Greenwald-Khanna sketch): mergeable,
+    * bounded-memory, single pass — the at-scale substitute for q27's
+    * exact sort-based percentiles. Sketch results are
+    * algorithm-specific → rows-only driver check; the spec bounds the
+    * rank error against the exact values. */
+  val q52ApproxQuantile: Q = Q.noOracle("q52_approx_quantile") { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+          .as("price_quantiles"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q47Unpivot, q48ExistsScalar, q49StratifiedSample,
-    q50IgnoreNulls, q51RangeBinJoin)
+    q50IgnoreNulls, q51RangeBinJoin, q52ApproxQuantile)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Joins, Relational2, Relational3}
+import graft.operators.{Joins, Relational2, Relational3, Relational4}
 
 class JoinsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -75,6 +75,21 @@ class JoinsSpec extends AnyFunSuite {
       .groupBy("lang", "fold").agg(count(lit(1)).as("n"))
       .orderBy("lang", "fold").collect().map(_.toSeq).toSeq
     assert(base === reparted)
+  }
+
+  test("approx_percentile is within bounded rank error of exact") {
+    val got = Relational4.q52ApproxQuantile.run(spark, TestSpark.tiny)
+      .select("l_returnflag", "qty_median").as[(String, Double)]
+      .collect().toMap
+    val exact = Tables.lineitem(spark, TestSpark.tiny)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, m) =>
+      // accuracy 1000 → rank error ≤ 1/1000; quantities are 1..50, so
+      // the median can differ by at most one step
+      assert(math.abs(got(k) - m) <= 1.0, s"flag $k: ${got(k)} vs $m")
+    }
   }
 
   test("approx_count_distinct is within its rsd of exact") {
