@@ -131,5 +131,32 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, featureStub)
+  /** REAL (codec-free) header parsing under the oracle gate: valid PNG
+    * IHDR bytes are constructed in-engine from per-doc geometry (unhex of
+    * column-derived hex — magic ‖ IHDR ‖ width ‖ height), then parsed
+    * BACK by [[graft.functions.MediaHeaders]]; the oracle states the
+    * expected geometry directly, so any parser defect hash-mismatches. */
+  val mediaHeaders: Q = Q(
+    "mm_media_headers",
+    """SELECT doc_id, 'png' AS fmt,
+      |  (doc_id % 997 + 1) AS width,
+      |  (doc_id % 499 + 1) AS height
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.MediaHeaders
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex((col("doc_id") % 997 + 1).cast("int")), 8, "0"),
+      lpad(hex((col("doc_id") % 499 + 1).cast("int")), 8, "0"),
+      lit("0806000000")))
+    documents(s, d)
+      .select(col("doc_id"), png.as("media"))
+      .select(col("doc_id"),
+        MediaHeaders.format(col("media")).as("fmt"),
+        MediaHeaders.width(col("media")).cast("bigint").as("width"),
+        MediaHeaders.height(col("media")).cast("bigint").as("height"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, featureStub, mediaHeaders)
 }
