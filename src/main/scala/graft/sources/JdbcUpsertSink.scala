@@ -71,6 +71,29 @@ object JdbcUpsertSink {
           s"""CREATE TABLE ${q(table)} AS
              |SELECT ${cols.map(q).mkString(", ")} FROM ${q(staging)}
              |WITH NO DATA""".stripMargin)
+      else {
+        // schema evolution (the whole-DB CDC reality — upstream tables
+        // gain columns mid-stream): add staging columns the target lacks,
+        // typed from the staging table the JDBC writer just created.
+        // Existing rows read NULL for them; a column DROPPED upstream
+        // simply stops being updated (target keeps it, inserts NULL).
+        def columnsOf(t: String): Map[String, (String, Int)] = {
+          val rs = conn.getMetaData.getColumns(null, null, t, null)
+          val out = scala.collection.mutable.Map.empty[String, (String, Int)]
+          while (rs.next()) out(rs.getString("COLUMN_NAME")) =
+            (rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"))
+          rs.close(); out.toMap
+        }
+        val have = columnsOf(table).keySet
+        val stagingTypes = columnsOf(staging)
+        for (c <- cols if !have.contains(c)) {
+          val (tpe, size) = stagingTypes(c)
+          val ddlType =
+            if (tpe.equalsIgnoreCase("VARCHAR")) s"VARCHAR($size)" else tpe
+          st.executeUpdate(
+            s"ALTER TABLE ${q(table)} ADD COLUMN ${q(c)} $ddlType")
+        }
+      }
       val setList = dataCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
       val insertCols = cols.map(q).mkString(", ")
       val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")

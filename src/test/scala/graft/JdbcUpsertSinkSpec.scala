@@ -50,6 +50,22 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(replayed === got)
   }
 
+  test("target schema evolves when the stream gains a column") {
+    val url = "jdbc:derby:memory:graft3;create=true"
+    val sink = JdbcUpsertSink(url, "ev_latest", "id", "version", "__deleted")
+    val b1 = Seq((1L, "ann", 1L, false))
+      .toDF("id", "username", "version", "__deleted")
+    sink(b1, 0L)
+    // upstream table gained an email column mid-stream
+    val b2 = Seq((1L, "ann", 2L, false, "a@x.io"), (2L, "bob", 3L, false, "b@x.io"))
+      .toDF("id", "username", "version", "__deleted", "email")
+    sink(b2, 1L)
+    val got = readTable(url, "ev_latest")
+      .select("id", "username", "email")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got === Set((1L, "ann", Some("a@x.io")), (2L, "bob", Some("b@x.io"))))
+  }
+
   test("drives from a stream via foreachBatch") {
     val url = "jdbc:derby:memory:graft2;create=true"
     implicit val sqlCtx = spark.sqlContext
