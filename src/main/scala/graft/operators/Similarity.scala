@@ -224,6 +224,53 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** SQ8 scalar quantization: per-vector min/max affine map to 8-bit
+    * codes + dequantized reconstruction and absolute error — 4× memory
+    * compression for ANN candidate stages. Quantization uses
+    * floor(x+0.5) (identical IEEE ops on both engines — round() rounds
+    * binary vs decimal differently and is NOT oracle-safe); exploded to
+    * (vec_id, pos) scalar rows for the checker. Zero-range vectors
+    * quantize to code 0 via the scale=1 guard. */
+  val quantizeSq8: Q = Q(
+    "sim_quantize_sq8",
+    s"""WITH base AS (
+       |  SELECT vec_id, LIST_MIN(embedding)::DOUBLE AS mn,
+       |         LIST_MAX(embedding)::DOUBLE AS mx, embedding
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, mn,
+       |        CASE WHEN mx > mn THEN mx - mn ELSE 1.0::DOUBLE END AS scale,
+       |        embedding FROM base),
+       |e AS (SELECT vec_id, mn, scale,
+       |  UNNEST(RANGE(0, $EmbDim)) AS pos,
+       |  UNNEST(LIST_TRANSFORM(embedding,
+       |    x -> FLOOR((x::DOUBLE - mn) * 255.0::DOUBLE / scale + 0.5::DOUBLE))) AS qf,
+       |  UNNEST(LIST_TRANSFORM(embedding, x -> x::DOUBLE)) AS xv
+       |  FROM s)
+       |SELECT vec_id, pos, CAST(qf AS BIGINT) AS q,
+       |  mn + ((qf * scale) / 255.0::DOUBLE) AS dequant,
+       |  ABS(mn + ((qf * scale) / 255.0::DOUBLE) - xv) AS abs_err
+       |FROM e
+       |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("scale",
+        when(col("mx") > col("mn"), col("mx") - col("mn")).otherwise(1.0))
+    base
+      .select(col("vec_id"), col("mn"), col("scale"),
+        posexplode(transform(col("embedding"), x => struct(
+          floor((x.cast("double") - col("mn")) * 255.0 / col("scale") + 0.5)
+            .as("qf"),
+          x.cast("double").as("xv")))).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        col("v.qf").as("q"),
+        (col("mn") + ((col("v.qf").cast("double") * col("scale")) / 255.0))
+          .as("dequant"),
+        abs(col("mn") + ((col("v.qf").cast("double") * col("scale")) / 255.0)
+          - col("v.xv")).as("abs_err"))
+      .orderBy("vec_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, normalizeVectors,
-    embStats)
+    embStats, quantizeSq8)
 }
