@@ -148,6 +148,57 @@ object Relational4 {
       .orderBy("l_returnflag")
   }
 
+  /** Explicit NULLS FIRST/LAST ordering semantics — the engines DISAGREE
+    * on defaults (Spark: nulls first ASC; DuckDB: nulls last), so ranks
+    * computed over a nullable sort key only match when the placement is
+    * stated. December months are nulled to create the nullable key. */
+  val q53NullOrdering: Q = Q(
+    "q53_null_ordering",
+    """SELECT o_orderkey, m,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY m ASC NULLS FIRST, o_orderkey) AS rn_nf,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY m DESC NULLS LAST, o_orderkey) AS rn_nl
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        NULLIF(CAST(MONTH(o_orderdate) AS BIGINT), 12) AS m
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      nullif(month(col("o_orderdate")).cast("bigint"), lit(12L)).as("m"))
+    val wNf = Window.partitionBy("o_orderpriority")
+      .orderBy(col("m").asc_nulls_first, col("o_orderkey"))
+    val wNl = Window.partitionBy("o_orderpriority")
+      .orderBy(col("m").desc_nulls_last, col("o_orderkey"))
+    base.select(col("o_orderkey"), col("m"),
+        row_number().over(wNf).cast("bigint").as("rn_nf"),
+        row_number().over(wNl).cast("bigint").as("rn_nl"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Exact decimal money arithmetic: +, −, × over DECIMAL(18,2) with
+    * pinned result types — the engines' implicit result-scale rules
+    * differ, so every result is cast to an explicit precision/scale
+    * (exact in both, no float drift). */
+  val q54DecimalMath: Q = Q(
+    "q54_decimal_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS add2,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS sub2,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS mul4
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (price + tax).cast("decimal(20,2)").as("add2"),
+        (price - disc).cast("decimal(20,2)").as("sub2"),
+        (price * disc).cast("decimal(30,4)").as("mul4"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[Q] = Seq(q47Unpivot, q48ExistsScalar, q49StratifiedSample,
-    q50IgnoreNulls, q51RangeBinJoin, q52ApproxQuantile)
+    q50IgnoreNulls, q51RangeBinJoin, q52ApproxQuantile, q53NullOrdering,
+    q54DecimalMath)
 }
