@@ -16,10 +16,8 @@ import graft.functions.DotProduct
   * or on a live session via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotProduct)
-    e.injectFunction(GraftExtensions.avroDecode)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
@@ -53,9 +51,43 @@ object GraftExtensions {
       AvroDecodeExpression(exprs(0), schemaJson, lenient)
     })
 
+  val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    info("word_shingles",
+      "word_shingles(words[, n]) - n-gram (default 3) word shingles of a string array"),
+    (exprs: Seq[Expression]) => {
+      val n = exprs.lift(1) match {
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case None => 3
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an int literal, got $other")
+      }
+      graft.functions.WordShingles(exprs(0), n)
+    })
+
+  val mediaFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("media_format"),
+    info("media_format",
+      "media_format(bin) - container sniff from magic bytes (png/gif/bmp/jpeg/wav/webp/unknown)"),
+    (exprs: Seq[Expression]) => graft.functions.MediaHeaders.MediaFormat(exprs(0)))
+
+  val imageWidth: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_width"),
+    info("image_width", "image_width(bin) - pixel width from the image header, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.MediaHeaders.ImageWidth(exprs(0)))
+
+  val imageHeight: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_height"),
+    info("image_height", "image_height(bin) - pixel height from the image header, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.MediaHeaders.ImageHeight(exprs(0)))
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(dotProduct, avroDecode, wordShingles, mediaFormat, imageWidth,
+      imageHeight)
+
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProduct, avroDecode).foreach { case (id, _, builder) =>
+    all.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }

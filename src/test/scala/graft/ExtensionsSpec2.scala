@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registration of the round-2 native expressions. */
+class ExtensionsSpec2 extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("word_shingles / media_format / image_width callable from SQL") {
+    GraftExtensions.register(spark)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','d'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b", "b c", "c d"))
+    val sh3 = spark.sql("SELECT word_shingles(array('a','b','c')) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh3 === Seq("a b c"))
+    val row = spark.sql(
+      """SELECT media_format(png) AS fmt, image_width(png) AS w,
+        |       image_height(png) AS h
+        |FROM (SELECT unhex(concat('89504E470D0A1A0A', '0000000D', '49484452',
+        |        '00000140', '000000F0', '0806000000')) AS png)""".stripMargin)
+      .collect()(0)
+    assert(row.getString(0) === "png")
+    assert(row.getInt(1) === 320)
+    assert(row.getInt(2) === 240)
+  }
+}

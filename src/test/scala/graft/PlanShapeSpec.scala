@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Relational2, Relational3, Relational4}
+
+/** Plan-shape regression net over the relational surface: the scale
+  * properties the engine promises must stay visible in the physical
+  * plans, not just hold by accident.
+  *
+  * - No CartesianProduct anywhere.
+  * - BroadcastNestedLoopJoin only where a one-row aggregate is attached
+  *   (scalar attach — bounded by definition) — currently no relational
+  *   query needs even that.
+  * - Spot shapes: q02's filter reaches the parquet scan (PushedFilters),
+  *   q08 plans the two-phase WindowGroupLimit, q41 plans
+  *   TakeOrderedAndProject (k-row driver merge, no global sort).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val allRelational =
+    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all
+
+  test("no relational query plans a cartesian product or BNL") {
+    for (q <- allRelational) {
+      val plan = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} plans a BNL:\n$plan")
+    }
+  }
+
+  test("q02 filter is pushed to the parquet scan") {
+    val formatted = Relational.q02FilterProject.run(spark, TestSpark.tiny)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: ["), formatted)
+    assert(formatted.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      s"empty pushdown:\n$formatted")
+  }
+
+  test("q08 top-k per group plans WindowGroupLimit") {
+    val plan = Relational.q08TopkPerGroup.run(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q41 global top-k plans TakeOrderedAndProject") {
+    val plan = Relational3.q41GlobalTopk.run(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
