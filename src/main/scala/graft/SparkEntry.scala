@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Cdc.all ++
-      TextAnalysis.all ++ TextAnalysis2.all ++ Dedup.all ++
+      TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Third text batch — the filtering/safety stages of a training-data
+  * pipeline: PII redaction, repetition signals (the Gopher-style quality
+  * rules), benchmark decontamination, and token-distribution entropy.
+  *
+  * All four are per-document map-side computations followed by at most one
+  * hash aggregation/join on bounded-cardinality keys — at 100 TB each is a
+  * single scan with no cross-doc shuffle except the decontamination
+  * inverted-index join (whose build side is the holdout set, many orders
+  * of magnitude smaller than the corpus).
+  */
+object TextAnalysis3 {
+
+  /** Email/phone patterns restricted to syntax Java regex and RE2 (DuckDB)
+    * interpret identically: character classes, bounded repetition, \b. */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction: count and mask emails/phone numbers. The corpus
+    * contains no PII, so both engines first inject a deterministic
+    * doc_id-derived email (docs with id % 3 != 0) and phone (id % 2 = 0)
+    * — the detection/redaction logic is then exercised against varying
+    * ground truth. Pure per-row regex work: zero shuffles at any scale. */
+  val piiRedact: Q = Q(
+    "text_pii_redact",
+    s"""WITH aug AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 <> 0
+       |      THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '$PhonePat')) AS BIGINT) AS n_phones,
+       |  REGEXP_REPLACE(REGEXP_REPLACE(t, '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS redacted
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    documents(s, d)
+      .withColumn("t", aug)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0)))
+          .cast("bigint").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB n-gram shingles WITH duplicates (mirror of
+    * [[graft.functions.WordShingles]] semantics for arbitrary n). */
+  private def duckRawShingles(n: Int, w: String = "w"): String = {
+    val cat = (0 until n).map(k => s"$w[i + $k]").mkString(" || ' ' || ")
+    s"""CASE WHEN LEN($w) < $n THEN []::VARCHAR[]
+       |  ELSE LIST_TRANSFORM(RANGE(1, LEN($w) - ${n - 2}), i -> $cat) END""".stripMargin
+  }
+
+  /** Repetition signals (Gopher-style quality rules): fraction of tokens
+    * taken by the single most frequent word, and the duplicate-3-gram
+    * fraction. High values of either flag boilerplate/spam for removal.
+    * Both ratios are exact BIGINT divisions → identical doubles. */
+  val repetition: Q = Q(
+    "text_repetition",
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
+       |  FROM documents),
+       |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |top AS (SELECT doc_id, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS n
+       |        FROM wc GROUP BY 1),
+       |g3 AS (SELECT doc_id, UNNEST(sh) AS s FROM (
+       |  SELECT doc_id, ${duckRawShingles(3)} AS sh FROM (
+       |    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents))),
+       |g3a AS (SELECT doc_id, COUNT(*) AS t3, COUNT(DISTINCT s) AS d3
+       |        FROM g3 GROUP BY 1)
+       |SELECT top.doc_id, top.n AS n_tokens,
+       |  CAST(top.maxc AS DOUBLE) / top.n AS top_word_frac,
+       |  CASE WHEN g3a.t3 > 0
+       |    THEN 1.0::DOUBLE - CAST(g3a.d3 AS DOUBLE) / g3a.t3
+       |    ELSE 0.0::DOUBLE END AS dup_3gram_frac
+       |FROM top JOIN g3a ON g3a.doc_id = top.doc_id
+       |ORDER BY top.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("w"))
+    val wc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val top = wc.groupBy("doc_id")
+      .agg(max("c").as("maxc"), sum("c").as("n"))
+    val g3 = docs.select(col("doc_id"), explode(Dedup.rawShingles(col("text"))).as("s"))
+    val g3a = g3.groupBy("doc_id")
+      .agg(count(lit(1)).as("t3"), countDistinct(col("s")).as("d3"))
+    top.join(g3a, "doc_id")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("maxc").cast("double") / col("n")).as("top_word_frac"),
+        when(col("t3") > 0, lit(1.0) - col("d3").cast("double") / col("t3"))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any 5-gram
+    * with the holdout set (doc_id % 50 = 0 stands in for the benchmark).
+    * The inverted-index join keys on the shingle — the build side is the
+    * HOLDOUT shingle set (tiny vs the corpus), so at 100 TB this is one
+    * corpus scan + a broadcast-or-small-shuffle hash join, never
+    * corpus × corpus. */
+  val decontaminate: Q = Q(
+    "text_decontaminate",
+    s"""WITH ws AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w
+       |           FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, UNNEST(${duckRawShingles(5)}) AS s FROM ws)),
+       |hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+       |shared AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_shared
+       |  FROM sh JOIN hold USING (s)
+       |  WHERE sh.doc_id % 50 <> 0
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(shared.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN shared ON shared.doc_id = d.doc_id
+       |WHERE d.doc_id % 50 <> 0
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val sh = docs.select(col("doc_id"),
+        explode(Dedup.shinglesFromWords(split(trim(col("text")), " "), 5)).as("s"))
+      .distinct()
+    val hold = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
+    val shared = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(hold, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** 2^40 — fixed-point scale that makes the per-doc entropy sum exact:
+    * each c·ln(c) term becomes floor(x·2^40 + 0.5) (identical IEEE ops on
+    * both engines → identical BIGINT), and BIGINT sums are
+    * order-independent, so the aggregation is deterministic without any
+    * decimal-cast tie risk. */
+  private val FixScale = 1099511627776.0
+
+  /** Token-distribution Shannon entropy per document,
+    * H = ln(n) − (Σ c·ln c)/n — a scalar quality/diversity signal (low
+    * entropy ⇒ repetitive doc). Both lns go through
+    * [[graft.functions.PortableLn]] over the DISTINCT count values (a
+    * bounded-cardinality relation ≤ max doc length, broadcast back), so
+    * every double is bit-identical cross-engine; the only cross-row sum
+    * is over fixed-point BIGINTs. */
+  val entropy: Q = Q(
+    "text_entropy",
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_distinct
+       |       FROM cnt GROUP BY 1),
+       |cvx AS (SELECT c, CAST(c AS DOUBLE) AS x FROM (SELECT DISTINCT c FROM cnt)),
+       |lnc AS (${graft.functions.PortableLn.sqlStages("cvx", Seq("c"), "x", "lnc")}),
+       |nvx AS (SELECT n, CAST(n AS DOUBLE) AS x FROM (SELECT DISTINCT n FROM dl)),
+       |lnn AS (${graft.functions.PortableLn.sqlStages("nvx", Seq("n"), "x", "lnn")}),
+       |terms AS (
+       |  SELECT cnt.doc_id,
+       |    CAST(FLOOR((cnt.c * lnc.lnc) * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t
+       |  FROM cnt JOIN lnc ON lnc.c = cnt.c),
+       |sums AS (SELECT doc_id, CAST(SUM(t) AS BIGINT) AS st FROM terms GROUP BY 1)
+       |SELECT dl.doc_id, dl.n AS n_tokens, dl.n_distinct,
+       |  lnn.lnn - ((CAST(sums.st AS DOUBLE) / $FixScale::DOUBLE) / dl.n) AS entropy
+       |FROM dl
+       |JOIN sums ON sums.doc_id = dl.doc_id
+       |JOIN lnn ON lnn.n = dl.n
+       |ORDER BY dl.doc_id""".stripMargin) { (s, d) =>
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("w"))
+    val cnt = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val dl = cnt.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    val lnc = graft.functions.PortableLn.withLn(
+        cnt.select("c").distinct().withColumn("x", col("c").cast("double")),
+        "x", "lnc")
+      .select("c", "lnc")
+    val lnn = graft.functions.PortableLn.withLn(
+        dl.select("n").distinct().withColumn("x", col("n").cast("double")),
+        "x", "lnn")
+      .select("n", "lnn")
+    // both ln relations are bounded by max-doc-length distinct values —
+    // broadcast is safe at any corpus size
+    val terms = cnt.join(broadcast(lnc), "c")
+      .select(col("doc_id"),
+        floor((col("c") * col("lnc")) * lit(FixScale) + lit(0.5))
+          .cast("long").as("t"))
+    val sums = terms.groupBy("doc_id").agg(sum("t").as("st"))
+    dl.join(sums, "doc_id").join(broadcast(lnn), "n")
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        (col("lnn") - ((col("st").cast("double") / lit(FixScale)) / col("n")))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate, entropy)
+}
