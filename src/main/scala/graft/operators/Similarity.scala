@@ -271,6 +271,50 @@ object Similarity {
       .orderBy("vec_id", "pos")
   }
 
+  /** Per-label centroids over SQ8 codes — the coarse-quantizer update
+    * step of an IVF/PQ index build, done with exact arithmetic: codes
+    * are BIGINTs (identical on both engines, see [[quantizeSq8]]), so
+    * the cross-row Σq per (label, pos) is order-independent and the
+    * centroid is one double division. At 100 TB this is a single
+    * map-side-combined hash aggregation on (label, pos) — no vector
+    * shuffles, 64 rows of state per label. */
+  val labelCentroids: Q = Q(
+    "sim_label_centroids",
+    s"""WITH base AS (
+       |  SELECT label, LIST_MIN(embedding)::DOUBLE AS mn,
+       |         LIST_MAX(embedding)::DOUBLE AS mx, embedding
+       |  FROM embeddings),
+       |s AS (SELECT label, mn,
+       |        CASE WHEN mx > mn THEN mx - mn ELSE 1.0::DOUBLE END AS scale,
+       |        embedding FROM base),
+       |e AS (SELECT label,
+       |  UNNEST(RANGE(0, $EmbDim)) AS pos,
+       |  UNNEST(LIST_TRANSFORM(embedding,
+       |    x -> FLOOR((x::DOUBLE - mn) * 255.0::DOUBLE / scale + 0.5::DOUBLE))) AS qf
+       |  FROM s)
+       |SELECT CAST(label AS BIGINT) AS label, pos, COUNT(*) AS n,
+       |  CAST(SUM(CAST(qf AS BIGINT)) AS BIGINT) AS q_sum,
+       |  CAST(CAST(SUM(CAST(qf AS BIGINT)) AS BIGINT) AS DOUBLE) / COUNT(*) AS q_mean
+       |FROM e
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val base = embeddings(s, d).select(col("label"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("scale",
+        when(col("mx") > col("mn"), col("mx") - col("mn")).otherwise(1.0))
+    base
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x =>
+          floor((x.cast("double") - col("mn")) * 255.0 / col("scale") + 0.5)))
+          .as(Seq("pos", "qf")))
+      .groupBy(col("label").cast("bigint").as("label"),
+        col("pos").cast("bigint").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("q_sum"),
+        (sum(col("qf")).cast("double") / count(lit(1))).as("q_mean"))
+      .orderBy("label", "pos")
+  }
+
   val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, normalizeVectors,
-    embStats, quantizeSq8)
+    embStats, quantizeSq8, labelCentroids)
 }
