@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, Relational2, Relational3, Relational4}
+import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, TextAnalysis3}
 
 /** Plan-shape regression net over the relational surface: the scale
   * properties the engine promises must stay visible in the physical
@@ -20,7 +20,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val allRelational =
-    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
+      Relational5.all ++ TextAnalysis3.all
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
