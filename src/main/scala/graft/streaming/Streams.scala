@@ -77,6 +77,31 @@ object Streams {
         col("signup_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[purchasesWithSignup]]
+    * but purchases with no signup in the window are EMITTED (null-padded)
+    * once the watermark proves no match can still arrive — the unmatched
+    * rows surface exactly when their join state expires, which is why an
+    * outer stream-stream join REQUIRES both the watermark and the time
+    * bound (Spark rejects it otherwise). State stays GC-able: each side
+    * is dropped as soon as the interval + watermark passes. */
+  def purchasesWithSignupOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      maxAge: String = "1 hour"): DataFrame = {
+    val sg = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val pu = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    pu.join(sg,
+      col("p_user") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $maxAge"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("signup_ts"), col("value"))
+  }
+
   /** S9 production wiring: a foreachBatch body that appends each decoded
     * micro-batch to the at-rest parquet changelog (append-only, so the
     * write is idempotent-safe under retries when paired with the

@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases after watermark") {
+    implicit val ctx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.purchasesWithSignupOuter(
+      signups.toDF.toDF("user_id", "ts"),
+      purchases.toDF.toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjo_out").start()
+    try {
+      signups.addData((1L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:30:00"), 9.0), // matched
+        (3L, ts("2024-01-01 10:10:00"), 5.0)) // no signup → null-padded later
+      q.processAllAvailable()
+      // matched row is emitted immediately; the unmatched one only after
+      // the watermark proves no signup can still arrive for it
+      val early = spark.table("ssjo_out")
+        .select("user_id").as[Long].collect().toSet
+      assert(early.contains(1L))
+      // advance both watermarks far past 10:10 + interval + delay
+      signups.addData((99L, ts("2024-01-01 13:00:00")))
+      purchases.addData((99L, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      purchases.addData((98L, ts("2024-01-01 13:00:01"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo_out")
+        .select("user_id", "signup_ts").collect()
+      val u3 = rows.filter(_.getLong(0) == 3L)
+      assert(u3.nonEmpty, s"unmatched purchase never emitted: ${rows.mkString}")
+      assert(u3.forall(_.isNullAt(1)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Streams.UserEvent2]
