@@ -212,6 +212,26 @@ object Relational5 {
       .orderBy("o_custkey")
   }
 
+  /** Mergeable sketch states (the ClickHouse `-State`/`-Merge`
+    * combinator shape): per-group HLL sketches built in one pass, then
+    * RE-aggregated by unioning the serialized states — the rollup never
+    * rescans the fact table. This is the 100 TB pre-aggregation
+    * pattern: store states at fine grain, merge to any coarser grain.
+    * Sketch bytes are algorithm-specific → rows-only driver check; the
+    * spec bounds the estimates against exact distinct counts. */
+  val q62HllUnion: Q = Q.noOracle("q62_hll_union") { (s, d) =>
+    val states = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("state"))
+    val perGroup = states.select(col("o_orderpriority"),
+      hll_sketch_estimate(col("state")).as("n_distinct_est"))
+    val global = states
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false)))
+        .as("n_distinct_est"))
+      .select(lit("<all>").as("o_orderpriority"), col("n_distinct_est"))
+    perGroup.unionByName(global).orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q55Regexp, q56StatsMoments, q57DateSpine, q58BitAgg,
-    q59GroupingId, q60StructJson, q61ArgMinMax)
+    q59GroupingId, q60StructJson, q61ArgMinMax, q62HllUnion)
 }

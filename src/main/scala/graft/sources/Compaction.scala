@@ -25,6 +25,38 @@ object Compaction {
       version: Seq[Column], isTombstone: Column): DataFrame =
     Cdc.materialize(changelog, keys, version, isTombstone)
 
+  /** Summing state view — the SummingMergeTree analogue: rows sharing a
+    * key collapse into one row of exact metric sums. Callers pass the
+    * aggregate per metric (use exact decimal sums for doubles, see
+    * `Tables.dsum`); re-compacting a compacted table with a new tail is
+    * associative, so the maintenance job can run any time. */
+  def summingStateView(changelog: DataFrame, keys: Seq[String],
+      metrics: Seq[(String, Column)]): DataFrame = {
+    val aggs = metrics.map { case (n, c) => c.as(n) }
+    changelog.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Rewrite a changelog table in place to its summed form (see
+    * [[summingStateView]]); same temp-then-swap safety as [[compact]]. */
+  def summingCompact(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      metrics: Seq[(String, Column)],
+      partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = path + ".compacting"
+    val state = summingStateView(spark.read.parquet(path), keys, metrics)
+    ParquetSink.writePartitioned(state, tmp, partitionCols)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.rename(dst, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+  }
+
   /** Rewrite a changelog table in place to its materialized state.
     * The rewrite goes through a temp path then swaps, so a failed
     * compaction leaves the original readable. */

@@ -43,4 +43,25 @@ class CompactionSpec extends AnyFunSuite {
       col("name").isNull)
     assert(spark.read.parquet(dir).count() === 2)
   }
+
+  test("summingCompact collapses keys to exact sums; re-compact with tail is associative") {
+    val dir = Files.createTempDirectory("graft_cl3").toString + "/t"
+    Seq((1, 5L, 10.25), (1, 3L, 0.50), (2, 7L, 1.00))
+      .toDF("id", "hits", "amount")
+      .write.mode("overwrite").parquet(dir)
+    val metrics = Seq(
+      "hits" -> sum(col("hits")),
+      "amount" -> Tables.dsum(Tables.money(col("amount"))))
+    Compaction.summingCompact(spark, dir, Seq("id"), metrics)
+    val once = spark.read.parquet(dir)
+      .select("id", "hits", "amount").as[(Int, Long, Double)].collect().toSet
+    assert(once === Set((1, 8L, 10.75), (2, 7L, 1.0)))
+    // append a tail and compact again — sums of sums equal one-shot sums
+    Seq((1, 2L, 0.25), (3, 1L, 9.00)).toDF("id", "hits", "amount")
+      .write.mode("append").parquet(dir)
+    Compaction.summingCompact(spark, dir, Seq("id"), metrics)
+    val twice = spark.read.parquet(dir)
+      .select("id", "hits", "amount").as[(Int, Long, Double)].collect().toSet
+    assert(twice === Set((1, 10L, 11.0), (2, 7L, 1.0), (3, 1L, 9.0)))
+  }
 }

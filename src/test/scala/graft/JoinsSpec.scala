@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Joins, Relational2, Relational3, Relational4}
+import graft.operators.{Joins, Relational2, Relational3, Relational4, Relational5}
 
 class JoinsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -103,5 +103,21 @@ class JoinsSpec extends AnyFunSuite {
       val err = math.abs(got(k) - n).toDouble / n
       assert(err < 0.05, s"flag $k: approx ${got(k)} vs exact $n (err $err)")
     }
+  }
+
+  test("hll sketch states: per-group and unioned estimates near exact") {
+    val got = Relational5.q62HllUnion.run(spark, TestSpark.tiny)
+      .as[(String, Double)].collect().toMap
+    val o = Tables.orders(spark, TestSpark.tiny)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = o.select("o_custkey").distinct().count()
+    // lgConfigK=14 → rsd ≈ 0.8%; allow 3σ
+    exact.foreach { case (k, n) =>
+      assert(math.abs(got(k) - n) / n < 0.03, s"$k: ${got(k)} vs $n")
+    }
+    assert(math.abs(got("<all>") - exactAll) / exactAll < 0.03,
+      s"union: ${got("<all>")} vs $exactAll")
   }
 }
