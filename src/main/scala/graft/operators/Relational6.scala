@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Sixth relational batch: a second array-function battery (canonical
+  * JSON-stringified per the checker contract) and try_* error-safe
+  * arithmetic with exactly-defined null semantics. */
+object Relational6 {
+
+  /** Array battery two: build a per-order array deterministically
+    * (sorted aggregation), then slice/position/contains/min-max. All
+    * array outputs leave as canonical JSON strings; all positions as
+    * BIGINT. The aggregation is one hash agg; the array ops are per-row
+    * codegen'd. */
+  val q63ArrayFuncs2: Q = Q(
+    "q63_array_funcs2",
+    """SELECT l_orderkey AS o_orderkey,
+      |  TO_JSON(list_sort(list(l_linenumber))) AS lines_json,
+      |  CAST(LEN(list(l_linenumber)) AS BIGINT) AS n_lines,
+      |  TO_JSON(list_slice(list_sort(list(l_linenumber)), 1, 2)) AS first2_json,
+      |  CAST(COALESCE(list_position(list_sort(list(l_linenumber)), 3), 0) AS BIGINT) AS pos_of_3,
+      |  list_contains(list(l_linenumber), 7) AS has_line7,
+      |  CAST(list_min(list(l_linenumber)) AS BIGINT) AS min_line,
+      |  CAST(list_max(list(l_linenumber)) AS BIGINT) AS max_line
+      |FROM lineitem
+      |WHERE l_orderkey IS NOT NULL
+      |GROUP BY l_orderkey
+      |HAVING l_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(collect_list(col("l_linenumber")).as("arr"))
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        to_json(sort_array(col("arr"))).as("lines_json"),
+        size(col("arr")).cast("bigint").as("n_lines"),
+        to_json(slice(sort_array(col("arr")), 1, 2)).as("first2_json"),
+        array_position(sort_array(col("arr")), 3).as("pos_of_3"),
+        array_contains(col("arr"), 7).as("has_line7"),
+        array_min(col("arr")).cast("bigint").as("min_line"),
+        array_max(col("arr")).cast("bigint").as("max_line"))
+      .orderBy("o_orderkey")
+  }
+
+  /** try_* error-safe arithmetic: division by zero, failed string casts,
+    * and BIGINT overflow all yield NULL instead of failing the job —
+    * the per-record-resilience story (D7) applied to expressions. The
+    * oracle states the identical semantics with explicitly-defined
+    * arithmetic (CASE guards + HUGEINT range check), so the check pins
+    * Spark's try_* null contract, not just "both engines error". */
+  val q64TryArith: Q = Q(
+    "q64_try_arith",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN (l_linenumber - 3) = 0 THEN NULL
+      |       ELSE CAST(l_extendedprice AS DOUBLE) / (l_linenumber - 3)
+      |  END AS safe_div,
+      |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+      |                THEN CAST(l_linenumber AS VARCHAR) ELSE 'n/a' END
+      |           AS BIGINT) AS parsed,
+      |  CAST(CASE WHEN CAST(l_orderkey AS HUGEINT) * 4611686018427387904
+      |                 BETWEEN -9223372036854775808 AND 9223372036854775807
+      |            THEN l_orderkey * 4611686018427387904 ELSE NULL
+      |       END AS BIGINT) AS big_product
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice").cast("double"),
+          col("l_linenumber") - 3).as("safe_div"),
+        expr("try_cast(CASE WHEN l_linenumber % 2 = 0 " +
+          "THEN CAST(l_linenumber AS STRING) ELSE 'n/a' END AS BIGINT)")
+          .as("parsed"),
+        try_multiply(col("l_orderkey"), lit(4611686018427387904L))
+          .as("big_product"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q63ArrayFuncs2, q64TryArith)
+}
