@@ -80,5 +80,32 @@ object Relational6 {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q63ArrayFuncs2, q64TryArith)
+  /** Date battery two: month arithmetic with end-of-month clamping,
+    * last_day, quarter truncation, day-of-year — semantics the engines
+    * agree on exactly (verified: both clamp Jan 31 + 1 month to the
+    * month end). Fractional months_between is deliberately excluded
+    * (engines define it differently). */
+  val q65DateFuncs2: Q = Q(
+    "q65_date_funcs2",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(DATE_TRUNC('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr_start,
+      |  CAST(DAYOFYEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+      |  CAST(QUARTER(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dt = col("o_orderdate").cast("date")
+    orders(s, d).select(
+        col("o_orderkey"), dt.as("d"),
+        add_months(dt, 3).as("plus3m"),
+        last_day(dt).as("month_end"),
+        date_trunc("quarter", dt).cast("date").as("qtr_start"),
+        dayofyear(dt).cast("bigint").as("doy"),
+        quarter(dt).cast("bigint").as("qtr"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q63ArrayFuncs2, q64TryArith, q65DateFuncs2)
 }

@@ -77,6 +77,18 @@ object Streams {
         col("signup_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: the canonical CDC pattern of joining a
+    * change stream against a slowly-changing dimension snapshot. The
+    * static side is broadcast (re-read per micro-batch when the
+    * underlying files change — Spark re-plans the static relation each
+    * batch), so the stream never shuffles; at 100 TB/day of stream the
+    * dim side stays a map-side hash lookup. Left join keeps events whose
+    * key has no dim row yet (late-arriving dimension). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key),
+      "left_outer")
+
   /** Stream-stream LEFT OUTER interval join: like [[purchasesWithSignup]]
     * but purchases with no signup in the window are EMITTED (null-padded)
     * once the watermark proves no match can still arrive — the unmatched

@@ -123,6 +123,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim and keeps unmatched events") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = Streams.enrichWithDim(
+      in.toDF.toDF("user_id", "value"), dim, "user_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      in.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(got === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("outer stream-stream join emits unmatched purchases after watermark") {
     implicit val ctx = spark.sqlContext
     val signups = MemoryStream[(Long, Timestamp)]
