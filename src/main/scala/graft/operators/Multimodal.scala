@@ -158,5 +158,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, featureStub, mediaHeaders)
+  /** REAL codec-free pixel analytics: build a fully valid 24-bpp BMP
+    * per doc (seed-derived pixels, non-zero row padding), then recover
+    * channel sums and a position-weighted checksum by WALKING THE PIXEL
+    * ARRAY ([[graft.functions.BmpPixels]] — header offset, stride,
+    * bottom-up rows). The oracle computes the same statistics directly
+    * from the generating formula over an (x, y) grid — fully independent
+    * of both the builder and the parser, so a padding/stride/row-order
+    * bug on either side hash-mismatches (the weighted sum is
+    * position-sensitive; flips cannot cancel). */
+  val bmpPixels: Q = Q(
+    "mm_bmp_pixels",
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 1 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, UNNEST(RANGE(0, w)) AS x FROM g),
+      |px AS (SELECT doc_id, w, h, x, UNNEST(RANGE(0, h)) AS y FROM xs),
+      |sums AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(SUM((x * y + doc_id) % 256) AS BIGINT) AS sum_r,
+      |    CAST(SUM((3 * doc_id + x) % 256) AS BIGINT) AS sum_g,
+      |    CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_b,
+      |    CAST(SUM((x + 1) * (y + 1) * ((x * y + doc_id) % 256)) AS BIGINT) AS wsum_r
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT doc_id, 'bmp' AS fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  sum_r, sum_g, sum_b, wsum_r,
+      |  CAST(sum_r AS DOUBLE) / (w * h) AS mean_r
+      |FROM sums
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.{BmpPixels, MediaHeaders}
+    val media = BmpPixels.build(col("doc_id"),
+      (col("doc_id") % 5 + 2).cast("int"), (col("doc_id") % 3 + 1).cast("int"))
+    documents(s, d)
+      .select(col("doc_id"), media.as("media"))
+      .select(col("doc_id"),
+        MediaHeaders.format(col("media")).as("fmt"),
+        MediaHeaders.width(col("media")).cast("bigint").as("w"),
+        MediaHeaders.height(col("media")).cast("bigint").as("h"),
+        BmpPixels.channelSum(col("media"), 2).as("sum_r"),
+        BmpPixels.channelSum(col("media"), 1).as("sum_g"),
+        BmpPixels.channelSum(col("media"), 0).as("sum_b"),
+        BmpPixels.weightedSum(col("media"), 2).as("wsum_r"))
+      .withColumn("mean_r",
+        col("sum_r").cast("double") / (col("w") * col("h")))
+      .select("doc_id", "fmt", "w", "h", "sum_r", "sum_g", "sum_b",
+        "wsum_r", "mean_r")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, featureStub, mediaHeaders, bmpPixels)
 }
