@@ -81,9 +81,35 @@ object GraftExtensions {
     info("image_height", "image_height(bin) - pixel height from the image header, or NULL"),
     (exprs: Seq[Expression]) => graft.functions.MediaHeaders.ImageHeight(exprs(0)))
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val bmpBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_build"),
+    info("bmp_build",
+      "bmp_build(seed, w, h) - valid 24-bpp BMP bytes with seed-derived pixels"),
+    (exprs: Seq[Expression]) =>
+      graft.functions.BmpPixels.BmpBuild(exprs(0), exprs(1), exprs(2)))
+
+  val bmpChannelSum: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bmp_channel_sum"),
+    info("bmp_channel_sum",
+      "bmp_channel_sum(bin, channel[, weighted]) - pixel-walk channel sum over a 24-bpp BMP (0=B,1=G,2=R), or NULL"),
+    (exprs: Seq[Expression]) => {
+      val weighted = exprs.lift(2).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v == true
+        case _ => false
+      }
+      graft.functions.BmpPixels.BmpSum(exprs(0),
+        intLit(exprs(1), "bmp_channel_sum channel"), weighted)
+    })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(dotProduct, avroDecode, wordShingles, mediaFormat, imageWidth,
-      imageHeight)
+      imageHeight, bmpBuild, bmpChannelSum)
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =

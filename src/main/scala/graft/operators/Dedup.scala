@@ -58,7 +58,7 @@ object Dedup {
     * inverted-index join — used for both the exact-Jaccard query and the
     * MinHash-LSH query (whose banding at b=16,r=2 has ≈1 recall at 0.5 on
     * any corpus, so its verified output equals the exact pair set). */
-  private val duckJaccardPairs: String =
+  private[operators] val duckJaccardPairs: String =
     s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
        |ex AS (SELECT doc_id, LEN(s) AS n, UNNEST(s) AS shingle FROM sh),
        |pairs AS (
@@ -93,7 +93,7 @@ object Dedup {
     jaccardPairs(documents(s, d)).orderBy("a_id", "b_id")
   }
 
-  private def jaccardPairs(docs: DataFrame): DataFrame = {
+  private[operators] def jaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")

@@ -218,5 +218,89 @@ object TextAnalysis3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate, entropy)
+  /** The flagship end-to-end curation pipeline: one query that takes the
+    * raw corpus to a final keep/drop decision with the first failing
+    * stage as the reason — quality rules, exact dedup (keep min doc_id),
+    * near-dup (drop the later doc of each ≥0.5-Jaccard pair),
+    * benchmark decontamination — with precedence
+    * holdout > quality > exact_dup > near_dup > contaminated > kept.
+    *
+    * Every stage is the at-scale shape used by its standalone query:
+    * per-row quality, one hash agg for exact dedup, the inverted-index
+    * shingle join for near-dups, the holdout-built hash join for
+    * contamination. The oracle restates all stages independently. */
+  val keepList: Q = Q(
+    "text_keep_list",
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+       |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr
+       |  FROM documents),
+       |ex AS (SELECT LOWER(TRIM(text)) AS norm, MIN(doc_id) AS keep_id
+       |       FROM documents GROUP BY 1),
+       |exd AS (SELECT d.doc_id FROM documents d
+       |        JOIN ex ON LOWER(TRIM(d.text)) = ex.norm
+       |        WHERE d.doc_id <> ex.keep_id),
+       |jp AS (${Dedup.duckJaccardPairs}),
+       |nd AS (SELECT DISTINCT b_id AS doc_id FROM jp),
+       |ws5 AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |sh5 AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, UNNEST(${duckRawShingles(5)}) AS s FROM ws5)),
+       |hold AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0),
+       |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN hold USING (s)
+       |         WHERE sh5.doc_id % 50 <> 0)
+       |SELECT w.doc_id,
+       |  CASE WHEN w.doc_id % 50 = 0 THEN 'holdout'
+       |       WHEN NOT (w.n_words BETWEEN 20 AND 80 AND w.ttr >= 0.3)
+       |         THEN 'quality'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+       |       ELSE 'kept' END AS reason,
+       |  (CASE WHEN w.doc_id % 50 = 0 THEN 'holdout'
+       |       WHEN NOT (w.n_words BETWEEN 20 AND 80 AND w.ttr >= 0.3)
+       |         THEN 'quality'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM exd) THEN 'exact_dup'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+       |       WHEN w.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+       |       ELSE 'kept' END) = 'kept' AS kept
+       |FROM w
+       |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val ws = split(trim(col("text")), " ")
+    val q = docs.select(col("doc_id"), col("text"),
+      size(ws).cast("bigint").as("n_words"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+    val exKeep = docs.groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min("doc_id").as("keep_id"))
+    val exd = docs.select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .join(exKeep, "norm").filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id").withColumn("is_exdup", lit(true))
+    val nd = Dedup.jaccardPairs(docs)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("is_neardup", lit(true))
+    val sh5 = docs.select(col("doc_id"),
+        explode(Dedup.shinglesFromWords(split(trim(col("text")), " "), 5)).as("s"))
+      .distinct()
+    val hold = sh5.filter(col("doc_id") % 50 === 0).select("s").distinct()
+    val cont = sh5.filter(col("doc_id") % 50 =!= 0).join(hold, "s")
+      .select("doc_id").distinct().withColumn("is_cont", lit(true))
+    val reason =
+      when(col("doc_id") % 50 === 0, "holdout")
+        .when(!(col("n_words").between(20, 80) && col("ttr") >= 0.3), "quality")
+        .when(col("is_exdup"), "exact_dup")
+        .when(col("is_neardup"), "near_dup")
+        .when(col("is_cont"), "contaminated")
+        .otherwise("kept")
+    q.join(exd, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate, entropy,
+    keepList)
 }

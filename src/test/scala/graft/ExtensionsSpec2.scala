@@ -25,4 +25,23 @@ class ExtensionsSpec2 extends AnyFunSuite {
     assert(row.getInt(1) === 320)
     assert(row.getInt(2) === 240)
   }
+
+  test("bmp_build / bmp_channel_sum callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT media_format(b) AS fmt, image_width(b) AS w,
+        |       bmp_channel_sum(b, 2) AS sr,
+        |       bmp_channel_sum(b, 2, true) AS wsr
+        |FROM (SELECT bmp_build(41L, 3, 2) AS b)""".stripMargin)
+      .collect()(0)
+    assert(row.getString(0) === "bmp")
+    assert(row.getInt(1) === 3)
+    var s = 0L; var ws = 0L
+    for (x <- 0 until 3; y <- 0 until 2) {
+      val r = (x.toLong * y + 41L) % 256
+      s += r; ws += (x + 1).toLong * (y + 1) * r
+    }
+    assert(row.getLong(2) === s)
+    assert(row.getLong(3) === ws)
+  }
 }
