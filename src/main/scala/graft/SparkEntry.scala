@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered operators, module by module. */
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
-      Relational4.all ++ Relational5.all ++ Relational6.all ++ Cdc.all ++
+      Relational4.all ++ Relational5.all ++ Relational6.all ++
+      EventAnalytics.all ++ Cdc.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all
 

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Event-stream analytics (the ClickHouse-style product-analytics
+  * surface): conversion funnels and retention cohorts over the events
+  * table. Both are two hash aggregations plus one equi-join on user_id —
+  * at 100 TB the events scan dominates and nothing is ever joined
+  * all-pairs; timestamps stay exact µs BIGINTs until the final division. */
+object EventAnalytics {
+
+  /** Signup → purchase conversion funnel: per signed-up user, whether the
+    * first purchase landed within 24 h of the first signup and how long
+    * it took. Time math is exact µs integer subtraction; the single
+    * double division at the end is mirrored in the oracle. */
+  val q66Funnel: Q = Q(
+    "q66_funnel",
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (
+      |  SELECT s.user_id, MIN(e.ts) AS purchase_ts
+      |  FROM s JOIN events e ON e.user_id = s.user_id
+      |    AND e.event_type = 'purchase'
+      |    AND e.ts >= s.signup_ts
+      |    AND e.ts <= s.signup_ts + INTERVAL 24 HOUR
+      |  GROUP BY 1)
+      |SELECT s.user_id, s.signup_ts,
+      |  p.purchase_ts IS NOT NULL AS converted,
+      |  CAST(EPOCH_US(p.purchase_ts) - EPOCH_US(s.signup_ts) AS DOUBLE)
+      |    / 3600000000.0 AS hours_to_purchase
+      |FROM s LEFT JOIN p ON p.user_id = s.user_id
+      |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val sg = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val p = sg.join(pu, Seq("user_id"))
+      .filter(col("pts") >= col("signup_ts") &&
+        col("pts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("pts").as("purchase_ts"))
+    sg.join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"),
+        col("purchase_ts").isNotNull.as("converted"),
+        ((unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+          .cast("double") / 3600000000.0).as("hours_to_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cohorts: users grouped by first-signup ISO week, counted
+    * as active in each subsequent week offset. Offsets are exact integer
+    * day arithmetic (both engines truncate weeks to ISO Monday). */
+  val q67Retention: Q = Q(
+    "q67_retention",
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS first_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |base AS (
+      |  SELECT user_id,
+      |    CAST(DATE_TRUNC('week', CAST(first_signup AS DATE)) AS DATE) AS cohort_week
+      |  FROM s),
+      |act AS (
+      |  SELECT DISTINCT e.user_id, b.cohort_week,
+      |    CAST(FLOOR(DATEDIFF('day', b.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+      |  FROM events e JOIN base b ON b.user_id = e.user_id
+      |  WHERE CAST(e.ts AS DATE) >= b.cohort_week)
+      |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+      |FROM act GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val base = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("first_signup"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_signup").cast("date")).cast("date")
+          .as("cohort_week"))
+    ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .join(base, Seq("user_id"))
+      .filter(col("day") >= col("cohort_week"))
+      .select(col("user_id"), col("cohort_week"),
+        floor(datediff(col("day"), col("cohort_week")) / 7.0)
+          .cast("bigint").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Seq[Q] = Seq(q66Funnel, q67Retention)
+}
