@@ -107,5 +107,68 @@ object Relational6 {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q63ArrayFuncs2, q64TryArith, q65DateFuncs2)
+  /** LIKE pattern battery: %/_ wildcards, ILIKE case folding, and an
+    * escaped literal underscore — the pattern-match semantics both
+    * engines define identically (SQL-entry style: one text, two
+    * engines). */
+  val q68LikePatterns: Q = {
+    val sql =
+      """SELECT p_partkey, p_name,
+        |  p_name LIKE 'small%' AS starts_small,
+        |  p_name ILIKE 'SMALL%' AS starts_small_ci,
+        |  p_name LIKE '%_ing' AS ends_ing_wild,
+        |  p_name LIKE '%!_ing' ESCAPE '!' AS ends_ing_literal,
+        |  p_name LIKE '%o%t%' AS o_then_t
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+    Q("q68_like_patterns", sql) { (s, d) =>
+      part(s, d).createOrReplaceTempView("part")
+      s.sql(sql)
+    }
+  }
+
+  /** Schema-evolving union: two relations with different column sets
+    * merged by NAME, absent columns null-filled — the batch analogue of
+    * a CDC stream gaining columns mid-flight (the JDBC sink's schema
+    * evolution path). Spark: unionByName(allowMissingColumns);
+    * DuckDB: UNION ALL BY NAME. */
+  val q69UnionByName: Q = Q(
+    "q69_union_by_name",
+    """SELECT * FROM (
+      |  SELECT o_orderkey, 'prio' AS src, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, 'price' AS src, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY o_orderkey, src""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("prio").as("src"), col("o_orderpriority"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), lit("price").as("src"), col("o_totalprice"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey", "src")
+  }
+
+  /** Self-referencing aggregate — customers holding the maximum order
+    * count. The per-customer aggregation feeds BOTH the row side and the
+    * max side; Spark's ReuseExchange dedupes the shuffle so the fact
+    * table is scanned and aggregated once (asserted in PlanShapeSpec). */
+  val q70ExchangeReuse: Q = Q(
+    "q70_exchange_reuse",
+    """WITH agg AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+      |m AS (SELECT MAX(n) AS mx FROM agg)
+      |SELECT a.o_custkey, a.n
+      |FROM agg a CROSS JOIN m
+      |WHERE a.n = m.mx
+      |ORDER BY a.o_custkey""".stripMargin) { (s, d) =>
+    val agg = orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    agg.crossJoin(broadcast(agg.agg(max(col("n")).as("mx"))))
+      .filter(col("n") === col("mx"))
+      .select("o_custkey", "n")
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q63ArrayFuncs2, q64TryArith, q65DateFuncs2,
+    q68LikePatterns, q69UnionByName, q70ExchangeReuse)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, TextAnalysis3}
+import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, Relational6, TextAnalysis3}
 
 /** Plan-shape regression net over the relational surface: the scale
   * properties the engine promises must stay visible in the physical
@@ -21,7 +21,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val allRelational =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
-      Relational5.all ++ TextAnalysis3.all
+      Relational5.all ++ TextAnalysis3.all ++
+      graft.operators.EventAnalytics.all ++
+      // q70's one-row max side is a deliberate broadcast scalar attach —
+      // the documented BNL exemption; everything else stays BNL-free
+      Relational6.all.filterNot(_.name == "q70_exchange_reuse")
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
@@ -47,6 +51,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = Relational.q08TopkPerGroup.run(spark, TestSpark.tiny)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q70 dedupes the shared aggregation's exchange (ReuseExchange)") {
+    val df = Relational6.q70ExchangeReuse.run(spark, TestSpark.tiny)
+    df.collect() // AQE finalizes reuse at execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"aggregation exchange not reused:\n$plan")
   }
 
   test("q41 global top-k plans TakeOrderedAndProject") {
