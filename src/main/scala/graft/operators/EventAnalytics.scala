@@ -90,5 +90,33 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
-  val all: Seq[Q] = Seq(q66Funnel, q67Retention)
+  /** Event-type transition matrix (path analysis): per user, each event
+    * paired with the next one in time via a window lead; transitions
+    * counted corpus-wide. The tie-break on event_id makes the sequence
+    * total, so both engines see identical successor pairs. One window
+    * (partitioned by user — parallel) plus one hash aggregation. */
+  val q71Transitions: Q = Q(
+    "q71_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, COUNT(*) AS n
+      |FROM seq
+      |WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "next_type")
+  }
+
+  val all: Seq[Q] = Seq(q66Funnel, q67Retention, q71Transitions)
 }
