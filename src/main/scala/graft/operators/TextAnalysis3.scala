@@ -301,6 +301,73 @@ object TextAnalysis3 {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model surprisal (the perplexity quality filter): a
+    * corpus-trained add-one-smoothed bigram LM scores each document by
+    * its average negative log-likelihood, nll = −(Σ ln p(wᵢ|wᵢ₋₁))/n —
+    * high scores flag gibberish, low scores boilerplate.
+    *
+    * Determinism: each probability is ONE division of two exact BIGINTs
+    * ((c_ab+1)/(c_a+V) — identical doubles on both engines), ln runs
+    * through [[graft.functions.PortableLn]] over the DISTINCT-bigram
+    * relation (vocab-bounded, not corpus-bounded), and the per-doc sum
+    * uses the same fixed-point 2^40 BIGINT trick as [[entropy]], so no
+    * cross-row double accumulation exists anywhere. At 100 TB: two
+    * count aggregations (map-combined), one vocab-sized ln relation
+    * joined back to the exploded corpus, one final hash agg. */
+  val perplexity: Q = Q(
+    "text_perplexity",
+    s"""WITH ws AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, UNNEST(w) AS tok FROM ws),
+       |uc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+       |vocab AS (SELECT COUNT(*) AS v FROM uc),
+       |dbg AS (SELECT doc_id, UNNEST(${duckRawShingles(2)}) AS bigram FROM ws),
+       |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM dbg GROUP BY bigram),
+       |ratio AS (
+       |  SELECT bc.bigram,
+       |    CAST(bc.c_ab + 1 AS DOUBLE) / CAST(uc.c + vocab.v AS DOUBLE) AS x
+       |  FROM bc
+       |  JOIN uc ON uc.tok = SPLIT_PART(bc.bigram, ' ', 1)
+       |  CROSS JOIN vocab),
+       |lp AS (${graft.functions.PortableLn.sqlStages(
+             "ratio", Seq("bigram"), "x", "lnp")}),
+       |terms AS (
+       |  SELECT dbg.doc_id,
+       |    CAST(FLOOR(lp.lnp * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t
+       |  FROM dbg JOIN lp ON lp.bigram = dbg.bigram),
+       |sums AS (SELECT doc_id, CAST(SUM(t) AS BIGINT) AS st, COUNT(*) AS n
+       |         FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n AS n_bigrams,
+       |  -((CAST(st AS DOUBLE) / $FixScale::DOUBLE) / n) AS nll
+       |FROM sums
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val toks = ws.select(col("doc_id"), explode(col("w")).as("tok"))
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocab = uc.agg(count(lit(1)).as("v"))
+    val dbg = ws.select(col("doc_id"),
+      explode(Dedup.shinglesFromWords(col("w"), 2)).as("bigram"))
+    val bc = dbg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val ratio = bc
+      .join(uc, uc("tok") === split_part(col("bigram"), lit(" "), lit(1)))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        ((col("c_ab") + 1).cast("double") / (col("c") + col("v")).cast("double"))
+          .as("x"))
+    val lp = graft.functions.PortableLn.withLn(ratio, "x", "lnp")
+      .select("bigram", "lnp")
+    // lp is vocab-bounded (distinct bigrams), corpus-independent growth —
+    // leave the join strategy to AQE (broadcast at test SF)
+    val terms = dbg.join(lp, "bigram")
+      .select(col("doc_id"),
+        floor(col("lnp") * lit(FixScale) + lit(0.5)).cast("long").as("t"))
+    terms.groupBy("doc_id")
+      .agg(sum("t").as("st"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n").as("n_bigrams"),
+        (-((col("st").cast("double") / lit(FixScale)) / col("n"))).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate, entropy,
-    keepList)
+    keepList, perplexity)
 }
