@@ -118,5 +118,53 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
-  val all: Seq[Q] = Seq(q66Funnel, q67Retention, q71Transitions)
+  /** Time-weighted average (monitoring/finance shape): each reading is
+    * weighted by how long it was current (ms until the user's next
+    * event; the last reading carries no duration). All accumulation is
+    * pure BIGINT fixed-point: values (≤4 decimals) become exact ×10⁴
+    * integers via floor(x·10⁴+0.5), durations are integer-divided to ms,
+    * and the weighted sum stays under 2^63 — the only floating steps are
+    * two single BIGINT→double casts and two divisions at the very end.
+    * (A DECIMAL formulation was 1 ulp off: DuckDB casts a >2^53-scaled
+    * decimal to double via int128→double→÷10⁴ — two roundings — while
+    * Spark converts the exact value once.) One window + one hash agg. */
+  val q72TimeWeighted: Q = Q(
+    "q72_time_weighted",
+    """WITH seq AS (
+      |  SELECT user_id, value, EPOCH_US(ts) AS t,
+      |    LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t_next
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    (t_next - t) // 1000 AS dur_ms
+      |  FROM seq WHERE t_next IS NOT NULL)
+      |SELECT user_id,
+      |  COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+      |  (CAST(CAST(SUM(v4 * dur_ms) AS BIGINT) AS DOUBLE) / 10000.0::DOUBLE)
+      |    / CAST(CAST(SUM(dur_ms) AS BIGINT) AS DOUBLE) AS twa
+      |FROM w
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t"),
+        lead(unix_micros(col("ts")), 1).over(win).as("t_next"))
+      .filter(col("t_next").isNotNull)
+      .select(col("user_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"),
+        expr("(t_next - t) div 1000").as("dur_ms"))
+    seq.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur_ms").as("total_ms"),
+        ((sum(col("v4") * col("dur_ms")).cast("double") / 10000.0) /
+          sum("dur_ms").cast("double")).as("twa"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q66Funnel, q67Retention, q71Transitions,
+    q72TimeWeighted)
 }
