@@ -165,6 +165,36 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Hopping (sliding) time windows — the overlapping-window batch shape
+    * of ST4: every event lands in 900s/300s = 3 windows, aggregated per
+    * (window start, event type). Spark's `window()` generator aligns
+    * starts to the epoch; the oracle derives the same 3 starts per event
+    * with integer arithmetic. Value sums stay in the dsum-safe decimal
+    * range. */
+  val q73HoppingWindows: Q = Q(
+    "q73_hopping_windows",
+    """WITH e AS (
+      |  SELECT event_type, value, EPOCH_US(ts) // 1000000 AS t_s
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, value,
+      |    ((t_s // 300) - UNNEST([0, 1, 2])) * 300 AS start_s
+      |  FROM e)
+      |SELECT MAKE_TIMESTAMP(start_s * 1000000) AS w_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+      |FROM x
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(val4(col("value"))).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_val"))
+      .orderBy("w_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q66Funnel, q67Retention, q71Transitions,
-    q72TimeWeighted)
+    q72TimeWeighted, q73HoppingWindows)
 }
