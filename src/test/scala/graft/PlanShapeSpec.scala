@@ -21,11 +21,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val allRelational =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
-      Relational5.all ++ TextAnalysis3.all ++
+      Relational5.all ++
       graft.operators.EventAnalytics.all ++
-      // q70's one-row max side is a deliberate broadcast scalar attach —
-      // the documented BNL exemption; everything else stays BNL-free
-      Relational6.all.filterNot(_.name == "q70_exchange_reuse")
+      // one-row broadcast scalar attaches (bounded by definition) are the
+      // documented BNL exemption: q70's max side, perplexity's vocab size
+      Relational6.all.filterNot(_.name == "q70_exchange_reuse") ++
+      TextAnalysis3.all.filterNot(_.name == "text_perplexity")
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
