@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
-      EventAnalytics.all ++ Cdc.all ++
+      Relational7.all ++ EventAnalytics.all ++ Cdc.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all
 
