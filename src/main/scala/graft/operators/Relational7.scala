@@ -94,5 +94,29 @@ object Relational7 {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(q74BitOps, q75Conditional2, q76CharFuncs)
+  /** Multiple DISTINCT aggregates over different columns in ONE
+    * aggregation — Catalyst rewrites this with an Expand (one row
+    * replica per distinct group), the standard single-pass plan; the
+    * alternative (N self-joined single-distinct aggs) rescans the fact
+    * table N times. */
+  val q77MultiDistinct: Q = Q(
+    "q77_multi_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT)) AS n_years,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(year(col("o_orderdate")).cast("bigint")).as("n_years"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(q74BitOps, q75Conditional2, q76CharFuncs,
+    q77MultiDistinct)
 }

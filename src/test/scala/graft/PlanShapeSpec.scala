@@ -26,6 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // one-row broadcast scalar attaches (bounded by definition) are the
       // documented BNL exemption: q70's max side, perplexity's vocab size
       Relational6.all.filterNot(_.name == "q70_exchange_reuse") ++
+      graft.operators.Relational7.all ++
       TextAnalysis3.all.filterNot(_.name == "text_perplexity")
 
   test("no relational query plans a cartesian product or BNL") {
