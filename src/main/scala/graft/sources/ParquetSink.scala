@@ -22,6 +22,27 @@ object ParquetSink {
       mode: String = "overwrite"): Unit =
     df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
 
+  /** Overwrite ONLY the partitions present in `df`, leaving the rest of
+    * the table untouched (dynamic partition overwrite). This is the
+    * production repair/backfill path: recompacting one day/table demux
+    * partition of a 100 TB lake must not truncate the other partitions,
+    * and must stay atomic per partition under retries. The session
+    * setting is scoped to the write and restored afterwards. */
+  def overwritePartitions(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }

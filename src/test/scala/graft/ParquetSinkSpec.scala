@@ -29,6 +29,23 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(back.columns.sorted === events.columns.sorted)
   }
 
+  test("dynamic partition overwrite touches only the written partitions") {
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/t"
+    Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(dir)
+    // rewrite ONLY p1 with one corrected row
+    ParquetSink.overwritePartitions(
+      Seq((9, "fixed", "p1")).toDF("id", "v", "part"), dir, Seq("part"))
+    val back = ParquetSink.readTable(spark, dir)
+      .select("id", "v", "part").as[(Int, String, String)].collect().toSet
+    // p1 replaced, p2 untouched (static overwrite would have dropped it)
+    assert(back === Set((9, "fixed", "p1"), (3, "c", "p2")))
+    // the session setting is restored
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
+
   test("stream → changelog parquet → compaction → state (full loop)") {
     implicit val ctx = spark.sqlContext
     import graft.sources.Compaction
