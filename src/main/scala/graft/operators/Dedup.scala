@@ -373,11 +373,13 @@ object Dedup {
       // chain needs — O(log diameter) instead of O(diameter). Renamed
       // projection avoids self-join attribute ambiguity.
       val reps = merged.select(col("id").as("rep_key"), col("rep_id").as("rep_rep"))
+      // lazy checkpoint: the convergence count below is the action that
+      // materializes it — one job per round instead of two
       val next = merged
         .join(reps, col("rep_id") === col("rep_key"), "left")
         .select(col("id"),
           coalesce(col("rep_rep"), col("rep_id")).as("rep_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.as("n").join(labels.as("o"), Seq("id"))
         .filter(col("n.rep_id") =!= col("o.rep_id")).count()
       labels.unpersist() // drop the superseded generation's blocks
