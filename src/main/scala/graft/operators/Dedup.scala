@@ -411,6 +411,50 @@ object Dedup {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs,
+  /** Fuzzy dedup by edit distance — candidate-then-verify with
+    * Levenshtein as the verifier: candidates are pairs sharing ≥3
+    * distinct 3-gram shingles (inverted-index hash join, never
+    * all-pairs), and only those pairs pay the O(len²) edit-distance
+    * computation. The keep rule is pure integer arithmetic
+    * (10·ed ≤ 3·max(len) — i.e. relative distance ≤ 0.3), so both
+    * engines agree exactly. Both engines implement classic unit-cost
+    * Levenshtein. */
+  val editDistance: Q = Q(
+    "dedup_edit_distance",
+    s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+       |ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 3)
+       |SELECT c.a_id, c.b_id,
+       |  CAST(LEVENSHTEIN(da.text, db.text) AS BIGINT) AS ed
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.a_id
+       |JOIN documents db ON db.doc_id = c.b_id
+       |WHERE 10 * LEVENSHTEIN(da.text, db.text)
+       |      <= 3 * GREATEST(LENGTH(da.text), LENGTH(db.text))
+       |ORDER BY c.a_id, c.b_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val sh = shingleRows(docs)
+    val a = sh.as("a"); val b = sh.as("b")
+    val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select("a_id", "b_id")
+    val ed = levenshtein(col("da.text"), col("db.text"))
+    cand
+      .join(docs.as("da"), col("a_id") === col("da.doc_id"))
+      .join(docs.as("db"), col("b_id") === col("db.doc_id"))
+      .filter(lit(10) * ed <= lit(3) *
+        greatest(length(col("da.text")), length(col("db.text"))))
+      .select(col("a_id"), col("b_id"), ed.cast("bigint").as("ed"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs, editDistance,
     embeddingCosine, components)
 }
