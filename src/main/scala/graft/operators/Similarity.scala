@@ -315,6 +315,55 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** Matryoshka-style two-stage retrieval: shortlist by cosine over the
+    * FIRST 16 dimensions (4× cheaper per comparison, the MRL trick of
+    * prefix-truncated embeddings), then exact full-dimension re-rank of
+    * the 20-candidate shortlist. Both stages are sequential-fold doubles
+    * with total tie-breaks, so the result is deterministic and
+    * oracle-exact — unlike LSH, the shortlist rule itself is exact, so
+    * this variant gets a full hash check, not just a recall spec. */
+  val matryoshka: Q = Q(
+    "sim_matryoshka",
+    s"""WITH s1 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    q.embedding AS qe, c.embedding AS ce,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosine("q.embedding", "c.embedding", 16)} DESC,
+       |        c.vec_id) AS prank
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT q_id, n_id, ${duckCosine("qe", "ce", EmbDim)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${duckCosine("qe", "ce", EmbDim)} DESC, n_id) AS rank
+       |  FROM s1 WHERE prank <= 20)
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val pre = 16
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm(slice(col("embedding"), 1, pre)).as("pn"),
+      norm(col("embedding")).as("fn"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("pn").as("q_pn"), col("fn").as("q_fn"))
+    val wPre = Window.partitionBy("q_id").orderBy(col("psim").desc, col("n_id"))
+    val wFull = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        col("pn").as("c_pn"), col("fn").as("c_fn"))
+      .join(broadcast(queries), col("n_id") =!= col("q_id"))
+      .withColumn("psim",
+        dot(slice(col("q_emb"), 1, pre), slice(col("c_emb"), 1, pre)) /
+          (col("q_pn") * col("c_pn")))
+      .withColumn("prank", row_number().over(wPre))
+      .filter(col("prank") <= 20)
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_fn") * col("c_fn")))
+      .withColumn("rank", row_number().over(wFull).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, normalizeVectors,
-    embStats, quantizeSq8, labelCentroids)
+    embStats, quantizeSq8, labelCentroids, matryoshka)
 }
