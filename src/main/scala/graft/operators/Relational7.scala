@@ -117,6 +117,32 @@ object Relational7 {
       .orderBy("o_orderpriority")
   }
 
+  /** Recursive CTE (hierarchy walk — Spark 4 finally speaks WITH
+    * RECURSIVE): each seed key walks its binary-ancestor chain
+    * k → ⌊k/2⌋ down to 1, aggregating depth and path sum. One SQL text
+    * runs on both engines; the halving is FLOOR(k/2.0) because bare
+    * integer `/` differs across engines (DuckDB yields DOUBLE). The
+    * iterative-DataFrame twin of this shape is
+    * [[Dedup.connectedComponents]]. */
+  val q78RecursiveCte: Q = {
+    val sql =
+      """WITH RECURSIVE chain(start_key, k, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 50
+        |  UNION ALL
+        |  SELECT start_key, CAST(FLOOR(k / 2.0) AS BIGINT), depth + 1
+        |  FROM chain WHERE k > 1)
+        |SELECT start_key,
+        |  CAST(MAX(depth) AS BIGINT) AS chain_len,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM chain
+        |GROUP BY start_key
+        |ORDER BY start_key""".stripMargin
+    Q("q78_recursive_cte", sql) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(q74BitOps, q75Conditional2, q76CharFuncs,
-    q77MultiDistinct)
+    q77MultiDistinct, q78RecursiveCte)
 }
