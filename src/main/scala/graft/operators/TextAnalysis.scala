@@ -188,5 +188,47 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, frequentTokens)
+  /** Language-ID evaluation: confusion matrix of predicted vs labeled
+    * language — the model-eval surface of the pipeline (precision/recall
+    * per class fall straight out of these counts). Reuses the exact
+    * scoring/argmax of [[langId]]. */
+  val langIdEval: Q = {
+    val duckScores = langProfiles
+      .map { case (l, p) => s"  ${duckProfileHits(p)} AS s_$l" }
+      .mkString(",\n")
+    val duckCase = langProfiles
+      .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+      .mkString(" ")
+    Q(
+      "text_langid_eval",
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |$duckScores
+         |FROM documents),
+         |pred AS (
+         |  SELECT doc_id, lang, CASE $duckCase END AS pred_lang
+         |  FROM (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m
+         |        FROM scored))
+         |SELECT lang AS actual, pred_lang AS predicted, COUNT(*) AS n
+         |FROM pred
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      val scored = documents(s, d).select(
+        col("doc_id") +: col("lang") +: langProfiles.map { case (l, p) =>
+          profileHits(ws, p).as(s"s_$l")
+        }: _*)
+      val m = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = langProfiles.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, _)) =>
+          when(acc.isNotNull, acc).otherwise(when(col(s"s_$l") === m, l))
+      }
+      scored.select(col("lang").as("actual"), pred.as("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    }
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, langIdEval, fingerprint,
+    frequentTokens)
 }
