@@ -25,16 +25,28 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The full per-query map (119 entries) makes a >3 KB line that
+    // overflows the driver's stdout tail capture (BENCH_r02 recorded
+    // "parsed": null). Print a compact line — total + headline subset —
+    // and write the complete map to bench_last.json.
+    val headline = Set(
+      "q01_pricing_summary", "q03_revenue_by_region", "q08_topk_per_group",
+      "q22_asof_join", "q46_salted_join", "dedup_minhash_lsh",
+      "dedup_components", "sim_topk_cosine", "sim_ann_ivf",
+      "text_bm25", "text_tfidf", "q66_funnel")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     println(line)
     System.out.flush()

@@ -139,11 +139,14 @@ object Relational4 {
     * algorithm-specific → rows-only driver check; the spec bounds the
     * rank error against the exact values. */
   val q52ApproxQuantile: Q = Q.noOracle("q52_approx_quantile") { (s, d) =>
+    // scalar columns (not an array) so the driver's rows-only check can
+    // sort the output — pandas cannot sort ndarray-valued cells
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-          .as("price_quantiles"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("price_p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("price_p99"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
       .orderBy("l_returnflag")
   }
@@ -175,26 +178,39 @@ object Relational4 {
       .orderBy("o_orderkey")
   }
 
-  /** Exact decimal money arithmetic: +, −, × over DECIMAL(18,2) with
-    * pinned result types — the engines' implicit result-scale rules
-    * differ, so every result is cast to an explicit precision/scale
-    * (exact in both, no float drift). */
+  /** Exact decimal money arithmetic: +, −, × over DECIMAL with pinned
+    * result types. The inputs are parquet DOUBLEs, and a direct
+    * double→decimal CAST is NOT portable (Spark rounds the shortest
+    * string repr HALF_UP; DuckDB rounds the binary value), so the
+    * decimalization step is the portable fixed-point idiom
+    * `floor(x·100 + 0.5)` — identical IEEE ops on both engines — and
+    * everything after is exact integer/decimal arithmetic. */
   val q54DecimalMath: Q = Q(
     "q54_decimal_math",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS add2,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS sub2,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS mul4
-      |FROM lineitem
+      |  CAST((pc + tc) * 0.01 AS DECIMAL(20,2)) AS add2,
+      |  CAST((pc - dc) * 0.01 AS DECIMAL(20,2)) AS sub2,
+      |  CAST((pc * dc) * 0.0001 AS DECIMAL(30,4)) AS mul4
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+      |        CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tc,
+      |        CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dc
+      |      FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val tax = col("l_tax").cast("decimal(18,2)")
-    val disc = col("l_discount").cast("decimal(18,2)")
-    lineitem(s, d).select(
+    def cents(c: Column): Column =
+      floor(c * lit(100d) + lit(0.5d)).cast("bigint")
+    val tick2 = lit(BigDecimal("0.01"))
+    val tick4 = lit(BigDecimal("0.0001"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("pc"),
+        cents(col("l_tax")).as("tc"),
+        cents(col("l_discount")).as("dc"))
+      .select(
         col("l_orderkey"), col("l_linenumber"),
-        (price + tax).cast("decimal(20,2)").as("add2"),
-        (price - disc).cast("decimal(20,2)").as("sub2"),
-        (price * disc).cast("decimal(30,4)").as("mul4"))
+        ((col("pc") + col("tc")) * tick2).cast("decimal(20,2)").as("add2"),
+        ((col("pc") - col("dc")) * tick2).cast("decimal(20,2)").as("sub2"),
+        ((col("pc") * col("dc")) * tick4).cast("decimal(30,4)").as("mul4"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
