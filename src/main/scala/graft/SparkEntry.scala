@@ -16,8 +16,10 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
-      Relational7.all ++ EventAnalytics.all ++ Cdc.all ++
-      TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++ Dedup.all ++
+      Relational7.all ++ Relational8.all ++ EventAnalytics.all ++
+      EventAnalytics2.all ++ Cdc.all ++ Scd.all ++
+      TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
+      TextAnalysis4.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** The warehouse layer DOWNSTREAM of the CDC stream (SURVEY.md §2.4): the
+  * reference lands upserted state in ClickHouse; real deployments then
+  * derive history tables, snapshot diffs, and delivery audits from that
+  * changelog. Batch-shaped here (the events table doubles as the
+  * changelog: key = user_id, attribute = event_type, version = ts,
+  * event_id), reusable unchanged inside foreachBatch.
+  */
+object Scd {
+
+  /** SCD Type-2 dimension build: collapse the changelog to CHANGE rows
+    * (runs of the same attribute value merge), then validity intervals
+    * [eff_from, eff_to) via LEAD, open-ended for the current row.
+    *
+    * Scale: both windows partition by the key — ONE hash shuffle on
+    * user_id feeds both passes (Catalyst reuses the exchange); no global
+    * sort, no self-join. This is the minimal-movement SCD2 plan at any
+    * data size.
+    */
+  def scd2(changelog: DataFrame, key: String, attr: String,
+      version: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version.map(col): _*)
+    changelog
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+      .withColumn("eff_from", col(version.head))
+      .withColumn("eff_to", lead(col(version.head), 1).over(w))
+      .withColumn("is_current", col("eff_to").isNull)
+      .drop("__prev")
+  }
+
+  val scd2History: Q = Q(
+    "cdc_scd2_history",
+    """SELECT user_id, event_type, eff_from, eff_to, eff_to IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, event_type, ts AS eff_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+      |  FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events)
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |ORDER BY user_id, eff_from""".stripMargin) { (s, d) =>
+    scd2(events(s, d), "user_id", "event_type", Seq("ts", "event_id"))
+      .select("user_id", "event_type", "eff_from", "eff_to", "is_current")
+      .orderBy("user_id", "eff_from")
+  }
+
+  /** Snapshot diff (change-data-feed between two as-of states): the
+    * materialized state at T1 vs at T2, classified per key as
+    * c(reate)/u(pdate)/d(elete). 'error' rows act as tombstones, exactly
+    * like [[Cdc.materialize]].
+    *
+    * Scale: each side is one latest-per-key window over a filtered scan;
+    * both shuffles hash on user_id, so the FULL OUTER join that follows
+    * is co-partitioned — Catalyst plans it without a third exchange.
+    */
+  def snapshotDiff(changelog: DataFrame, key: String, version: Seq[Column],
+      tombstone: Column, t1: Column, t2: Column, ts: Column): DataFrame = {
+    def stateAt(cut: Column): DataFrame =
+      Cdc.materialize(changelog.filter(ts < cut), Seq(key), version, tombstone)
+    val s1 = stateAt(t1).select(col(key), col("event_id").as("old_event_id"))
+    val s2 = stateAt(t2).select(col(key), col("event_id").as("new_event_id"))
+    s1.join(s2, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("old_event_id").isNull, "c")
+          .when(col("new_event_id").isNull, "d")
+          .otherwise("u"))
+      .filter(col("op") =!= "u" || col("old_event_id") =!= col("new_event_id"))
+  }
+
+  val snapshotDiffQ: Q = Q(
+    "cdc_snapshot_diff",
+    """WITH s1 AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |s2 AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-31 00:00:00')
+      |  WHERE rn = 1 AND event_type <> 'error')
+      |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+      |  s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+      |  CASE WHEN s1.user_id IS NULL THEN 'c'
+      |       WHEN s2.user_id IS NULL THEN 'd' ELSE 'u' END AS op
+      |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+      |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+      |   OR s1.event_id <> s2.event_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    snapshotDiff(events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")),
+        tombstone = col("event_type") === "error",
+        t1 = lit("2024-01-16 00:00:00").cast("timestamp"),
+        t2 = lit("2024-01-31 00:00:00").cast("timestamp"),
+        ts = col("ts"))
+      .select("user_id", "old_event_id", "new_event_id", "op")
+      .orderBy("user_id")
+  }
+
+  /** Delivery-gap audit (S2's bounded-replay counterpart): which sequence
+    * ids are missing from a changelog whose ids should be dense? A lost
+    * micro-batch shows up as a run of absent ids. A deterministic
+    * synthetic loss (event_id ≡ 13 mod 97) stands in for the dropped
+    * delivery.
+    *
+    * Scale: the run-start probe `id+1 NOT IN ids` is a broadcast-free
+    * shuffled LEFT ANTI self-join on the id — fully distributed, unlike
+    * the textbook global-ORDER-BY-LEAD formulation whose unpartitioned
+    * window would serialize 100 TB through one task.
+    */
+  val gapAudit: Q = Q(
+    "cdc_gap_audit",
+    """WITH delivered AS (SELECT event_id FROM events WHERE event_id % 97 <> 13),
+      |mx AS (SELECT MAX(event_id) AS m FROM delivered)
+      |SELECT d.event_id + 1 AS gap_start
+      |FROM delivered d, mx
+      |WHERE d.event_id + 1 NOT IN (SELECT event_id FROM delivered)
+      |  AND d.event_id < mx.m
+      |ORDER BY gap_start""".stripMargin) { (s, d) =>
+    val delivered = events(s, d).select("event_id")
+      .filter(col("event_id") % 97 =!= 13)
+    val mx = delivered.agg(max("event_id").as("m"))
+    delivered
+      .select((col("event_id") + 1).as("gap_start"))
+      .join(delivered, col("gap_start") === col("event_id"), "left_anti")
+      .join(broadcast(mx), col("gap_start") <= col("m"))
+      .select("gap_start")
+      .orderBy("gap_start")
+  }
+
+  val all: Seq[Q] = Seq(scd2History, snapshotDiffQ, gapAudit)
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** Fourth text-curation batch: corpus-statistics operators a training-data
+  * pipeline runs before/after filtering — length-outlier trimming,
+  * vocabulary-growth (Heaps-law) curves, and deterministic top-k n-gram
+  * tables. All token work reuses the shingle utilities in [[Dedup]]. */
+object TextAnalysis4 {
+
+  /** Length-outlier filter: drop documents outside the [p5, p95] length
+    * band — the first knob every curation pipeline turns. The two
+    * percentile scalars come from one aggregate over the (pushed-down)
+    * length column and attach as a one-row broadcast — the documented
+    * bounded scalar-attach shape, not a data-volume join. */
+  val lengthFilter: Q = Q(
+    "text_length_filter",
+    """WITH bounds AS (
+      |  SELECT QUANTILE_CONT(n_chars, 0.05) AS p_lo,
+      |         QUANTILE_CONT(n_chars, 0.95) AS p_hi
+      |  FROM documents)
+      |SELECT d.doc_id, d.n_chars, b.p_lo, b.p_hi
+      |FROM documents d, bounds b
+      |WHERE d.n_chars >= b.p_lo AND d.n_chars <= b.p_hi
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("p_lo"),
+      expr("percentile(n_chars, 0.95)").as("p_hi"))
+    docs.join(broadcast(bounds),
+        col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+      .select("doc_id", "n_chars", "p_lo", "p_hi")
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary growth (Heaps' law curve): tokens are attributed to the
+    * first document (by doc_id) that introduces them; the running sum
+    * over per-doc counts is the corpus vocabulary size after each doc.
+    * The distinct-token shuffle happens ONCE (hash agg on token); the
+    * cumulative window runs over the per-doc aggregate — thousands of
+    * rows, not the token stream. */
+  val vocabGrowth: Q = Q(
+    "text_vocab_growth",
+    """WITH first_seen AS (
+      |  SELECT w, MIN(doc_id) AS doc_id FROM (
+      |    SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
+      |    FROM documents) GROUP BY w),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS new_tokens FROM first_seen GROUP BY 1)
+      |SELECT doc_id, new_tokens,
+      |  CAST(SUM(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_tokens"))
+    perDoc.select(col("doc_id"), col("new_tokens"),
+        sum("new_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint").as("vocab_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus top-k n-gram table (trigram counts with a fully deterministic
+    * tie-break): count DESC, then gram ASC, LIMIT 50 — plans as
+    * TakeOrderedAndProject over the hash aggregate, a k-row driver merge
+    * with no global sort. */
+  val ngramTopk: Q = Q(
+    "text_ngram_topk",
+    """SELECT gram, COUNT(*) AS n FROM (
+      |  SELECT UNNEST(CASE WHEN LEN(w) < 3 THEN []::VARCHAR[]
+      |    ELSE LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END) AS gram
+      |  FROM (SELECT STRING_SPLIT(TRIM(text), ' ') AS w FROM documents))
+      |GROUP BY gram
+      |ORDER BY n DESC, gram
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(explode(
+        Dedup.shinglesFromWords(split(trim(col("text")), " "), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk)
+}

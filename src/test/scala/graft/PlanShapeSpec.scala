@@ -27,7 +27,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // documented BNL exemption: q70's max side, perplexity's vocab size
       Relational6.all.filterNot(_.name == "q70_exchange_reuse") ++
       graft.operators.Relational7.all ++
-      TextAnalysis3.all.filterNot(_.name == "text_perplexity")
+      graft.operators.Relational8.all ++
+      graft.operators.EventAnalytics2.all ++
+      // cdc_gap_audit and text_length_filter attach one-row aggregates
+      // (max id / percentile bounds) — the same documented exemption
+      graft.operators.Scd.all.filterNot(_.name == "cdc_gap_audit") ++
+      TextAnalysis3.all.filterNot(_.name == "text_perplexity") ++
+      graft.operators.TextAnalysis4.all.filterNot(_.name == "text_length_filter")
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
@@ -61,6 +67,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"aggregation exchange not reused:\n$plan")
+  }
+
+  test("q84 bucketed join is exchange-free on both join inputs") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    // disable broadcast so the join must use the bucketed layout
+    spark.conf.set(key, "-1")
+    try {
+      val df = graft.operators.Relational8.q84BucketedJoin
+        .run(spark, TestSpark.tiny)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the only shuffle is the 5-row post-join aggregation (+ the
+      // ordered output); the join itself reads buckets directly
+      val joinPart = plan.split("SortMergeJoin").last
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join still shuffles its inputs:\n$plan")
+    } finally spark.conf.set(key, prev)
   }
 
   test("q41 global top-k plans TakeOrderedAndProject") {
