@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -445,16 +446,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .select("a_id", "b_id")
-    val ed = levenshtein(col("da.text"), col("db.text"))
     cand
       .join(docs.as("da"), col("a_id") === col("da.doc_id"))
       .join(docs.as("db"), col("b_id") === col("db.doc_id"))
-      .filter(lit(10) * ed <= lit(3) *
+      // materialize the O(len²) distance once — referencing the
+      // expression in both filter and projection would evaluate it twice
+      .withColumn("__ed", levenshtein(col("da.text"), col("db.text")))
+      .filter(lit(10) * col("__ed") <= lit(3) *
         greatest(length(col("da.text")), length(col("db.text"))))
-      .select(col("a_id"), col("b_id"), ed.cast("bigint").as("ed"))
+      .select(col("a_id"), col("b_id"), col("__ed").cast("bigint").as("ed"))
       .orderBy("a_id", "b_id")
   }
 
+  /** The dedup DELIVERABLE: a per-document keep/drop decision. Every
+    * document gets a cluster id (its near-dup component's representative,
+    * or itself when it has no near-dups); within each cluster the longest
+    * document wins (ties → smallest doc_id) — the usual "keep the most
+    * complete copy" curation rule. Downstream training jobs filter on
+    * `keep`. Costs one extra window over the per-document cluster
+    * assignment on top of the component computation. */
+  val keepCanonical: Q = Q(
+    "dedup_keep_canonical",
+    s"""WITH RECURSIVE jp AS ($duckJaccardPairs),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep_id
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, COALESCE(l.rep_id, d.doc_id) AS cluster,
+       |  ROW_NUMBER() OVER (PARTITION BY COALESCE(l.rep_id, d.doc_id)
+       |    ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+       |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val labels = connectedComponents(jaccardPairs(docs))
+    val clustered = docs
+      .join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("cluster"),
+        col("n_chars"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "keep")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs, editDistance,
-    embeddingCosine, components)
+    embeddingCosine, components, keepCanonical)
 }

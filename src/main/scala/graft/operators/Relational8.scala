@@ -34,13 +34,15 @@ object Relational8 {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
-  /** Bucketed co-located join (R2's at-rest form): orders and customer
-    * written `bucketBy(8, custkey)` + sorted, then joined bucket-to-bucket
-    * with NO exchange on either side — the physical layout IS the
-    * partitioning, which at 100 TB turns every repeated fact⋈dim join on
-    * the bucket key into a zero-shuffle merge. The write happens once per
-    * session per scale factor (first call lays the tables down; reruns
-    * hit the catalog). `PlanShapeSpec` asserts the exchange-free plan.
+  /** Bucketed co-located join as a DRIVER-CHECKED query (the registry
+    * face of [[graft.sources.Bucketing]], whose spec already asserts the
+    * zero-Exchange plan): orders and customer land `bucketBy(8, custkey)`
+    * + sorted, then join bucket-to-bucket with no exchange on either
+    * side — the physical layout IS the partitioning, which at 100 TB
+    * turns every repeated fact⋈dim join on the bucket key into a
+    * zero-shuffle merge. The write happens once per session per scale
+    * factor (first call lays the tables down; reruns hit the catalog).
+    * `PlanShapeSpec` asserts the exchange-free join subtree here too.
     */
   val q84BucketedJoin: Q = Q(
     "q84_bucketed_join",
@@ -63,10 +65,8 @@ object Relational8 {
         val p = new org.apache.hadoop.fs.Path(wh, t)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable(oTbl)
-      customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable(cTbl)
+      graft.sources.Bucketing.writeBucketed(orders(s, d), oTbl, "o_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(customer(s, d), cTbl, "c_custkey", 8)
     }
     val o = s.table(oTbl); val c = s.table(cTbl)
     o.join(c, col("c_custkey") === col("o_custkey"))
