@@ -20,7 +20,7 @@ object SparkEntry {
       EventAnalytics2.all ++ Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all
+      Similarity.all ++ Similarity2.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
