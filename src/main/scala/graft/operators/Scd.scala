@@ -140,5 +140,68 @@ object Scd {
       .orderBy("gap_start")
   }
 
-  val all: Seq[Q] = Seq(scd2History, snapshotDiffQ, gapAudit)
+  /** Referential-integrity audit over the landed tables: orphaned
+    * foreign keys per relationship — the CDC-lake health check that
+    * catches out-of-order table snapshots or dropped deliveries (a child
+    * row landing before/without its parent). Each relationship is one
+    * LEFT ANTI join (hash, broadcast when the parent is a dim) feeding a
+    * single-row count; the union of per-relationship summaries is
+    * constant-size regardless of data volume. */
+  val fkAudit: Q = Q(
+    "cdc_fk_audit",
+    """SELECT rel, n_orphans FROM (
+      |  SELECT 'orders->customer' AS rel, COUNT(*) AS n_orphans
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', COUNT(*)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'customer->nation', COUNT(*)
+      |  FROM customer c WHERE NOT EXISTS
+      |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |ORDER BY rel""".stripMargin) { (s, d) =>
+    def orphans(rel: String, child: org.apache.spark.sql.DataFrame,
+        parent: org.apache.spark.sql.DataFrame,
+        childKey: String, parentKey: String) =
+      child.join(parent, col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("rel"), col("n_orphans"))
+    orphans("orders->customer", orders(s, d), customer(s, d),
+        "o_custkey", "c_custkey")
+      .unionAll(orphans("lineitem->orders", lineitem(s, d), orders(s, d),
+        "l_orderkey", "o_orderkey"))
+      .unionAll(orphans("customer->nation", customer(s, d),
+        broadcast(nation(s, d)), "c_nationkey", "n_nationkey"))
+      .orderBy("rel")
+  }
+
+  /** Stream-freshness report: per event type, last-seen time and lag
+    * behind the freshest record anywhere — the monitoring query a CDC
+    * operator alarms on. One hash aggregate; the global max attaches as
+    * a one-row broadcast; lag stays exact µs integers. */
+  val freshness: Q = Q(
+    "cdc_freshness",
+    """WITH per_type AS (
+      |  SELECT event_type, COUNT(*) AS n, MAX(ts) AS last_seen
+      |  FROM events GROUP BY 1),
+      |head AS (SELECT MAX(last_seen) AS head_ts FROM per_type)
+      |SELECT event_type, n, last_seen,
+      |  EPOCH_US(head_ts) - EPOCH_US(last_seen) AS lag_us
+      |FROM per_type, head
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val perType = events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("ts").as("last_seen"))
+    val head = perType.agg(max("last_seen").as("head_ts"))
+    perType.crossJoin(broadcast(head))
+      .select(col("event_type"), col("n"), col("last_seen"),
+        (unix_micros(col("head_ts")) - unix_micros(col("last_seen")))
+          .as("lag_us"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(scd2History, snapshotDiffQ, gapAudit, fkAudit,
+    freshness)
 }

@@ -88,5 +88,38 @@ object TextAnalysis4 {
       .limit(50)
   }
 
-  val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk)
+  /** Budget-constrained corpus selection: fill a per-language token
+    * budget greedily by priority (longest documents first, doc_id
+    * tie-break) — the "assemble N tokens of training data per language"
+    * step. A document is taken while the budget is not yet exhausted
+    * BEFORE it (strictly-preceding cumulative sum), so the budget can
+    * overshoot by at most one document — the standard greedy-fill
+    * contract. One shuffle on lang; the running sum partitions by lang
+    * too, so both land in the same exchange. */
+  val budgetSample: Q = Q(
+    "text_budget_sample",
+    """SELECT doc_id, lang, n_tokens, taken_before FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY n_tokens DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS taken_before
+      |  FROM (SELECT doc_id, lang,
+      |          CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |WHERE taken_before < 2000
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("taken_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("taken_before") < 2000)
+      .select("doc_id", "lang", "n_tokens", "taken_before")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk, budgetSample)
 }

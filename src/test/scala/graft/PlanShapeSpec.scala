@@ -29,9 +29,11 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.operators.Relational7.all ++
       graft.operators.Relational8.all ++
       graft.operators.EventAnalytics2.all ++
-      // cdc_gap_audit and text_length_filter attach one-row aggregates
-      // (max id / percentile bounds) — the same documented exemption
-      graft.operators.Scd.all.filterNot(_.name == "cdc_gap_audit") ++
+      // cdc_gap_audit/cdc_freshness/text_length_filter attach one-row
+      // aggregates (max id / head ts / percentile bounds) — the same
+      // documented exemption
+      graft.operators.Scd.all.filterNot(q =>
+        Set("cdc_gap_audit", "cdc_freshness")(q.name)) ++
       TextAnalysis3.all.filterNot(_.name == "text_perplexity") ++
       graft.operators.TextAnalysis4.all.filterNot(_.name == "text_length_filter")
 
