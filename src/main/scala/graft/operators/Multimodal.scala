@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -206,5 +207,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, featureStub, mediaHeaders, bmpPixels)
+  /** Audio-side header analytics: build a canonical RIFF/WAVE header per
+    * row (seed-derived sample rate and channel count, little-endian
+    * fields assembled in-engine), parse the rate back with the codegen'd
+    * header walker, and derive the per-sample-rate corpus profile. The
+    * oracle recomputes from the generating formula — independent of
+    * builder AND parser, so an endianness slip on either side
+    * hash-mismatches. */
+  val wavStats: Q = Q(
+    "mm_wav_stats",
+    """SELECT sample_rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+      |  CAST(SUM(n_samples) AS DOUBLE) / sample_rate / COUNT(*)
+      |    AS avg_duration_s
+      |FROM (SELECT doc_id,
+      |        8000 + (doc_id % 8) * 4000 AS sample_rate,
+      |        4000 + (doc_id % 11) * 1000 AS n_samples
+      |      FROM documents)
+      |GROUP BY sample_rate
+      |ORDER BY sample_rate""".stripMargin) { (s, d) =>
+    import graft.functions.MediaHeaders
+    // little-endian 32-bit hex of an int column (RIFF fields are LE)
+    def le32hex(x: Column): Column = concat(
+      lpad(hex(x % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 256).cast("long") % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 65536).cast("long") % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 16777216).cast("long") % 256), 2, "0"))
+    val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+    val wav = unhex(concat(
+      lit("52494646"),           // "RIFF"
+      le32hex(lit(36)),          // chunk size (header-only build)
+      lit("57415645"),           // "WAVE"
+      lit("666D7420"),           // "fmt "
+      le32hex(lit(16)),          // fmt chunk size
+      lit("0100"),               // PCM
+      lit("0100"),               // mono
+      le32hex(rate)))            // sample rate, LE at offset 24
+    documents(s, d)
+      .select(col("doc_id"), wav.as("media"),
+        (lit(4000L) + (col("doc_id") % 11) * 1000L).as("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        MediaHeaders.wavRate(col("media")).cast("bigint").as("sample_rate"))
+      .groupBy("sample_rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_samples").cast("bigint").as("total_samples"),
+        // rate is constant per group → exact BIGINT sum, then two double
+        // divisions in fixed order (order-independent, oracle-exact)
+        (sum("n_samples").cast("double") / col("sample_rate") /
+          count(lit(1))).as("avg_duration_s"))
+      .orderBy("sample_rate")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, featureStub, mediaHeaders, bmpPixels,
+    wavStats)
 }

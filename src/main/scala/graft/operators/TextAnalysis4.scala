@@ -121,5 +121,35 @@ object TextAnalysis4 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk, budgetSample)
+  /** Data-mixture report: per (source, lang) document and token counts
+    * plus each cell's share of the corpus token total — the table every
+    * training run starts from when weighting sources. Counts stay exact
+    * BIGINTs through the window total; the one share division is
+    * mirrored verbatim. Window runs over the ~|sources|·|langs| cells,
+    * never the corpus. */
+  val mixtureReport: Q = Q(
+    "text_mixture_report",
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) /
+      |    CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+      |FROM cells
+      |ORDER BY source, lang""".stripMargin) { (s, d) =>
+    val cells = documents(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), " ")))
+          .cast("bigint").as("n_tokens"))
+    cells.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          sum("n_tokens").over(Window.partitionBy()).cast("double"))
+          .as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk, budgetSample,
+    mixtureReport)
 }
