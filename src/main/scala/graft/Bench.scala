@@ -9,6 +9,15 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // mllib class-loading costs ~4 s once per JVM; without this it
+      // lands on whichever k-means query (IVF/PQ ANN) runs first
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      new KMeans().setK(2).setSeed(1).setMaxIter(1).setFeaturesCol("f")
+        .fit(spark.range(16).selectExpr(
+          "array(cast(id as float), cast(id % 3 as float)) as a")
+          .select(array_to_vector(org.apache.spark.sql.functions.col("a"))
+            .as("f")))
     } catch { case _: Throwable => () }
     val pattern = args.headOption.getOrElse(".*")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

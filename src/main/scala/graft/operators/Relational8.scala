@@ -76,5 +76,65 @@ object Relational8 {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(q83RankWithTies, q84BucketedJoin)
+  /** Interval-overlap self-join, partitioned by a carrying key: pairs of
+    * a customer's 7-day order windows that overlap. The equi-key join
+    * (custkey) carries the quadratic part — per-customer order counts
+    * are bounded (tens), so each key's pair space is tiny while the
+    * plan stays a plain hash join at any corpus size; there is NO
+    * unkeyed interval join here. Exact date arithmetic throughout. */
+  val q85IntervalOverlap: Q = Q(
+    "q85_interval_overlap",
+    """SELECT a.o_custkey AS custkey,
+      |  a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+      |  CAST(DATE_DIFF('day', b.o_orderdate, a.o_orderdate + INTERVAL 7 DAY) AS BIGINT)
+      |    AS overlap_days
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND a.o_orderkey < b.o_orderkey
+      | AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+      | AND a.o_orderdate <= b.o_orderdate
+      |ORDER BY custkey, a_key, b_key""".stripMargin) { (s, d) =>
+    val a = orders(s, d).as("a"); val b = orders(s, d).as("b")
+    a.join(b,
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          col("b.o_orderdate") < col("a.o_orderdate") + expr("INTERVAL 7 DAY") &&
+          col("a.o_orderdate") <= col("b.o_orderdate"))
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("a_key"), col("b.o_orderkey").as("b_key"),
+        datediff(col("a.o_orderdate") + expr("INTERVAL 7 DAY"),
+          col("b.o_orderdate")).cast("bigint").as("overlap_days"))
+      .orderBy("custkey", "a_key", "b_key")
+  }
+
+  /** Period-over-period reporting: monthly revenue with absolute and
+    * relative month-over-month change. Revenue stays exact DECIMAL into
+    * the LAG; the single relative-change division is the only float op,
+    * mirrored verbatim. Window runs over the per-month aggregate. */
+  val q86PeriodOverPeriod: Q = Q(
+    "q86_period_over_period",
+    """WITH monthly AS (
+      |  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+      |  CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) /
+      |    CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_pct
+      |FROM monthly
+      |ORDER BY month""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("month")
+    val monthly = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    monthly.select(col("month"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev") - lag("rev", 1).over(w)).cast("double").as("mom_delta"),
+        ((col("rev") - lag("rev", 1).over(w)).cast("double") /
+          lag("rev", 1).over(w).cast("double")).as("mom_pct"))
+      .orderBy("month")
+  }
+
+  val all: Seq[Q] = Seq(q83RankWithTies, q84BucketedJoin, q85IntervalOverlap,
+    q86PeriodOverPeriod)
 }
