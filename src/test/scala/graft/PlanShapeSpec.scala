@@ -90,6 +90,28 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q79 sessionization hash-shuffles on user_id exactly once") {
+    // LAG break-marking and running-SUM numbering both partition by
+    // user_id — the doc promises one exchange feeds both windows
+    val plan = graft.operators.EventAnalytics2.q79GapsIslands
+      .run(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected 1 hash exchange (user_id), got $hashShuffles:\n$plan")
+  }
+
+  test("scd2 history hash-shuffles on the key exactly once") {
+    val plan = graft.operators.Scd.scd2History
+      .run(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected 1 hash exchange (user_id), got $hashShuffles:\n$plan")
+  }
+
   test("q41 global top-k plans TakeOrderedAndProject") {
     val plan = Relational3.q41GlobalTopk.run(spark, TestSpark.tiny)
       .queryExecution.executedPlan.toString
