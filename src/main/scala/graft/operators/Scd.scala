@@ -8,9 +8,13 @@ import graft.Q
 import graft.Tables._
 
 /** The warehouse layer DOWNSTREAM of the CDC stream (SURVEY.md §2.4): the
-  * reference lands upserted state in ClickHouse; real deployments then
-  * derive history tables, snapshot diffs, and delivery audits from that
-  * changelog. Batch-shaped here (the events table doubles as the
+  * reference lands upserted state in ClickHouse (reference:
+  * docker-compose.yml:155-174 provisions the sink; main.py:37-39 applies
+  * the tombstone-skip that makes the landed state upsert-shaped;
+  * debezium.json:18 `snapshot.mode=initial` makes the stream fully
+  * determine table state). Real deployments then derive history tables,
+  * snapshot diffs, and delivery audits from that changelog — the
+  * operators here. Batch-shaped (the events table doubles as the
   * changelog: key = user_id, attribute = event_type, version = ts,
   * event_id), reusable unchanged inside foreachBatch.
   */
@@ -52,6 +56,52 @@ object Scd {
     scd2(events(s, d), "user_id", "event_type", Seq("ts", "event_id"))
       .select("user_id", "event_type", "eff_from", "eff_to", "is_current")
       .orderBy("user_id", "eff_from")
+  }
+
+  /** Incremental SCD2 maintenance — the foreachBatch form of [[scd2]]:
+    * merge a micro-batch of changes into an existing history WITHOUT
+    * rebuilding closed rows. Closed intervals are immutable; only the
+    * open (eff_to IS NULL) row of each key that actually appears in the
+    * batch is re-derived, together with the batch's own events. At scale
+    * the touched set is |batch keys|, not |history| — the closed past is
+    * never read past its key filter (partition/bucket the history by key
+    * and the filter prunes).
+    *
+    * Precondition: batches arrive in version order per key (a batch never
+    * carries an event older than the key's open interval) — the standard
+    * contract for an ordered changelog; the upstream redelivery dedup
+    * (ST5) and per-key ordering of the CDC source provide it.
+    *
+    * Invariant (spec-checked): applying batches incrementally yields
+    * byte-identical history to running [[scd2]] over all events at once.
+    */
+  def scd2Merge(history: DataFrame, batch: DataFrame, key: String,
+      attr: String, version: Seq[String]): DataFrame = {
+    if (history.isEmpty)
+      return scd2(batch, key, attr, version)
+        .select(Seq(key, attr, "eff_from", "eff_to", "is_current").map(col): _*)
+    val affectedKeys = batch.select(key).distinct()
+    val affectedOpen = history
+      .filter(col("eff_to").isNull)
+      .join(affectedKeys, Seq(key), "left_semi")
+    val untouched = history
+      .join(affectedKeys, Seq(key), "left_anti")
+    val closedPast = history.filter(col("eff_to").isNotNull)
+      .join(affectedKeys, Seq(key), "left_semi")
+    // re-derive from: the open row replayed as a pseudo-event at its
+    // eff_from, plus the batch — scd2's change-collapse then closes the
+    // open interval at the first REAL attribute change and drops
+    // no-change redeliveries
+    val replay = affectedOpen
+      .select(Seq(col(key), col(attr)) ++
+        version.zipWithIndex.map { case (v, i) =>
+          (if (i == 0) col("eff_from") else lit(-1L)).as(v) }: _*)
+    val rebuilt = scd2(
+      replay.unionByName(batch.select((Seq(key, attr) ++ version).map(col): _*)),
+      key, attr, version)
+    closedPast.unionByName(untouched)
+      .unionByName(rebuilt.select(
+        Seq(key, attr, "eff_from", "eff_to", "is_current").map(col): _*))
   }
 
   /** Snapshot diff (change-data-feed between two as-of states): the
