@@ -44,9 +44,10 @@ object Bench {
     // and write the complete map to bench_last.json.
     val headline = Set(
       "q01_pricing_summary", "q03_revenue_by_region", "q08_topk_per_group",
-      "q22_asof_join", "q46_salted_join", "dedup_minhash_lsh",
-      "dedup_components", "sim_topk_cosine", "sim_ann_ivf",
-      "text_bm25", "text_tfidf", "q66_funnel")
+      "q22_asof_join", "q46_salted_join", "q84_bucketed_join",
+      "dedup_minhash_lsh", "dedup_components", "sim_topk_cosine",
+      "sim_ann_ivf", "sim_ann_pq", "text_bm25", "text_tfidf",
+      "q66_funnel", "cdc_scd2_history")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
     val fullLine =

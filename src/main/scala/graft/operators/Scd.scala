@@ -252,6 +252,31 @@ object Scd {
       .orderBy("event_type")
   }
 
+  /** Duplicate-delivery audit (completes the trio with [[gapAudit]] and
+    * [[fkAudit]]): sequence ids delivered more than once — the signature
+    * of a replayed micro-batch landing without idempotent upsert. A
+    * deterministic synthetic redelivery (event_id ≡ 7 mod 101 doubled)
+    * stands in for the replay. One codegen'd hash aggregate; the HAVING
+    * prunes map-side. */
+  val dupAudit: Q = Q(
+    "cdc_dup_audit",
+    """WITH delivered AS (
+      |  SELECT event_id FROM events
+      |  UNION ALL
+      |  SELECT event_id FROM events WHERE event_id % 101 = 7)
+      |SELECT event_id, COUNT(*) AS n_deliveries
+      |FROM delivered
+      |GROUP BY event_id
+      |HAVING COUNT(*) > 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ids = events(s, d).select("event_id")
+    ids.unionAll(ids.filter(col("event_id") % 101 === 7))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_deliveries"))
+      .filter(col("n_deliveries") > 1)
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(scd2History, snapshotDiffQ, gapAudit, fkAudit,
-    freshness)
+    freshness, dupAudit)
 }
