@@ -24,6 +24,20 @@ object Dedup {
 
   val JaccardThreshold = 0.5
 
+  /** Document-frequency cap for the shingle inverted index, and bucket
+    * cap for LSH band buckets. The candidate self-join is quadratic PER
+    * KEY VALUE: one boilerplate shingle ("all rights reserved …") shared
+    * by 10⁷ docs is a 10¹⁴-pair hot key at 100 TB. Shingles/buckets
+    * above the cap are dropped from CANDIDATE GENERATION ONLY —
+    * verification always runs on full shingle sets, so similarity values
+    * are exact; the only effect is that a pair sharing NOTHING but
+    * >cap-frequency boilerplate is not reported, the standard trade in
+    * public MinHash pipelines. The cap (10 000) exceeds the total
+    * document count at every test SF (≤ 5 000), so every oracle output
+    * is provably unchanged; DedupSpec asserts cap-on ≡ cap-off. */
+  val ShingleDfCap = 10000
+  val BandBucketCap = 10000
+
   /** distinct 3-gram word shingles of a document */
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(rawShingles(text, n))
@@ -98,23 +112,51 @@ object Dedup {
     jaccardPairs(documents(s, d)).orderBy("a_id", "b_id")
   }
 
-  private[operators] def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") &&
+  /** Rows of `rel` whose key columns' group size is ≤ cap. One window
+    * over the key — a single linear shuffle that also leaves the data
+    * hash-partitioned by the key, so the self-join that follows reuses
+    * the exchange instead of re-shuffling. */
+  private def capGroups(rel: DataFrame, cap: Int, keys: String*): DataFrame =
+    rel.withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__gn") <= cap)
+      .drop("__gn")
+
+  /** Candidate (a_id, b_id) pairs from the inverted-index self-join,
+    * with the [[ShingleDfCap]] hot-key guard applied to the index. */
+  private def candidatePairs(sh: DataFrame, cap: Int): DataFrame = {
+    val idx = capGroups(sh, cap, "shingle")
+    idx.as("a")
+      .join(idx.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      // sizes is corpus-sized (one row per doc) — no broadcast hint;
-      // AQE broadcasts it at small SF and shuffles at real scale
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("sim", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: full shingle sets are
+    * collected ONLY for docs appearing in a candidate pair (sparse at any
+    * scale), so sim values are exact regardless of any candidate-side
+    * capping. Shared by the exact query and MinHash-LSH. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = sh
+      .join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
+    cand
+      .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))))
+      .withColumn("sim", col("inter").cast("double") /
+        (size(col("sa.s")) + size(col("sb.s")) - col("inter")))
       .filter(col("sim") >= JaccardThreshold)
       .select("a_id", "b_id", "sim")
+  }
+
+  private[graft] def jaccardPairs(
+      docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
+    val sh = shingleRows(docs)
+    verifyJaccard(sh, candidatePairs(sh, cap))
   }
 
   private val NumHashes = 32
@@ -153,8 +195,13 @@ object Dedup {
       posexplode(array((0 until NumBands).map(j =>
         xxhash64(lit(j), col(s"mh_${2 * j}"), col(s"mh_${2 * j + 1}"))): _*))
         .as(Seq("band", "sig")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // [[BandBucketCap]] guards the degenerate-bucket hot key (e.g. a
+    // band value shared by a huge boilerplate cluster): buckets above
+    // the cap are dropped from candidate generation, exactly as the
+    // shingle index is capped. No test-SF bucket comes near the cap.
+    val capped = capGroups(bands, BandBucketCap, "band", "sig")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -162,20 +209,7 @@ object Dedup {
     // exact-Jaccard verification, materialized only for candidate docs
     // (sparse at any scale — shingle sets are collected per candidate,
     // never for the whole corpus)
-    val candDocs = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val candSets = sh
-      .join(broadcast(candDocs), "doc_id")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
-    cand
-      .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))))
-      .withColumn("sim", col("inter").cast("double") /
-        (size(col("sa.s")) + size(col("sb.s")) - col("inter")))
-      .filter(col("sim") >= JaccardThreshold)
-      .select("a_id", "b_id", "sim")
-      .orderBy("a_id", "b_id")
+    verifyJaccard(sh, cand).orderBy("a_id", "b_id")
   }
 
   /** 64-bit SimHash per document: per-bit ±1 vote over shingle hashes,
@@ -442,7 +476,11 @@ object Dedup {
        |      <= 3 * GREATEST(LENGTH(da.text), LENGTH(db.text))
        |ORDER BY c.a_id, c.b_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    val sh = shingleRows(docs)
+    // same ShingleDfCap hot-key guard as the Jaccard index: candidate
+    // generation only (the Levenshtein verify reads full texts), and
+    // n_shared can only be undercounted for pairs relying on >cap
+    // boilerplate shingles — none exist at any test SF
+    val sh = capGroups(shingleRows(docs), ShingleDfCap, "shingle")
     val a = sh.as("a"); val b = sh.as("b")
     val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -184,13 +184,18 @@ object Relational4 {
     * string repr HALF_UP; DuckDB rounds the binary value), so the
     * decimalization step is the portable fixed-point idiom
     * `floor(x·100 + 0.5)` — identical IEEE ops on both engines — and
-    * everything after is exact integer/decimal arithmetic. */
+    * everything after is exact integer/decimal arithmetic. The final
+    * columns leave the query as DOUBLE: both engines round the same
+    * exact decimal value to the nearest double, so the values are
+    * bit-identical, whereas DECIMAL-typed output serializes
+    * differently (Spark parquet decimal vs DuckDB decimal128) and
+    * breaks value-level hashing even when every value is equal. */
   val q54DecimalMath: Q = Q(
     "q54_decimal_math",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST((pc + tc) * 0.01 AS DECIMAL(20,2)) AS add2,
-      |  CAST((pc - dc) * 0.01 AS DECIMAL(20,2)) AS sub2,
-      |  CAST((pc * dc) * 0.0001 AS DECIMAL(30,4)) AS mul4
+      |  CAST(CAST((pc + tc) * 0.01 AS DECIMAL(20,2)) AS DOUBLE) AS add2,
+      |  CAST(CAST((pc - dc) * 0.01 AS DECIMAL(20,2)) AS DOUBLE) AS sub2,
+      |  CAST(CAST((pc * dc) * 0.0001 AS DECIMAL(30,4)) AS DOUBLE) AS mul4
       |FROM (SELECT l_orderkey, l_linenumber,
       |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
       |        CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tc,
@@ -208,9 +213,12 @@ object Relational4 {
         cents(col("l_discount")).as("dc"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        ((col("pc") + col("tc")) * tick2).cast("decimal(20,2)").as("add2"),
-        ((col("pc") - col("dc")) * tick2).cast("decimal(20,2)").as("sub2"),
-        ((col("pc") * col("dc")) * tick4).cast("decimal(30,4)").as("mul4"))
+        ((col("pc") + col("tc")) * tick2).cast("decimal(20,2)")
+          .cast("double").as("add2"),
+        ((col("pc") - col("dc")) * tick2).cast("decimal(20,2)")
+          .cast("double").as("sub2"),
+        ((col("pc") * col("dc")) * tick4).cast("decimal(30,4)")
+          .cast("double").as("mul4"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

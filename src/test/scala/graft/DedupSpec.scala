@@ -27,6 +27,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${planted.size} pairs")
   }
 
+  test("shingle DF cap: default cap output ≡ uncapped output; a tiny " +
+    "cap actually prunes hot shingles from candidate generation") {
+    val docs = graft.Tables.documents(spark, TestSpark.tiny)
+    val capped = Dedup.jaccardPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.jaccardPairs(docs, cap = Int.MaxValue)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // ShingleDfCap exceeds the doc count at every test SF, so nothing
+    // is dropped and the output is provably unchanged
+    assert(capped === uncapped)
+    // with cap=0 every shingle is dropped → no candidates survive,
+    // proving the cap path actually gates the self-join
+    assert(Dedup.jaccardPairs(docs, cap = 0).count() === 0L)
+  }
+
   test("connectedComponents: min-label propagation over a known graph") {
     // components: {1,2,3,9} (chain 1-2-3 + 3-9), {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))

