@@ -212,38 +212,84 @@ object Dedup {
     verifyJaccard(sh, cand).orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash per document: per-bit ±1 vote over shingle hashes,
-    * packed into one long. One codegen'd hash aggregation with 64 sum
+  /** SimHash signature width and chunking. 60 bits (not 64) because the
+    * per-shingle hash is the PORTABLE one both engines compute
+    * identically — the top 15 hex chars of md5 — which is what makes the
+    * whole query DuckDB-oracle-checkable; 10 chunks of 6 bits give the
+    * pigeonhole guarantee hamming ≤ 9 ⇒ some chunk shared (threshold-14
+    * pairs beyond that found w.h.p.). */
+  private val SimHashBits = 60
+  private val SimHashChunks = 10
+  private val SimHashChunkBits = 6
+  private val SimHashThreshold = 14
+
+  /** 60-bit SimHash per document: per-bit ±1 vote over shingle hashes,
+    * packed into one long. One codegen'd hash aggregation with 60 sum
     * columns over the exploded shingle relation (map-side partials →
-    * single doc_id shuffle); the per-row formulation ran 64 interpreted
-    * folds per document. Hash-seeded → no SQL oracle; DedupSpec asserts
-    * recall of the planted near-dup pairs. */
+    * single doc_id shuffle); the per-row formulation ran 60 interpreted
+    * folds per document. The shingle hash is md5-derived (see
+    * [[SimHashBits]]) so the DuckDB oracle reproduces it bit-for-bit. */
   def simhashDf(docs: DataFrame): DataFrame = {
-    val h = xxhash64(col("shingle"))
+    // portable 60-bit hash: both engines md5 the UTF-8 shingle, take the
+    // leading 15 hex chars, and parse them as an unsigned hex integer
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint")
     val voted = shingleRows(docs)
       .select(col("doc_id"), h.as("h"))
       .groupBy("doc_id")
       .agg(
         sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b_0"),
-        (1 until 64).map(i =>
+        (1 until SimHashBits).map(i =>
           sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b_$i")): _*)
-    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+    val packed = (0 until SimHashBits).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     }
     voted.select(col("doc_id"), packed.as("sh"))
   }
 
-  /** SimHash near-dup: bucket by 8-bit chunks (pigeonhole: hamming ≤ 7
-    * guarantees a shared chunk; up to the ≤14 verify threshold found
+  /** The same signature, bit votes, chunk bucketing, and hamming verify
+    * restated over DuckDB primitives: hex-cast md5 prefix, RANGE-unnest
+    * bit/chunk indexes, bit_count(xor). Structurally independent of the
+    * Catalyst formulation (60 aggregate columns vs an unnested bit
+    * relation), so it cross-checks the logic, not the plan. */
+  private val duckSimhash: String =
+    s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+       |ex AS (SELECT DISTINCT doc_id, UNNEST(s) AS shingle FROM sh),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || SUBSTRING(MD5(shingle), 1, 15) AS BIGINT) AS h
+       |       FROM ex),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END AS bitval
+       |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, ${SimHashBits})) AS i) r
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, SUM(bitval) AS sh FROM bits GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, sh, k, (sh >> (${SimHashChunkBits} * k)) & ${(1 << SimHashChunkBits) - 1} AS chunk
+       |  FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, ${SimHashChunks})) AS k) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand
+       |WHERE hamming <= ${SimHashThreshold}
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** SimHash near-dup: bucket by [[SimHashChunkBits]]-bit chunks
+    * (pigeonhole: hamming ≤ [[SimHashChunks]]−1 guarantees a shared
+    * chunk; up to the ≤[[SimHashThreshold]] verify threshold found
     * w.h.p.), verify by true hamming distance. Chunk width is the
     * recall/candidate-volume dial: on this corpus the nearest random
-    * pair sits at hamming ≈27, so ≤14 separates cleanly; at much larger
-    * corpora widen the chunks (and multi-probe) to keep buckets sparse. */
-  val simhashPairs: Q = Q.noOracle("dedup_simhash") { (s, d) =>
+    * pair sits at hamming ≈25, so ≤14 separates cleanly; at much larger
+    * corpora widen the chunks (and multi-probe) to keep buckets sparse.
+    * Fully oracle-checked since the hash is engine-portable. */
+  val simhashPairs: Q = Q("dedup_simhash", duckSimhash) { (s, d) =>
     val docs = simhashDf(documents(s, d))
     val chunks = docs.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 8).map(k =>
-        shiftrightunsigned(col("sh"), 8 * k).bitwiseAND(lit(0xFFL))): _*))
+      posexplode(array((0 until SimHashChunks).map(k =>
+        shiftrightunsigned(col("sh"), SimHashChunkBits * k)
+          .bitwiseAND(lit((1L << SimHashChunkBits) - 1))): _*))
         .as(Seq("chunk_idx", "chunk")))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -253,7 +299,7 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 14)
+      .filter(col("hamming") <= SimHashThreshold)
       .orderBy("a_id", "b_id")
   }
 

@@ -28,6 +28,22 @@ object Similarity {
   val K = 5
   private val NumQueries = 10
 
+  /** Cap on rows fed to k-means codebook/centroid training (IVF cells,
+    * PQ codebooks). At 100 TB you never fit on the full corpus — a few
+    * thousand sampled vectors bound the quantization error just as well
+    * (public IVF/PQ practice) while the fit cost becomes
+    * corpus-independent. At test SFs at or below the cap the fraction is
+    * 1.0, so recall specs measure exactly the shipped configuration. */
+  val FitSampleCap = 1024L
+
+  /** Seeded sample of at most ~[[FitSampleCap]] rows for model fitting;
+    * identity when the input is already within the cap. */
+  private[operators] def fitSample(df: DataFrame): DataFrame = {
+    val n = df.count()
+    if (n <= FitSampleCap) df
+    else df.sample(withReplacement = false, FitSampleCap.toDouble / n, 7L)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) has sign
     * from the parity of xxhash64(p, i) — reproducible across engines and
     * runs without any RNG state. */
@@ -135,7 +151,7 @@ object Similarity {
       norm(col("embedding")).as("nrm"),
       array_to_vector(col("embedding")).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(withVec)
+      .setFeaturesCol("features").fit(fitSample(withVec))
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("prediction").as("cell"))

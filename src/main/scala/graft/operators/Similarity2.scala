@@ -49,12 +49,22 @@ object Similarity2 {
             .as(s"sub_$j")): _*)
 
     // one seeded k-means per subspace; models stay in scope to encode the
-    // corpus AND to hand their centers to the query-side lookup tables
-    val models = (0 until m).map { j =>
+    // corpus AND to hand their centers to the query-side lookup tables.
+    // Fits are independent → submitted concurrently (the executor pool
+    // is idle between each fit's tiny jobs), and each trains on a
+    // seeded sample capped at [[Similarity.FitSampleCap]] rows — the
+    // corpus-independent codebook cost that 100 TB demands. The sample
+    // is materialized once and shared by all m fits.
+    val fitDf = Similarity.fitSample(
+      sliced.select((0 until m).map(j => col(s"sub_$j")): _*)).cache()
+    fitDf.count()
+    import scala.collection.parallel.CollectionConverters._
+    val models = (0 until m).par.map { j =>
       new KMeans().setK(kc).setSeed(42L + j).setMaxIter(4)
         .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
-        .fit(sliced.select(col(s"sub_$j")))
-    }
+        .fit(fitDf)
+    }.seq
+    fitDf.unpersist(blocking = false)
     val encoded = models.zipWithIndex
       .foldLeft(sliced) { case (df, (model, _)) => model.transform(df) }
       .select(Seq(col("vec_id")) ++

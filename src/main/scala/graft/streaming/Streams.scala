@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Cdc
 
@@ -184,6 +184,63 @@ object Streams {
       }(Encoders.product[SessionAcc], Encoders.product[ClosedSession])
 
   final case class UserEvent2(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** ST6, Spark-4-native form: the same emit-on-close sessionizer as
+    * [[sessionizeWithTimeout]], rebuilt on `transformWithState` — typed
+    * `ValueState` replaces the single `GroupState` blob and the close
+    * condition is an explicit EVENT-TIME TIMER (re-armed to last-event +
+    * gap on every batch) instead of `setTimeoutTimestamp`. Requires the
+    * RocksDB state store provider — the same store that gives 100 TB
+    * streams changelog checkpointing and out-of-heap state; see
+    * [[sessionizeTransformWithState]] for the conf. `StreamingSpec`
+    * drives both implementations through one golden scenario. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent2, ClosedSession] {
+    @transient private var acc: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc](
+        "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent2],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_.ts.getTime).toSeq
+      val prev = if (acc.exists()) acc.get()
+        else SessionAcc(times.min, times.min, 0L)
+      val next = SessionAcc(math.min(prev.startMs, times.min),
+        math.max(prev.lastMs, times.max), prev.n + times.size)
+      acc.update(next)
+      // one live timer per key: drop the stale close time, re-arm at
+      // last-event + gap (fires when the WATERMARK passes it)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(next.lastMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val closed = if (acc.exists()) {
+        val s = acc.get()
+        Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+          new java.sql.Timestamp(s.lastMs + gapMs), s.n))
+      } else Iterator.empty
+      acc.clear()
+      closed
+    }
+  }
+
+  /** [[SessionProcessor]] wired into a stream. Callers must run with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * (transformWithState rejects the default HDFS-backed store). */
+  def sessionizeTransformWithState(events: Dataset[UserEvent2], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[ClosedSession] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.product[ClosedSession])
 
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
     * keyed state (here an in-memory map; in production the same merge

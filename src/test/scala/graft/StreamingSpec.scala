@@ -203,6 +203,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer passes the same golden as " +
+    "flatMapGroupsWithState") {
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.UserEvent2]
+    val out = Streams.sessionizeTransformWithState(in.toDS(), gapMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_tws_out").start()
+    try {
+      in.addData(
+        Streams.UserEvent2(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.UserEvent2(1L, ts("2024-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws_out").isEmpty) // session still open
+      in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:00"), 3.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:01"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_tws_out").as[Streams.ClosedSession].collect()
+      assert(got.map(_.user_id).toSet === Set(1L))
+      assert(got.head.n_events === 2L)
+      assert(got.head.session_start === ts("2024-01-01 10:00:00"))
+      assert(got.head.session_end === ts("2024-01-01 10:01:30")) // last + gap
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
     implicit val ctx = spark.sqlContext
     val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
