@@ -24,17 +24,19 @@ object Dedup {
 
   val JaccardThreshold = 0.5
 
-  /** Document-frequency cap for the shingle inverted index, and bucket
-    * cap for LSH band buckets. The candidate self-join is quadratic PER
-    * KEY VALUE: one boilerplate shingle ("all rights reserved …") shared
-    * by 10⁷ docs is a 10¹⁴-pair hot key at 100 TB. Shingles/buckets
-    * above the cap are dropped from CANDIDATE GENERATION ONLY —
-    * verification always runs on full shingle sets, so similarity values
-    * are exact; the only effect is that a pair sharing NOTHING but
-    * >cap-frequency boilerplate is not reported, the standard trade in
-    * public MinHash pipelines. The cap (10 000) exceeds the total
-    * document count at every test SF (≤ 5 000), so every oracle output
-    * is provably unchanged; DedupSpec asserts cap-on ≡ cap-off. */
+  /** Document-frequency cap defining the FILTERED SHINGLE VOCABULARY
+    * every near-dup variant computes over, plus the bucket cap for LSH
+    * band buckets. The inverted-index self-join is quadratic PER KEY
+    * VALUE: one boilerplate shingle ("all rights reserved …") shared by
+    * 10⁷ docs is a 10¹⁴-pair hot key at 100 TB. Shingles with document
+    * frequency above the cap are dropped ONCE, up front — exactly the
+    * stop-gram filter public MinHash pipelines apply — and Jaccard /
+    * MinHash / edit-distance candidates are then EXACT over the filtered
+    * vocabulary (similarity on ultra-common boilerplate carries no
+    * near-dup signal anyway). The cap (10 000) exceeds the total
+    * document count at every test SF (≤ 5 000), so the filter drops
+    * nothing there and every oracle output is provably unchanged;
+    * DedupSpec asserts cap-on ≡ cap-off. */
   val ShingleDfCap = 10000
   val BandBucketCap = 10000
 
@@ -122,21 +124,17 @@ object Dedup {
       .filter(col("__gn") <= cap)
       .drop("__gn")
 
-  /** Candidate (a_id, b_id) pairs from the inverted-index self-join,
-    * with the [[ShingleDfCap]] hot-key guard applied to the index. */
-  private def candidatePairs(sh: DataFrame, cap: Int): DataFrame = {
-    val idx = capGroups(sh, cap, "shingle")
-    idx.as("a")
-      .join(idx.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-  }
+  /** [[shingleRows]] restricted to the sub-cap vocabulary — what every
+    * near-dup join consumes. The window's shuffle leaves the relation
+    * hash-partitioned by shingle, which the self-join then reuses. */
+  def filteredShingleRows(docs: DataFrame, cap: Int = ShingleDfCap): DataFrame =
+    capGroups(shingleRows(docs), cap, "shingle")
 
-  /** Exact-Jaccard verification of candidate pairs: full shingle sets are
-    * collected ONLY for docs appearing in a candidate pair (sparse at any
-    * scale), so sim values are exact regardless of any candidate-side
-    * capping. Shared by the exact query and MinHash-LSH. */
+  /** Exact-Jaccard verification of candidate pairs over the (filtered)
+    * shingle relation: sets are collected ONLY for docs appearing in a
+    * candidate pair (sparse at any scale). Used by MinHash-LSH, whose
+    * banding admits few candidates; the exact query counts intersections
+    * directly off its self-join instead. */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -155,8 +153,23 @@ object Dedup {
 
   private[graft] def jaccardPairs(
       docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
-    val sh = shingleRows(docs)
-    verifyJaccard(sh, candidatePairs(sh, cap))
+    val sh = filteredShingleRows(docs, cap)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      // sizes is corpus-sized (one row per doc) — no broadcast hint;
+      // AQE broadcasts it at small SF and shuffles at real scale
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("sim", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("sim") >= JaccardThreshold)
+      .select("a_id", "b_id", "sim")
   }
 
   private val NumHashes = 32
@@ -188,7 +201,9 @@ object Dedup {
     // the shingle relation feeds signatures AND candidate verification;
     // recomputing it beats caching here — the columnar cache build costs
     // more than the extra codegen'd scan and blocks exchange reuse
-    val sh = shingleRows(documents(s, d))
+    // signatures, buckets, AND verification all read the same filtered
+    // vocabulary, so the verified output equals jaccardPairs exactly
+    val sh = filteredShingleRows(documents(s, d))
     val signed = withMinhashFrom(sh)
     val bands = signed.select(
       col("doc_id"),
@@ -522,11 +537,9 @@ object Dedup {
        |      <= 3 * GREATEST(LENGTH(da.text), LENGTH(db.text))
        |ORDER BY c.a_id, c.b_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    // same ShingleDfCap hot-key guard as the Jaccard index: candidate
-    // generation only (the Levenshtein verify reads full texts), and
-    // n_shared can only be undercounted for pairs relying on >cap
-    // boilerplate shingles — none exist at any test SF
-    val sh = capGroups(shingleRows(docs), ShingleDfCap, "shingle")
+    // same filtered vocabulary as the Jaccard index (the Levenshtein
+    // verify reads full texts, so only candidate generation sees it)
+    val sh = filteredShingleRows(docs)
     val a = sh.as("a"); val b = sh.as("b")
     val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -586,6 +599,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts by unordered
+    * source pair — the curation view that answers "which sources copy
+    * each other" (mirror detection, crawl-overlap budgeting). Rides the
+    * skew-capped pair machinery; the extra cost is two corpus-keyed
+    * joins to attach sources and a tiny group-by (≤ |sources|² rows),
+    * so the 100 TB profile is identical to [[ngramJaccard]]. */
+  val sourceOverlap: Q = Q(
+    "dedup_source_overlap",
+    s"""WITH jp AS ($duckJaccardPairs)
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM jp
+       |JOIN documents da ON da.doc_id = jp.a_id
+       |JOIN documents db ON db.doc_id = jp.b_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val da = docs.select(col("doc_id").as("a_id"), col("source").as("sa"))
+    val db = docs.select(col("doc_id").as("b_id"), col("source").as("sb"))
+    jaccardPairs(docs)
+      .join(da, "a_id").join(db, "b_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Leakage-safe train/val/test split: documents are bucketed by a
+    * PORTABLE hash (md5 prefix, the [[simhashDf]] trick) of their
+    * near-dup CLUSTER representative, not of the document itself — so a
+    * pair of near-duplicates can never straddle train and test, the
+    * contamination mode a doc-level random split cannot prevent. 90/5/5
+    * by bucket. Deterministic end to end: re-running on a grown corpus
+    * keeps every old cluster's assignment stable (hash, not RNG state),
+    * which is what makes incremental corpus refreshes reproducible. */
+  val splitAssign: Q = Q(
+    "dedup_split_assign",
+    s"""WITH RECURSIVE jp AS ($duckJaccardPairs),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep_id
+       |  FROM reach GROUP BY src),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(l.rep_id, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, cluster,
+       |    CAST('0x' || SUBSTRING(MD5(CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+       |  FROM assigned)
+       |SELECT doc_id, cluster, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val labels = connectedComponents(jaccardPairs(docs))
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 15),
+      16, 10).cast("bigint") % 100
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("cluster"))
+      .withColumn("bucket", bucket)
+      .withColumn("split", when(col("bucket") < 90, lit("train"))
+        .when(col("bucket") < 95, lit("val")).otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs, editDistance,
-    embeddingCosine, components, keepCanonical)
+    embeddingCosine, components, keepCanonical, sourceOverlap, splitAssign)
 }

@@ -97,10 +97,71 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** ANN: LSH-bucketed candidate generation + exact re-rank. Approximate
-    * (bucket misses are possible) → no SQL oracle; SimilaritySpec
-    * measures recall against [[topkBruteForce]]. */
-  val annLsh: Q = Q.noOracle("sim_ann_lsh") { (s, d) =>
+  /** The ±1 sign matrix behind [[signBit]], materialized by evaluating
+    * the SAME Catalyst xxhash64 expression at plan-build time. DuckDB
+    * cannot compute xxhash64 — but it doesn't have to: the hyperplanes
+    * are corpus-independent constants, so the oracle INLINES them,
+    * which turns the whole LSH pipeline (signature → bands → candidate
+    * join → exact re-rank) into portable arithmetic. */
+  private lazy val signMatrix: IndexedSeq[IndexedSeq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until 32).map { p =>
+      (0 until EmbDim).map { i =>
+        val h = XxHash64(Seq(Literal(p), Literal(i)), 42L)
+          .eval(null).asInstanceOf[Long]
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Plane-p projection in DuckDB: the identical sequential fold as
+    * [[planeSign]] (0.0 seed, index order, float→double per element),
+    * with the plane's sign row inlined as a literal list. */
+  private def duckProj(p: Int): String = {
+    val signs = signMatrix(p)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST_TRANSFORM(RANGE(1, ${EmbDim + 1}), i -> embedding[i]::DOUBLE * ($signs::DOUBLE[])[i])), (acc, x) -> acc + x)"
+  }
+
+  /** [[annTopk]] restated over DuckDB primitives with the sign matrix
+    * inlined: 32 sequential-fold projections → packed sign bits → 8 × 4
+    * band buckets → distinct candidates → exact cosine re-rank. Every
+    * float op is the bit-exact portable form, so the driver hash-checks
+    * the ANN output exactly (bucketing is deterministic, not sampled). */
+  private lazy val duckAnnLsh: String = {
+    val projCols = (0 until 32)
+      .map(p => s"${duckProj(p)} AS proj_$p").mkString(",\n    ")
+    val sigExpr = (0 until 32)
+      .map(p => s"(CASE WHEN proj_$p >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $p)")
+      .mkString(" | ")
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding,
+       |    $projCols
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, embedding, $sigExpr AS sig FROM proj),
+       |bands AS (
+       |  SELECT vec_id, embedding, b, (sig >> (4 * b)) & 15 AS bsig
+       |  FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS b) r),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, q.embedding AS qe,
+       |    c.vec_id AS n_id, c.embedding AS ce
+       |  FROM bands q JOIN bands c ON q.b = c.b AND q.bsig = c.bsig
+       |    AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT q_id, n_id, ${duckCosine("qe", "ce", EmbDim)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${duckCosine("qe", "ce", EmbDim)} DESC, n_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** ANN: LSH-bucketed candidate generation + exact re-rank. The
+    * bucketing is DETERMINISTIC (fixed hyperplanes), so unlike the
+    * seeded-k-means ANN variants this one is fully oracle-checked;
+    * SimilaritySpec additionally measures recall vs [[topkBruteForce]]. */
+  val annLsh: Q = Q("sim_ann_lsh", duckAnnLsh) { (s, d) =>
     annTopk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 
