@@ -674,6 +674,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup: pairs involving at least one NEW document
+    * (here: doc_id ≡ 0 mod 10 stands in for "the arriving batch"),
+    * computed as old⋈new plus new⋈new inverted-index joins — old⋈old is
+    * NEVER re-paired. This is the shape that keeps dedup affordable on
+    * a growing lake: ingest cost is |batch postings| × average posting
+    * length, independent of how big the corpus has grown, while sizes
+    * (and therefore sim values) still come from the full filtered
+    * vocabulary so the pair scores equal the batch-free computation
+    * exactly. The oracle is the full pair set filtered to new-touching
+    * pairs — independently derived, so a missed old⋈new pairing fails
+    * the hash. */
+  val incremental: Q = Q(
+    "dedup_incremental",
+    s"""WITH jp AS ($duckJaccardPairs)
+       |SELECT a_id, b_id, sim FROM jp
+       |WHERE a_id % 10 = 0 OR b_id % 10 = 0
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sh = filteredShingleRows(documents(s, d))
+    val isNew = col("doc_id") % 10 === 0
+    val newSh = sh.filter(isNew)
+    val oldSh = sh.filter(!isNew)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // old⋈new: roles are disjoint, so each shared shingle appears once
+    // per (old, new) pair; canonicalize to a_id < b_id afterwards
+    val on = oldSh.as("a").join(newSh.as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+    // new⋈new: the usual ordered self-join
+    val nn = newSh.as("a").join(newSh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    on.union(nn)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("sim", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("sim") >= JaccardThreshold)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashPairs, editDistance,
-    embeddingCosine, components, keepCanonical, sourceOverlap, splitAssign)
+    embeddingCosine, components, keepCanonical, sourceOverlap, splitAssign,
+    incremental)
 }

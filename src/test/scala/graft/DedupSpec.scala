@@ -42,6 +42,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docs, cap = 0).count() === 0L)
   }
 
+  test("near-dup/curation plans: no cartesian or BNL; DF-cap window " +
+    "gates the inverted index") {
+    val qs = Seq(Dedup.ngramJaccard, Dedup.minhashLsh, Dedup.editDistance,
+      Dedup.simhashPairs, Dedup.sourceOverlap, Dedup.splitAssign,
+      Dedup.incremental, graft.operators.Multimodal.featureExtract)
+    for (q <- qs) {
+      val plan = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a BNL:\n$plan")
+    }
+    val jp = Dedup.jaccardPairs(graft.Tables.documents(spark, TestSpark.tiny))
+      .queryExecution.executedPlan.toString
+    assert(jp.contains("Window"), s"DF-cap window missing from plan:\n$jp")
+  }
+
   test("connectedComponents: min-label propagation over a known graph") {
     // components: {1,2,3,9} (chain 1-2-3 + 3-9), {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
