@@ -550,6 +550,11 @@ object Dedup {
     cand
       .join(docs.as("da"), col("a_id") === col("da.doc_id"))
       .join(docs.as("db"), col("b_id") === col("db.doc_id"))
+      // length prefilter: levenshtein ≥ |len a − len b|, so any pair
+      // whose length gap alone breaks the 0.3 relative threshold can
+      // skip the O(len²) distance — provably no output change
+      .filter(lit(10) * abs(length(col("da.text")) - length(col("db.text"))) <=
+        lit(3) * greatest(length(col("da.text")), length(col("db.text"))))
       // materialize the O(len²) distance once — referencing the
       // expression in both filter and projection would evaluate it twice
       .withColumn("__ed", levenshtein(col("da.text"), col("db.text")))

@@ -242,6 +242,63 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())(
         Encoders.product[ClosedSession])
 
+  /** Streaming NEAR-dup dedup: the foreachBatch form of
+    * [[graft.operators.Dedup.incremental]]. Each micro-batch of
+    * documents is paired against the accumulated corpus index (a parquet
+    * table at `indexDir`) as old⋈new + new⋈new inverted-index joins —
+    * old⋈old is never re-paired, so per-batch cost tracks the batch,
+    * not the corpus — and the batch is then appended to the index.
+    * Every near-dup pair is emitted exactly once, in the batch where
+    * its SECOND document arrives, so the union of all emitted pairs
+    * equals the batch-free [[graft.operators.Dedup.jaccardPairs]] over
+    * the full corpus (StreamingSpec asserts this golden). Sizes come
+    * from the full filtered vocabulary at pairing time; a shingle whose
+    * document frequency crosses [[graft.operators.Dedup.ShingleDfCap]]
+    * between batches can shift later scores vs a one-shot run — at-scale
+    * caveat shared by every incremental stop-gram filter, impossible at
+    * test SF where the cap is never reached. Emit-then-append is
+    * at-least-once under retries (same contract as the Kafka source);
+    * the downstream pair consumer dedups on (a_id, b_id) if it needs
+    * exactly-once. */
+  def nearDupIncrementalBatch(batch: DataFrame, indexDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(path)) spark.read.parquet(indexDir).unionByName(batch)
+      else batch
+    val sh = Dedup.filteredShingleRows(all)
+    val newIds = batch.select(col("doc_id"))
+    val shNew = sh.join(broadcast(newIds), Seq("doc_id"))
+    val shOld = sh.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val on = shOld.as("a").join(shNew.as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+    val nn = shNew.as("a").join(shNew.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val pairs = on.union(nn)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("sim", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("sim") >= Dedup.JaccardThreshold)
+      .select("a_id", "b_id", "sim")
+      // materialize BEFORE the index append so the pair set reflects
+      // the pre-append corpus even under lazy re-evaluation
+      .localCheckpoint(true)
+    batch.write.mode("append").parquet(indexDir)
+    pairs
+  }
+
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
     * keyed state (here an in-memory map; in production the same merge
     * runs as a MERGE INTO / ReplacingMergeTree insert) by replaying each

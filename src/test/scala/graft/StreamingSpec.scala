@@ -238,6 +238,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup: union of per-batch emissions equals the " +
+    "one-shot pair set") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, TestSpark.tiny)
+    val docs = docsDf.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val expected = graft.operators.Dedup.jaccardPairs(docsDf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString +
+      "/idx"
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.nearDupIncrementalBatch(df, dir)
+          .select("a_id", "b_id").collect()
+          .foreach(r => got += ((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try {
+      // three uneven batches; every pair must surface exactly when its
+      // second member arrives
+      docs.grouped(docs.length / 3 + 1).foreach { g =>
+        in.addData(g.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(got.toSet === expected,
+        s"missing=${expected -- got}, spurious=${got.toSet -- expected}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
     implicit val ctx = spark.sqlContext
     val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
