@@ -59,6 +59,9 @@ object Bench {
             name -> -1.0
         }
       }
+      // failed queries live ONLY in the failures list — a -1.0 in the
+      // queries map would read as a (negative) timing to per-query diffs
+      .filter(_._2 >= 0)
     def fmt(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -72,7 +72,7 @@ object BmpPixels {
     b
   }
 
-  private def headerOk(b: Array[Byte]): Boolean =
+  private[graft] def headerOk(b: Array[Byte]): Boolean =
     b != null && b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
       le16(b, 28) == 24 && le32(b, 22) > 0 && le32(b, 18) > 0
 
@@ -80,8 +80,11 @@ object BmpPixels {
   def bmpChannelSum(b: Array[Byte], channel: Int): Long = {
     if (!headerOk(b)) return -1L
     val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
-    val stride = ((3 * w + 3) / 4) * 4
-    if (off < 54 || b.length < off + stride.toLong * h) return -1L
+    // Long stride: 3*w overflows Int for a crafted width field, turning
+    // the bounds check negative and the walk into an out-of-bounds read
+    val strideL = ((3L * w + 3) / 4) * 4
+    if (off < 54 || b.length < off + strideL * h) return -1L
+    val stride = strideL.toInt
     var s = 0L; var r = 0
     while (r < h) {
       val base = off + r * stride
@@ -96,8 +99,9 @@ object BmpPixels {
   def bmpWeightedSum(b: Array[Byte], channel: Int): Long = {
     if (!headerOk(b)) return -1L
     val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
-    val stride = ((3 * w + 3) / 4) * 4
-    if (off < 54 || b.length < off + stride.toLong * h) return -1L
+    val strideL = ((3L * w + 3) / 4) * 4
+    if (off < 54 || b.length < off + strideL * h) return -1L
+    val stride = strideL.toInt
     var s = 0L; var r = 0
     while (r < h) {
       val y = h - 1 - r

@@ -135,11 +135,15 @@ object Multimodal {
   def decodeBmp(b: Array[Byte]): Array[Double] = {
     def le32(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
-    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    // shared header validation (magic, 24 bpp, positive geometry) — a
+    // 32-bpp or paletted BMP must yield null, not garbage means
+    if (!graft.functions.BmpPixels.headerOk(b)) return null
     val off = le32(10); val w = le32(18); val h = le32(22)
-    val stride = ((3 * w + 3) / 4) * 4
-    if (w <= 0 || h <= 0 || off < 54 ||
-      b.length < off + stride.toLong * h) return null
+    // Long stride: 3*w overflows Int for a crafted width field, which
+    // would flip the bounds check negative and crash the pixel walk
+    val strideL = ((3L * w + 3) / 4) * 4
+    if (off < 54 || b.length < off + strideL * h) return null
+    val stride = strideL.toInt
     val sums = new Array[Long](3)
     var r = 0
     while (r < h) {

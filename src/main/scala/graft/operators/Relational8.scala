@@ -54,7 +54,9 @@ object Relational8 {
     val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val oTbl = s"graft_orders_bkt_$suffix"
     val cTbl = s"graft_customer_bkt_$suffix"
-    if (!s.catalog.tableExists(oTbl)) {
+    // check BOTH tables: a partial failure between the two writes must
+    // not latch a half-registered state for the rest of the session
+    if (!s.catalog.tableExists(oTbl) || !s.catalog.tableExists(cTbl)) {
       // a previous JVM may have left the managed location behind while
       // this session's in-memory catalog has no table entry — clear it,
       // or saveAsTable refuses with LOCATION_ALREADY_EXISTS

@@ -37,7 +37,9 @@ object Similarity {
   val FitSampleCap = 1024L
 
   /** Seeded sample of at most ~[[FitSampleCap]] rows for model fitting;
-    * identity when the input is already within the cap. */
+    * identity when the input is already within the cap. Callers cache
+    * `df` first so the sizing count() doubles as the cache build rather
+    * than being an extra corpus pass. */
   private[operators] def fitSample(df: DataFrame): DataFrame = {
     val n = df.count()
     if (n <= FitSampleCap) df
@@ -208,9 +210,11 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
+    // cached: consumed by the sizing count, the k-means fit, the cell
+    // assignment, and the query collect — one materialization for all
     val withVec = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
-      array_to_vector(col("embedding")).as("features"))
+      array_to_vector(col("embedding")).as("features")).cache()
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(fitSample(withVec))
     val assigned = model.transform(withVec)

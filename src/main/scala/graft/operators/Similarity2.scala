@@ -55,16 +55,18 @@ object Similarity2 {
     // seeded sample capped at [[Similarity.FitSampleCap]] rows — the
     // corpus-independent codebook cost that 100 TB demands. The sample
     // is materialized once and shared by all m fits.
-    val fitDf = Similarity.fitSample(
-      sliced.select((0 until m).map(j => col(s"sub_$j")): _*)).cache()
-    fitDf.count()
+    val subCols =
+      sliced.select((0 until m).map(j => col(s"sub_$j")): _*).cache()
+    // fitSample's sizing count materializes the cache; the m fits then
+    // re-read the in-memory columns, never the parquet scan
+    val fitDf = Similarity.fitSample(subCols)
     import scala.collection.parallel.CollectionConverters._
     val models = (0 until m).par.map { j =>
       new KMeans().setK(kc).setSeed(42L + j).setMaxIter(4)
         .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
         .fit(fitDf)
     }.seq
-    fitDf.unpersist(blocking = false)
+    subCols.unpersist(blocking = false)
     val encoded = models.zipWithIndex
       .foldLeft(sliced) { case (df, (model, _)) => model.transform(df) }
       .select(Seq(col("vec_id")) ++

@@ -150,6 +150,35 @@ object Streams {
       session_end: java.sql.Timestamp, n_events: Long)
   final case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
 
+  /** Fold a batch of event times into (sessions closed NOW, open tail).
+    * Times are processed in sorted EVENT-TIME order and a gap > gapMs
+    * always splits — so two events farther apart than the gap can never
+    * share a session, even when they land in one micro-batch or arrive
+    * before the close timer fires (session boundaries are a property of
+    * the data, not of batch/watermark alignment). An event older than
+    * gap before the open session's start (below-watermark straggler)
+    * closes immediately as its own singleton. Shared by both sessionizer
+    * implementations so their semantics cannot drift. */
+  private[graft] def foldSessions(prev: Option[SessionAcc],
+      times: Seq[Long], gapMs: Long): (List[SessionAcc], SessionAcc) = {
+    var closed = List.empty[SessionAcc]
+    var acc = prev.orNull
+    for (t <- times.sorted) {
+      if (acc == null) acc = SessionAcc(t, t, 1L)
+      else if (t > acc.lastMs + gapMs) {
+        closed ::= acc; acc = SessionAcc(t, t, 1L)
+      } else if (t < acc.startMs - gapMs) {
+        closed ::= SessionAcc(t, t, 1L)
+      } else acc = SessionAcc(math.min(acc.startMs, t),
+        math.max(acc.lastMs, t), acc.n + 1)
+    }
+    (closed.reverse, acc)
+  }
+
+  private def toClosed(uid: Long, s: SessionAcc, gapMs: Long): ClosedSession =
+    ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+      new java.sql.Timestamp(s.lastMs + gapMs), s.n)
+
   /** ST6 deep form: sessionization via flatMapGroupsWithState with
     * EVENT-TIME timeout — the arbitrary-state generalization of
     * session_window (use this shape when the per-session logic can't be
@@ -168,18 +197,16 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.lastMs + gapMs), s.n))
+            Iterator(toClosed(uid, s, gapMs))
           } else {
-            val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption.getOrElse(
-              SessionAcc(times.min, times.min, 0L))
-            val next = SessionAcc(math.min(prev.startMs, times.min),
-              math.max(prev.lastMs, times.max), prev.n + times.size)
-            state.update(next)
+            // gap-aware fold: intra-batch (or cross-batch pre-timeout)
+            // gaps close sessions NOW; only the open tail stays in state
+            val (done, open) = foldSessions(state.getOption,
+              batch.map(_.ts.getTime).toSeq, gapMs)
+            state.update(open)
             // close when the watermark passes the gap after the last event
-            state.setTimeoutTimestamp(next.lastMs + gapMs)
-            Iterator.empty
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            done.iterator.map(toClosed(uid, _, gapMs))
           }
       }(Encoders.product[SessionAcc], Encoders.product[ClosedSession])
 
@@ -204,17 +231,17 @@ object Streams {
 
     override def handleInputRows(uid: Long, rows: Iterator[UserEvent2],
         tv: TimerValues): Iterator[ClosedSession] = {
-      val times = rows.map(_.ts.getTime).toSeq
-      val prev = if (acc.exists()) acc.get()
-        else SessionAcc(times.min, times.min, 0L)
-      val next = SessionAcc(math.min(prev.startMs, times.min),
-        math.max(prev.lastMs, times.max), prev.n + times.size)
-      acc.update(next)
+      // gap-aware fold (shared with the flatMapGroupsWithState form):
+      // intra-batch gaps close sessions NOW, not at the next timer
+      val (done, open) = foldSessions(
+        if (acc.exists()) Some(acc.get()) else None,
+        rows.map(_.ts.getTime).toSeq, gapMs)
+      acc.update(open)
       // one live timer per key: drop the stale close time, re-arm at
       // last-event + gap (fires when the WATERMARK passes it)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(next.lastMs + gapMs)
-      Iterator.empty
+      getHandle.registerTimer(open.lastMs + gapMs)
+      done.iterator.map(toClosed(uid, _, gapMs))
     }
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
@@ -243,20 +270,24 @@ object Streams {
         Encoders.product[ClosedSession])
 
   /** Streaming NEAR-dup dedup: the foreachBatch form of
-    * [[graft.operators.Dedup.incremental]]. Each micro-batch of
-    * documents is paired against the accumulated corpus index (a parquet
-    * table at `indexDir`) as old⋈new + new⋈new inverted-index joins —
-    * old⋈old is never re-paired, so per-batch cost tracks the batch,
-    * not the corpus — and the batch is then appended to the index.
-    * Every near-dup pair is emitted exactly once, in the batch where
-    * its SECOND document arrives, so the union of all emitted pairs
-    * equals the batch-free [[graft.operators.Dedup.jaccardPairs]] over
-    * the full corpus (StreamingSpec asserts this golden). Sizes come
-    * from the full filtered vocabulary at pairing time; a shingle whose
-    * document frequency crosses [[graft.operators.Dedup.ShingleDfCap]]
-    * between batches can shift later scores vs a one-shot run — at-scale
-    * caveat shared by every incremental stop-gram filter, impossible at
-    * test SF where the cap is never reached. Emit-then-append is
+    * [[graft.operators.Dedup.incremental]]. The index at `indexDir` is a
+    * POSTINGS table (doc_id, shingle): each micro-batch is shingled
+    * once, paired against the index as old⋈new + new⋈new joins, and its
+    * postings are appended. Old docs are never re-shingled and old⋈old
+    * is never re-paired, so the expensive work (text processing, pair
+    * join fan-out) tracks the batch; the remaining corpus-proportional
+    * component is one linear postings scan per batch for the DF-cap
+    * gate and exact set sizes — removable by maintaining df/size tables
+    * incrementally, kept here for score-exactness with the one-shot
+    * computation. Every near-dup pair is emitted exactly once, in the
+    * batch where its SECOND document arrives, so the union of all
+    * emitted pairs equals the batch-free
+    * [[graft.operators.Dedup.jaccardPairs]] over the full corpus
+    * (StreamingSpec asserts this golden). A shingle whose document
+    * frequency crosses [[graft.operators.Dedup.ShingleDfCap]] between
+    * batches can shift later scores vs a one-shot run — at-scale caveat
+    * shared by every incremental stop-gram filter, impossible at test
+    * SF where the cap is never reached. Emit-then-append is
     * at-least-once under retries (same contract as the Kafka source);
     * the downstream pair consumer dedups on (a_id, b_id) if it needs
     * exactly-once. */
@@ -265,10 +296,12 @@ object Streams {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all =
-      if (fs.exists(path)) spark.read.parquet(indexDir).unionByName(batch)
-      else batch
-    val sh = Dedup.filteredShingleRows(all)
+    // shingle ONLY the batch; the corpus contributes its stored postings
+    val newPost = Dedup.shingleRows(batch)
+    val allPost =
+      if (fs.exists(path)) spark.read.parquet(indexDir).unionByName(newPost)
+      else newPost
+    val sh = Dedup.capPostings(allPost)
     val newIds = batch.select(col("doc_id"))
     val shNew = sh.join(broadcast(newIds), Seq("doc_id"))
     val shOld = sh.join(broadcast(newIds), Seq("doc_id"), "left_anti")
@@ -295,7 +328,7 @@ object Streams {
       // materialize BEFORE the index append so the pair set reflects
       // the pre-append corpus even under lazy re-evaluation
       .localCheckpoint(true)
-    batch.write.mode("append").parquet(indexDir)
+    newPost.write.mode("append").parquet(indexDir)
     pairs
   }
 

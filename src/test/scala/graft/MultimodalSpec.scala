@@ -36,6 +36,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(frames.find(_.frame_idx == 2L).get.frame) === "ef")
   }
 
+  test("decodeBmp: lenient on malformed input — crafted overflow width " +
+    "and wrong bit depth yield null, never a crash") {
+    import graft.functions.BmpPixels
+    def le32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    // width crafted so 3*w overflows Int → stride negative without the
+    // Long fix; must be null/-1, not ArrayIndexOutOfBoundsException
+    val crafted = new Array[Byte](54)
+    crafted(0) = 'B'; crafted(1) = 'M'
+    le32(crafted, 10, 54); le32(crafted, 18, 800000000); le32(crafted, 22, 1)
+    crafted(28) = 24
+    assert(Multimodal.decodeBmp(crafted) === null)
+    assert(BmpPixels.bmpChannelSum(crafted, 0) === -1L)
+    assert(BmpPixels.bmpWeightedSum(crafted, 0) === -1L)
+    // a 32-bpp header must be rejected (the walker assumes 3 bytes/px)
+    val bpp32 = BmpPixels.buildBmp(7L, 3, 2).clone()
+    bpp32(28) = 32
+    assert(Multimodal.decodeBmp(bpp32) === null)
+    // and the happy path still decodes
+    val ok = Multimodal.decodeBmp(BmpPixels.buildBmp(7L, 3, 2))
+    assert(ok(0) === 3.0 && ok(1) === 2.0)
+  }
+
   test("media pipeline: binary payload + metadata survive mapPartitions") {
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))

@@ -238,6 +238,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizers split events farther apart than the gap even " +
+    "within one micro-batch (both implementations)") {
+    implicit val ctx = spark.sqlContext
+    // fold unit: intra-batch split + below-start straggler singleton
+    val (closed, open) = Streams.foldSessions(None,
+      Seq(1000L, 30000L, 200000L), gapMs = 60000L)
+    assert(closed.map(s => (s.startMs, s.lastMs, s.n)) === List((1000L, 30000L, 2L)))
+    assert((open.startMs, open.lastMs, open.n) === ((200000L, 200000L, 1L)))
+    val (c2, o2) = Streams.foldSessions(
+      Some(Streams.SessionAcc(500000L, 520000L, 3L)),
+      Seq(100000L), gapMs = 60000L)
+    assert(c2.map(s => (s.startMs, s.n)) === List((100000L, 1L)))
+    assert(o2.n === 3L)
+    // end to end: one batch holding a 2-hour gap must emit the first
+    // session immediately, without waiting for any watermark advance
+    def drive(name: String,
+        f: org.apache.spark.sql.Dataset[Streams.UserEvent2] =>
+          org.apache.spark.sql.Dataset[Streams.ClosedSession]): Unit = {
+      val in = MemoryStream[Streams.UserEvent2]
+      val q = f(in.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(
+          Streams.UserEvent2(1L, ts("2024-01-01 10:00:00"), 1.0),
+          Streams.UserEvent2(1L, ts("2024-01-01 12:00:00"), 2.0))
+        q.processAllAvailable()
+        val got = spark.table(name).as[Streams.ClosedSession].collect()
+        assert(got.length === 1, s"$name: ${got.mkString}")
+        assert(got.head.session_start === ts("2024-01-01 10:00:00"))
+        assert(got.head.session_end === ts("2024-01-01 10:01:00"))
+        assert(got.head.n_events === 1L)
+      } finally q.stop()
+    }
+    drive("sess_gap_fmgws", ds => Streams.sessionizeWithTimeout(ds, 60000L))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drive("sess_gap_tws",
+      ds => Streams.sessionizeTransformWithState(ds, 60000L))
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming near-dup: union of per-batch emissions equals the " +
     "one-shot pair set") {
     implicit val ctx = spark.sqlContext
