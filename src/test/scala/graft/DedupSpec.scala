@@ -42,6 +42,19 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docs, cap = 0).count() === 0L)
   }
 
+  test("tiny DF cap BINDS at the test SF: pair sims differ from the " +
+    "uncapped computation (so dedup_dfcap_binding's cross-engine check " +
+    "exercises the capped semantics, not an inert filter)") {
+    val docs = graft.Tables.documents(spark, TestSpark.tiny)
+    val capped = Dedup.jaccardPairs(docs, cap = Dedup.TinyDfCap)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.jaccardPairs(docs, cap = Int.MaxValue)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(capped.nonEmpty)
+    assert(capped !== uncapped,
+      s"cap=${Dedup.TinyDfCap} did not bind — raise corpus DF or lower the cap")
+  }
+
   test("near-dup/curation plans: no cartesian or BNL; DF-cap window " +
     "gates the inverted index") {
     val qs = Seq(Dedup.ngramJaccard, Dedup.minhashLsh, Dedup.editDistance,
