@@ -270,14 +270,34 @@ object Relational {
       |  ROW_NUMBER() OVER (ORDER BY p_size, p_partkey) AS rn
       |FROM part
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
-    val wTies = Window.orderBy("p_size")
-    val wUniq = Window.orderBy("p_size", "p_partkey")
-    part(s, d).select(
-        col("p_partkey"), col("p_size"),
-        rank().over(wTies).cast("bigint").as("rnk"),
-        dense_rank().over(wTies).cast("bigint").as("drnk"),
-        ntile(7).over(wUniq).cast("bigint").as("bucket"),
-        row_number().over(wUniq).cast("bigint").as("rn"))
+    // Distributed rank family — no single-partition window (the r04
+    // scale finding: `Window.orderBy` serializes the whole table onto
+    // one task). Global row_number over the unique (p_size, p_partkey)
+    // order comes from the two-pass range-partitioned shape; rank is
+    // the tie group's min row number (hash agg + broadcast join);
+    // dense_rank is the group's own row number (same two-pass over the
+    // per-size relation, ≤ |distinct sizes| rows); NTILE boundaries are
+    // seven driver-side constants folded into a CASE over row_number.
+    val base = part(s, d).select(col("p_partkey"), col("p_size"))
+    val withRn = ScalableWindows.globalRowNumber(base,
+      Seq(col("p_size"), col("p_partkey")), "rn")
+    val groups = withRn.groupBy("p_size").agg(min(col("rn")).as("rnk"))
+    val sized = ScalableWindows.globalRowNumber(groups,
+      Seq(col("p_size")), "drnk", parts = 8)
+    val n = base.count()
+    val k = 7L; val q = n / k; val r = n % k
+    // NTILE(k): first (n mod k) tiles hold one extra row, so tile i
+    // ends at i*q + min(i, r)
+    val ends = (1L to k).map(i => i * q + math.min(i, r))
+    val bucket = (2 to 7).foldLeft(when(col("rn") <= ends(0), 1L)) {
+      (acc, i) => acc.when(col("rn") <= ends(i - 1), i.toLong)
+    }
+    withRn.join(broadcast(sized), "p_size")
+      .select(col("p_partkey"), col("p_size"),
+        col("rnk").cast("bigint").as("rnk"),
+        col("drnk").cast("bigint").as("drnk"),
+        bucket.cast("bigint").as("bucket"),
+        col("rn").cast("bigint").as("rn"))
       .orderBy("p_partkey")
   }
 

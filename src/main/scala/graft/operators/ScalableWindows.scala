@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe replacements for global (unpartitioned) windows.
+  *
+  * `Window.orderBy(...)` with no partition key plans as
+  * `Exchange SinglePartition → Window`: the entire relation lands on ONE
+  * task, which is the classic 100× scale-up killer (fine at 60k rows,
+  * serialized at 2B). The two-pass shape here keeps every stage
+  * parallel:
+  *
+  *   1. `repartitionByRange(sortKey)` splits the total order into
+  *      contiguous key ranges (ascending partition id ≡ ascending key
+  *      range — RangePartitioning's contract);
+  *   2. a PARTITIONED window per range computes local row numbers /
+  *      running sums (parallel sorts of ~|rows|/parts each);
+  *   3. each partition's exclusive offset — ≤ `parts` rows — is
+  *      cumulated on the driver and broadcast-joined back, and local +
+  *      offset = exact global value.
+  *
+  * The driver-side fold is over per-partition TOTALS (≤ `parts` rows,
+  * corpus-independent), the same benign class as the 16-row cell-stats
+  * collect in [[Dedup.cellCosinePairs]] — not a corpus collect.
+  *
+  * Determinism requires the sort key to be a total order (unique);
+  * ranks over tie-heavy keys should instead be derived from row numbers
+  * via a hash aggregation (see [[Relational.q10RankFamily]]).
+  */
+object ScalableWindows {
+
+  /** `df` plus `out` = global 1-based row number by `sortCols` (LONG).
+    * `sortCols` must be a total order (no ties) for a deterministic
+    * result. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
+      parts: Int = 32): DataFrame =
+    twoPass(df, sortCols, None, out, null, parts)
+
+  /** `df` plus `rnOut` = global row number and `sumOut` = global running
+    * sum of `value` (both LONG; cast `value` to a long-summable type).
+    * Frame is rows-between unbounded-preceding and current row. */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+      rnOut: String, sumOut: String, parts: Int = 32): DataFrame =
+    twoPass(df, sortCols, Some(value), rnOut, sumOut, parts)
+
+  private def twoPass(df: DataFrame, sortCols: Seq[Column],
+      value: Option[Column], rnOut: String, sumOut: String,
+      parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = ranged.withColumn("__lrn", row_number().over(w).cast("long"))
+    val local = value match {
+      case Some(v) => local0.withColumn("__lsum", sum(v).over(frame).cast("long"))
+      case None    => local0
+    }
+    // per-partition totals (≤ `parts` rows), exclusive-prefix-folded on
+    // the driver; partition ids are range-ordered so the fold order is
+    // the key order
+    val totals = value match {
+      case Some(v) => ranged.groupBy("__pid")
+        .agg(count(lit(1)).as("__cnt"), sum(v).cast("long").as("__vsum"))
+      case None => ranged.groupBy("__pid")
+        .agg(count(lit(1)).as("__cnt"), lit(0L).as("__vsum"))
+    }
+    val rows = totals.orderBy("__pid")
+      .select(col("__pid"), col("__cnt"), coalesce(col("__vsum"), lit(0L)))
+      .as[(Int, Long, Long)].collect()
+    var cn = 0L; var cs = 0L
+    val offsets = rows.map { case (pid, cnt, vs) =>
+      val o = (pid, cn, cs); cn += cnt; cs += vs; o
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("__pid", "__rnoff", "__sumoff"))
+    val joined = local.join(offDf, "__pid")
+      .withColumn(rnOut, col("__lrn") + col("__rnoff"))
+    val finished = value match {
+      case Some(_) => joined.withColumn(sumOut, col("__lsum") + col("__sumoff"))
+      case None    => joined
+    }
+    finished.drop("__pid", "__lrn", "__lsum", "__rnoff", "__sumoff")
+  }
+}

@@ -59,10 +59,13 @@ object TextAnalysis4 {
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .groupBy("w").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("new_tokens"))
-    perDoc.select(col("doc_id"), col("new_tokens"),
-        sum("new_tokens").over(Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("bigint").as("vocab_size"))
+    // global running sum via the two-pass range-partitioned shape —
+    // the per-doc relation is corpus-sized (one row per document), so
+    // the r04 `Window.orderBy` single-task sort was a scale killer
+    ScalableWindows.globalRunningSum(perDoc, Seq(col("doc_id")),
+        col("new_tokens"), "__rn", "vocab_size")
+      .select(col("doc_id"), col("new_tokens"),
+        col("vocab_size").cast("bigint").as("vocab_size"))
       .orderBy("doc_id")
   }
 

@@ -112,6 +112,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 1 hash exchange (user_id), got $hashShuffles:\n$plan")
   }
 
+  test("q10/text_vocab_growth plan no single-partition window exchange") {
+    // the r04 scale finding: `Window.orderBy` (no partition key) plans
+    // Exchange SinglePartition → Window, serializing the corpus onto one
+    // task. Both queries now use the two-pass range-partitioned shape
+    // (ScalableWindows); any single-partition exchange creeping back in
+    // is a regression. (The final presentation orderBy plans a RANGE
+    // exchange — parallel — so a blanket assert is safe.)
+    for (q <- Seq(Relational.q10RankFamily,
+        graft.operators.TextAnalysis4.vocabGrowth)) {
+      val plan = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"${q.name} plans a single-partition exchange:\n$plan")
+    }
+  }
+
   test("q41 global top-k plans TakeOrderedAndProject") {
     val plan = Relational3.q41GlobalTopk.run(spark, TestSpark.tiny)
       .queryExecution.executedPlan.toString
