@@ -158,13 +158,6 @@ object Dedup {
   def filteredShingleRows(docs: DataFrame, cap: Int = ShingleDfCap): DataFrame =
     capGroups(shingleRows(docs), cap, "shingle")
 
-  /** The same DF-cap gate over an ALREADY-MATERIALIZED postings relation
-    * (doc_id, shingle) — for consumers that persist postings instead of
-    * re-shingling raw text (e.g. the streaming incremental index). */
-  private[graft] def capPostings(post: DataFrame,
-      cap: Int = ShingleDfCap): DataFrame =
-    capGroups(post, cap, "shingle")
-
   /** Exact-Jaccard verification of candidate pairs over the (filtered)
     * shingle relation: sets are collected ONLY for docs appearing in a
     * candidate pair (sparse at any scale). Used by MinHash-LSH, whose

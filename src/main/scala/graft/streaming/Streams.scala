@@ -150,30 +150,39 @@ object Streams {
       session_end: java.sql.Timestamp, n_events: Long)
   final case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
 
-  /** Fold a batch of event times into (sessions closed NOW, open tail).
-    * Times are processed in sorted EVENT-TIME order and a gap > gapMs
-    * always splits — so two events farther apart than the gap can never
-    * share a session, even when they land in one micro-batch or arrive
-    * before the close timer fires (session boundaries are a property of
-    * the data, not of batch/watermark alignment). An event older than
-    * gap before the open session's start (below-watermark straggler)
-    * closes immediately as its own singleton. Shared by both sessionizer
+  /** Keyed session buffer: ALL of a user's not-yet-emitted sessions
+    * (any of which a future admissible event may still extend or
+    * bridge), not just the newest open tail. */
+  final case class SessionBuf(sessions: Seq[SessionAcc])
+
+  /** Merge previously-buffered sessions and a batch of event times into
+    * maximal gap-separated intervals: sort by start, fold, and join any
+    * neighbor whose start is within gapMs of the running end. An event
+    * that lands BETWEEN two buffered sessions and within gap of both
+    * bridges them into one (counts add) — the out-of-order case a
+    * single-open-tail fold gets wrong. Shared by both sessionizer
     * implementations so their semantics cannot drift. */
-  private[graft] def foldSessions(prev: Option[SessionAcc],
-      times: Seq[Long], gapMs: Long): (List[SessionAcc], SessionAcc) = {
-    var closed = List.empty[SessionAcc]
-    var acc = prev.orNull
-    for (t <- times.sorted) {
-      if (acc == null) acc = SessionAcc(t, t, 1L)
-      else if (t > acc.lastMs + gapMs) {
-        closed ::= acc; acc = SessionAcc(t, t, 1L)
-      } else if (t < acc.startMs - gapMs) {
-        closed ::= SessionAcc(t, t, 1L)
-      } else acc = SessionAcc(math.min(acc.startMs, t),
-        math.max(acc.lastMs, t), acc.n + 1)
+  private[graft] def mergeIntervals(prev: Seq[SessionAcc], times: Seq[Long],
+      gapMs: Long): List[SessionAcc] = {
+    val all = (prev ++ times.map(t => SessionAcc(t, t, 1L)))
+      .sortBy(s => (s.startMs, s.lastMs))
+    var out = List.empty[SessionAcc]
+    for (s <- all) out match {
+      case h :: t if s.startMs <= h.lastMs + gapMs =>
+        out = SessionAcc(h.startMs, math.max(h.lastMs, s.lastMs), h.n + s.n) :: t
+      case _ => out = s :: out
     }
-    (closed.reverse, acc)
+    out.reverse
   }
+
+  /** Sessions safe to emit at watermark `wm`: close (last + gap) is
+    * STRICTLY before the watermark — an admissible event t ≥ wm then
+    * satisfies t − last > gap, so nothing can extend or bridge them.
+    * A session with close == wm must wait: an event at exactly t == wm
+    * is admissible and within gap. Returns (emit, keep). */
+  private[graft] def splitByWatermark(ss: Seq[SessionAcc], wm: Long,
+      gapMs: Long): (Seq[SessionAcc], Seq[SessionAcc]) =
+    ss.partition(s => s.lastMs + gapMs < wm)
 
   private def toClosed(uid: Long, s: SessionAcc, gapMs: Long): ClosedSession =
     ClosedSession(uid, new java.sql.Timestamp(s.startMs),
@@ -183,32 +192,40 @@ object Streams {
     * EVENT-TIME timeout — the arbitrary-state generalization of
     * session_window (use this shape when the per-session logic can't be
     * an aggregate: emit-on-close, per-session enrichment, custom merge).
-    * A session closes, and its single record is emitted, only when the
-    * watermark passes last-event + gap; state for the key is removed, so
-    * store size tracks ACTIVE sessions only. */
+    *
+    * A session is emitted ONLY once the watermark strictly passes its
+    * close (last event + gap): until then an admissible out-of-order
+    * event in a later micro-batch could still extend it — or bridge two
+    * buffered sessions into one ([[mergeIntervals]]) — so emitting at
+    * the first intra-batch gap would make output depend on batch
+    * alignment. State therefore holds every not-yet-safe session, and
+    * one event-time timer (the earliest pending close) re-checks after
+    * each watermark advance; emitted sessions leave state, so store
+    * size tracks pending sessions only. */
   def sessionizeWithTimeout(events: Dataset[UserEvent2], gapMs: Long,
       watermark: String = "10 seconds"): Dataset[ClosedSession] =
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, batch: Iterator[UserEvent2], state: GroupState[SessionAcc]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(toClosed(uid, s, gapMs))
-          } else {
-            // gap-aware fold: intra-batch (or cross-batch pre-timeout)
-            // gaps close sessions NOW; only the open tail stays in state
-            val (done, open) = foldSessions(state.getOption,
+        (uid: Long, batch: Iterator[UserEvent2], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val merged =
+            if (state.hasTimedOut) state.getOption.map(_.sessions).getOrElse(Nil)
+            else mergeIntervals(state.getOption.map(_.sessions).getOrElse(Nil),
               batch.map(_.ts.getTime).toSeq, gapMs)
-            state.update(open)
-            // close when the watermark passes the gap after the last event
-            state.setTimeoutTimestamp(open.lastMs + gapMs)
-            done.iterator.map(toClosed(uid, _, gapMs))
+          val (done, keep) = splitByWatermark(merged, wm, gapMs)
+          if (keep.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionBuf(keep))
+            // earliest pending close; clamp above the watermark (a keep
+            // close may equal wm, which setTimeoutTimestamp rejects)
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.lastMs).min + gapMs, wm + 1))
           }
-      }(Encoders.product[SessionAcc], Encoders.product[ClosedSession])
+          done.sortBy(_.startMs).iterator.map(toClosed(uid, _, gapMs))
+      }(Encoders.product[SessionBuf], Encoders.product[ClosedSession])
 
   final case class UserEvent2(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
@@ -223,37 +240,40 @@ object Streams {
     * drives both implementations through one golden scenario. */
   final class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, UserEvent2, ClosedSession] {
-    @transient private var acc: ValueState[SessionAcc] = _
+    @transient private var buf: ValueState[SessionBuf] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      acc = getHandle.getValueState[SessionAcc](
-        "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+      buf = getHandle.getValueState[SessionBuf](
+        "sessions", Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    private def prev: Seq[SessionAcc] =
+      if (buf.exists()) buf.get().sessions else Nil
+
+    /** emit watermark-safe sessions, keep the rest, re-arm one timer at
+      * the earliest pending close (shared by both callbacks — the same
+      * watermark-gated rule as [[sessionizeWithTimeout]]) */
+    private def flush(uid: Long, merged: Seq[SessionAcc],
+        wm: Long): Iterator[ClosedSession] = {
+      val (done, keep) = splitByWatermark(merged, wm, gapMs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (keep.isEmpty) buf.clear()
+      else {
+        buf.update(SessionBuf(keep))
+        getHandle.registerTimer(
+          math.max(keep.map(_.lastMs).min + gapMs, wm + 1))
+      }
+      done.sortBy(_.startMs).iterator.map(toClosed(uid, _, gapMs))
+    }
 
     override def handleInputRows(uid: Long, rows: Iterator[UserEvent2],
-        tv: TimerValues): Iterator[ClosedSession] = {
-      // gap-aware fold (shared with the flatMapGroupsWithState form):
-      // intra-batch gaps close sessions NOW, not at the next timer
-      val (done, open) = foldSessions(
-        if (acc.exists()) Some(acc.get()) else None,
-        rows.map(_.ts.getTime).toSeq, gapMs)
-      acc.update(open)
-      // one live timer per key: drop the stale close time, re-arm at
-      // last-event + gap (fires when the WATERMARK passes it)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(open.lastMs + gapMs)
-      done.iterator.map(toClosed(uid, _, gapMs))
-    }
+        tv: TimerValues): Iterator[ClosedSession] =
+      flush(uid,
+        mergeIntervals(prev, rows.map(_.ts.getTime).toSeq, gapMs),
+        tv.getCurrentWatermarkInMs())
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      val closed = if (acc.exists()) {
-        val s = acc.get()
-        Iterator(ClosedSession(uid, new java.sql.Timestamp(s.startMs),
-          new java.sql.Timestamp(s.lastMs + gapMs), s.n))
-      } else Iterator.empty
-      acc.clear()
-      closed
-    }
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      flush(uid, prev, tv.getCurrentWatermarkInMs())
   }
 
   /** [[SessionProcessor]] wired into a stream. Callers must run with
@@ -270,47 +290,93 @@ object Streams {
         Encoders.product[ClosedSession])
 
   /** Streaming NEAR-dup dedup: the foreachBatch form of
-    * [[graft.operators.Dedup.incremental]]. The index at `indexDir` is a
-    * POSTINGS table (doc_id, shingle): each micro-batch is shingled
-    * once, paired against the index as old⋈new + new⋈new joins, and its
-    * postings are appended. Old docs are never re-shingled and old⋈old
-    * is never re-paired, so the expensive work (text processing, pair
-    * join fan-out) tracks the batch; the remaining corpus-proportional
-    * component is one linear postings scan per batch for the DF-cap
-    * gate and exact set sizes — removable by maintaining df/size tables
-    * incrementally, kept here for score-exactness with the one-shot
-    * computation. Every near-dup pair is emitted exactly once, in the
-    * batch where its SECOND document arrives, so the union of all
-    * emitted pairs equals the batch-free
+    * [[graft.operators.Dedup.incremental]]. The index at `indexDir`
+    * holds three batchId-partitioned tables:
+    *
+    *   - `postings/batch_id=N` — (doc_id, shingle) for batch N's docs;
+    *   - `df/batch_id=N` — batch N's per-shingle posting counts;
+    *   - `sizes/batch_id=N` — batch N's per-doc capped set sizes.
+    *
+    * Each micro-batch is shingled once and paired as old⋈new + new⋈new
+    * joins: old docs are never re-shingled, old⋈old is never re-paired.
+    * The DF-cap gate and set sizes now come from the df/sizes DELTA
+    * tables (vocabulary- and doc-proportional aggregates), NOT from a
+    * linear re-scan of the postings index — the r04 finding. Only the
+    * pairing join itself reads stored postings, which is the index's
+    * job. Capping only the new side of the join is exact: a shared
+    * shingle contributes to the intersection iff it survives the cap on
+    * the arriving side. A doc's set size is fixed at arrival (capped
+    * against df-as-of-arrival); a shingle crossing
+    * [[graft.operators.Dedup.ShingleDfCap]] between batches can shift
+    * later scores vs a one-shot run — the incremental stop-gram caveat,
+    * impossible at test SF where the cap is never reached.
+    *
+    * IDEMPOTENT under foreachBatch retries: every read filters to
+    * batch_id < this batch (a retry's own leftover partitions are
+    * invisible) and every write OVERWRITES this batch's partition, so
+    * re-running a batch rewrites the same files instead of
+    * double-counting document frequencies and set sizes. Every pair is
+    * emitted exactly once, in the batch where its SECOND document
+    * arrives; the union of all emissions equals the batch-free
     * [[graft.operators.Dedup.jaccardPairs]] over the full corpus
-    * (StreamingSpec asserts this golden). A shingle whose document
-    * frequency crosses [[graft.operators.Dedup.ShingleDfCap]] between
-    * batches can shift later scores vs a one-shot run — at-scale caveat
-    * shared by every incremental stop-gram filter, impossible at test
-    * SF where the cap is never reached. Emit-then-append is
-    * at-least-once under retries (same contract as the Kafka source);
-    * the downstream pair consumer dedups on (a_id, b_id) if it needs
-    * exactly-once. */
-  def nearDupIncrementalBatch(batch: DataFrame, indexDir: String): DataFrame = {
+    * (StreamingSpec asserts this golden, plus retry-idempotence). */
+  def nearDupIncrementalBatch(batch: DataFrame, indexDir: String,
+      batchId: Long): DataFrame = {
+    val (pairsPlan, newPost, batchDf, newSizes) =
+      nearDupBatchRelations(batch, indexDir, batchId)
+    // materialize BEFORE the index writes so the pair set reflects
+    // the pre-append corpus even under lazy re-evaluation
+    val pairs = pairsPlan.localCheckpoint(true)
+    newPost.write.mode("overwrite")
+      .parquet(s"$indexDir/postings/batch_id=$batchId")
+    batchDf.write.mode("overwrite")
+      .parquet(s"$indexDir/df/batch_id=$batchId")
+    newSizes.write.mode("overwrite")
+      .parquet(s"$indexDir/sizes/batch_id=$batchId")
+    pairs
+  }
+
+  /** the per-batch relations, pre-materialization — split out so specs
+    * can assert the PAIR PLAN's scale shape (one postings scan, no
+    * corpus-wide cap window) before localCheckpoint makes it opaque */
+  private[graft] def nearDupBatchRelations(batch: DataFrame,
+      indexDir: String, batchId: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // shingle ONLY the batch; the corpus contributes its stored postings
-    val newPost = Dedup.shingleRows(batch)
-    val allPost =
-      if (fs.exists(path)) spark.read.parquet(indexDir).unionByName(newPost)
-      else newPost
-    val sh = Dedup.capPostings(allPost)
-    val newIds = batch.select(col("doc_id"))
-    val shNew = sh.join(broadcast(newIds), Seq("doc_id"))
-    val shOld = sh.join(broadcast(newIds), Seq("doc_id"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val on = shOld.as("a").join(shNew.as("b"),
-        col("a.shingle") === col("b.shingle"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-    val nn = shNew.as("a").join(shNew.as("b"),
+    def readPrior(name: String, cols: String*): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.parquet(p.toString)
+          .filter(col("batch_id") < batchId) // retries see only priors
+          .select(cols.map(col): _*))
+      else None
+    }
+    // shingle ONLY the batch (batch-sized; reused by df/cap/sizes/joins)
+    val newPost = Dedup.shingleRows(batch).localCheckpoint(true)
+    val batchDf = newPost.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+    // current document frequency = prior per-batch deltas + this batch:
+    // a sum over per-batch AGGREGATES, never a postings re-scan
+    val dfAll = readPrior("df", "shingle", "cnt")
+      .map(_.unionByName(batchDf)).getOrElse(batchDf)
+    val overCap = dfAll.groupBy("shingle").agg(sum("cnt").as("df"))
+      .filter(col("df") > Dedup.ShingleDfCap)
+      .select("shingle")
+    val cappedNew = newPost.join(overCap, Seq("shingle"), "left_anti")
+    val newSizes = cappedNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = readPrior("sizes", "doc_id", "n")
+      .map(_.unionByName(newSizes)).getOrElse(newSizes)
+    val oldPost = readPrior("postings", "doc_id", "shingle")
+    val on = oldPost match {
+      case Some(op) => op.as("a").join(cappedNew.as("b"),
+          col("a.shingle") === col("b.shingle"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      case None => newPost.limit(0)
+        .select(col("doc_id").as("a_id"), col("doc_id").as("b_id"))
+    }
+    val nn = cappedNew.as("a").join(cappedNew.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -325,11 +391,7 @@ object Streams {
         (col("na") + col("nb") - col("inter")))
       .filter(col("sim") >= Dedup.JaccardThreshold)
       .select("a_id", "b_id", "sim")
-      // materialize BEFORE the index append so the pair set reflects
-      // the pre-append corpus even under lazy re-evaluation
-      .localCheckpoint(true)
-    newPost.write.mode("append").parquet(indexDir)
-    pairs
+    (pairs, newPost, batchDf, newSizes)
   }
 
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains

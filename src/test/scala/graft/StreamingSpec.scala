@@ -238,21 +238,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("sessionizers split events farther apart than the gap even " +
-    "within one micro-batch (both implementations)") {
+  test("sessionizers split intra-batch gaps, merge stragglers, and " +
+    "bridge sessions on admissible out-of-order events (both impls)") {
     implicit val ctx = spark.sqlContext
-    // fold unit: intra-batch split + below-start straggler singleton
-    val (closed, open) = Streams.foldSessions(None,
-      Seq(1000L, 30000L, 200000L), gapMs = 60000L)
-    assert(closed.map(s => (s.startMs, s.lastMs, s.n)) === List((1000L, 30000L, 2L)))
-    assert((open.startMs, open.lastMs, open.n) === ((200000L, 200000L, 1L)))
-    val (c2, o2) = Streams.foldSessions(
-      Some(Streams.SessionAcc(500000L, 520000L, 3L)),
-      Seq(100000L), gapMs = 60000L)
-    assert(c2.map(s => (s.startMs, s.n)) === List((100000L, 1L)))
-    assert(o2.n === 3L)
-    // end to end: one batch holding a 2-hour gap must emit the first
-    // session immediately, without waiting for any watermark advance
+    // merge unit: intra-batch split + below-start straggler singleton
+    val m1 = Streams.mergeIntervals(Nil, Seq(1000L, 30000L, 200000L), 60000L)
+    assert(m1.map(s => (s.startMs, s.lastMs, s.n)) ===
+      List((1000L, 30000L, 2L), (200000L, 200000L, 1L)))
+    // a straggler below an existing session stays its own interval …
+    val m2 = Streams.mergeIntervals(
+      Seq(Streams.SessionAcc(500000L, 520000L, 3L)), Seq(100000L), 60000L)
+    assert(m2.map(s => (s.startMs, s.n)) === List((100000L, 1L), (500000L, 3L)))
+    // … two stragglers within gap of each other merge (r04 advice) …
+    val m3 = Streams.mergeIntervals(
+      Seq(Streams.SessionAcc(500000L, 520000L, 3L)),
+      Seq(100000L, 130000L), 60000L)
+    assert(m3.map(s => (s.startMs, s.lastMs, s.n)) ===
+      List((100000L, 130000L, 2L), (500000L, 520000L, 3L)))
+    // … and an event between two sessions, within gap of both, BRIDGES
+    // them into one (the single-open-tail fold got this wrong)
+    val m4 = Streams.mergeIntervals(
+      Seq(Streams.SessionAcc(0L, 0L, 1L), Streams.SessionAcc(65000L, 65000L, 1L)),
+      Seq(58000L), 60000L)
+    assert(m4.map(s => (s.startMs, s.lastMs, s.n)) === List((0L, 65000L, 3L)))
+    // watermark gate unit: close strictly before wm emits, equal waits
+    val (emit, keep) = Streams.splitByWatermark(
+      Seq(Streams.SessionAcc(0L, 10000L, 2L), Streams.SessionAcc(80000L, 80000L, 1L)),
+      wm = 80000L, gapMs = 60000L)
+    assert(emit.map(_.startMs) === Seq(0L) && keep.map(_.startMs) === Seq(80000L))
+  }
+
+  test("sessionizers wait for the watermark before emitting a " +
+    "gap-closed session, so a later admissible event can bridge it " +
+    "(both implementations)") {
+    implicit val ctx = spark.sqlContext
+    // gap 60s, watermark delay 10s — the r04 advice scenario:
+    // batch 1 has t=0s and t=65s (intra-batch gap > 60s); the naive
+    // fold would emit [0, 60s) immediately. batch 2's t=58s is ABOVE
+    // the watermark (65s − 10s = 55s) and within gap of both, so the
+    // correct output is ONE bridged session 0→65s with 3 events.
     def drive(name: String,
         f: org.apache.spark.sql.Dataset[Streams.UserEvent2] =>
           org.apache.spark.sql.Dataset[Streams.ClosedSession]): Unit = {
@@ -262,21 +286,32 @@ class StreamingSpec extends AnyFunSuite {
       try {
         in.addData(
           Streams.UserEvent2(1L, ts("2024-01-01 10:00:00"), 1.0),
-          Streams.UserEvent2(1L, ts("2024-01-01 12:00:00"), 2.0))
+          Streams.UserEvent2(1L, ts("2024-01-01 10:01:05"), 2.0))
+        q.processAllAvailable()
+        assert(spark.table(name).isEmpty,
+          s"$name emitted before the watermark passed")
+        in.addData(Streams.UserEvent2(1L, ts("2024-01-01 10:00:58"), 3.0))
+        q.processAllAvailable()
+        // advance the watermark well past the bridged session's close,
+        // then trigger once more so the timer fires
+        in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:00"), 4.0))
+        q.processAllAvailable()
+        in.addData(Streams.UserEvent2(2L, ts("2024-01-01 11:00:01"), 5.0))
         q.processAllAvailable()
         val got = spark.table(name).as[Streams.ClosedSession].collect()
-        assert(got.length === 1, s"$name: ${got.mkString}")
+          .filter(_.user_id == 1L)
+        assert(got.length === 1, s"$name: ${got.mkString(";")}")
         assert(got.head.session_start === ts("2024-01-01 10:00:00"))
-        assert(got.head.session_end === ts("2024-01-01 10:01:00"))
-        assert(got.head.n_events === 1L)
+        assert(got.head.session_end === ts("2024-01-01 10:02:05")) // last+gap
+        assert(got.head.n_events === 3L)
       } finally q.stop()
     }
-    drive("sess_gap_fmgws", ds => Streams.sessionizeWithTimeout(ds, 60000L))
+    drive("sess_bridge_fmgws", ds => Streams.sessionizeWithTimeout(ds, 60000L))
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try drive("sess_gap_tws",
+    try drive("sess_bridge_tws",
       ds => Streams.sessionizeTransformWithState(ds, 60000L))
     finally prev match {
       case Some(v) => spark.conf.set(providerKey, v)
@@ -298,8 +333,8 @@ class StreamingSpec extends AnyFunSuite {
     val got = scala.collection.mutable.Set[(Long, Long)]()
     val in = MemoryStream[(Long, String)]
     val q = in.toDF.toDF("doc_id", "text").writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        Streams.nearDupIncrementalBatch(df, dir)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Streams.nearDupIncrementalBatch(df, dir, bid)
           .select("a_id", "b_id").collect()
           .foreach(r => got += ((r.getLong(0), r.getLong(1))))
         ()
@@ -315,6 +350,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSet === expected,
         s"missing=${expected -- got}, spurious=${got.toSet -- expected}")
     } finally q.stop()
+  }
+
+  test("streaming near-dup index is idempotent under foreachBatch " +
+    "retries and touches df/size deltas, not the postings corpus") {
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, TestSpark.tiny)
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (b0, b1) = docs.splitAt(docs.length / 2)
+    val expected = graft.operators.Dedup.jaccardPairs(docsDf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("neardup_retry")
+      .toString + "/idx"
+    def run(batch: Seq[(Long, String)], bid: Long): Set[(Long, Long)] =
+      Streams.nearDupIncrementalBatch(
+        batch.toDF("doc_id", "text"), dir, bid)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val p0 = run(b0.toIndexedSeq, 0L)
+    // simulate a foreachBatch RETRY of batch 0: Spark re-runs the whole
+    // batch after the index append. Pairs must match and, crucially,
+    // batch 1's scores must not see double-counted df/sizes.
+    val p0retry = run(b0.toIndexedSeq, 0L)
+    assert(p0retry === p0, "batch-0 retry changed its emitted pairs")
+    val p1 = run(b1.toIndexedSeq, 1L)
+    assert(p0 ++ p1 === expected,
+      s"missing=${expected -- p0 -- p1}, spurious=${(p0 ++ p1) -- expected}")
+    // scale shape: the pair plan reads the postings index exactly once
+    // (the old⋈new join — that scan IS the index's job); DF-cap and
+    // sizes come from the delta tables (one scan each), with no
+    // corpus-wide cap window anywhere
+    val pairPlan = Streams.nearDupBatchRelations(
+      Seq((999001L, "fresh doc about nothing at all")).toDF("doc_id", "text"),
+      dir, 2L)._1.queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("Window"),
+      s"corpus-wide cap window crept back:\n$pairPlan")
+    val postingsScans = "/postings".r.findAllIn(pairPlan).length
+    assert(postingsScans === 1,
+      s"expected exactly 1 postings-index scan (the old⋈new join), " +
+        s"got $postingsScans:\n$pairPlan")
   }
 
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
