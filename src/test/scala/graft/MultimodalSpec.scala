@@ -52,6 +52,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(crafted) === null)
     assert(BmpPixels.bmpChannelSum(crafted, 0) === -1L)
     assert(BmpPixels.bmpWeightedSum(crafted, 0) === -1L)
+    // width AND height both near Int.MaxValue: strideL*h (~1.4e19)
+    // overflows LONG and wraps negative, so a multiply-form bounds
+    // check passes and the walk crashes — the division form must reject
+    val crafted2 = new Array[Byte](54)
+    crafted2(0) = 'B'; crafted2(1) = 'M'
+    le32(crafted2, 10, 54)
+    le32(crafted2, 18, Int.MaxValue); le32(crafted2, 22, Int.MaxValue)
+    crafted2(28) = 24
+    assert(Multimodal.decodeBmp(crafted2) === null)
+    assert(BmpPixels.bmpChannelSum(crafted2, 0) === -1L)
+    assert(BmpPixels.bmpWeightedSum(crafted2, 0) === -1L)
+    // offset beyond the buffer must also reject, not wrap the subtraction
+    val crafted3 = BmpPixels.buildBmp(7L, 3, 2).clone()
+    le32(crafted3, 10, Int.MaxValue)
+    assert(Multimodal.decodeBmp(crafted3) === null)
+    assert(BmpPixels.bmpChannelSum(crafted3, 0) === -1L)
     // a 32-bpp header must be rejected (the walker assumes 3 bytes/px)
     val bpp32 = BmpPixels.buildBmp(7L, 3, 2).clone()
     bpp32(28) = 32

@@ -121,7 +121,10 @@ def hash_compare(con, out, name, sql):
     for df, side in ((got, "spark"), (exp, "oracle")):
         if len(df):
             for c in gc:
-                if isinstance(df[c].iloc[0], Decimal):
+                # first NON-NULL value: a leading None/NaN must not let a
+                # Decimal-typed column slip past the guard (r04 advice)
+                s = df[c].dropna()
+                if len(s) and isinstance(s.iloc[0], Decimal):
                     return (f"col {c} ({side}) is DECIMAL-typed output — "
                             "cast to DOUBLE/BIGINT at the query boundary")
     hg, he = frame_hash(got), frame_hash(exp)
