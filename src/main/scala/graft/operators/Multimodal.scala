@@ -348,6 +348,78 @@ object Multimodal {
       .orderBy("sample_rate")
   }
 
+  /** Heterogeneous-media dispatch — the multi-format shape a real
+    * lakehouse meets: ONE binary column holding five different
+    * containers (doc_id % 5 → PNG / GIF / BMP / JPEG / WAV, each built
+    * in-engine with format-specific geometry formulas), parsed back by
+    * ONE format-sniffing scan ([[graft.functions.MediaHeaders]] —
+    * magic-byte dispatch inside the codegen'd walkers, so the mixed
+    * corpus needs no per-format partitioning or UNION of scans). Image
+    * rows yield geometry and NULL sample_rate; WAV rows the reverse.
+    * The oracle restates every field from the generating formulas with
+    * a CASE on the same dispatch key — per-format formulas are all
+    * distinct, so a dispatch mix-up (e.g. GIF bytes parsed as BMP) or
+    * an endianness slip (GIF LE vs PNG/JPEG BE) hash-mismatches. */
+  val mixedHeaders: Q = Q(
+    "mm_mixed_headers",
+    """SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'wav' END AS fmt,
+      |  CASE doc_id % 5 WHEN 0 THEN doc_id % 509 + 1
+      |    WHEN 1 THEN doc_id % 251 + 3 WHEN 2 THEN doc_id % 5 + 2
+      |    WHEN 3 THEN doc_id % 499 + 4 END AS width,
+      |  CASE doc_id % 5 WHEN 0 THEN doc_id % 253 + 1
+      |    WHEN 1 THEN doc_id % 127 + 2 WHEN 2 THEN doc_id % 3 + 1
+      |    WHEN 3 THEN doc_id % 241 + 5 END AS height,
+      |  CASE doc_id % 5 WHEN 4 THEN 8000 + (doc_id % 8) * 4000
+      |    END AS sample_rate
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.{BmpPixels, MediaHeaders}
+    def be16hex(x: Column): Column = lpad(hex(x.cast("int")), 4, "0")
+    def le16hex(x: Column): Column = concat(
+      lpad(hex(x.cast("long") % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 256) % 256), 2, "0"))
+    def le32hex(x: Column): Column = concat(
+      lpad(hex(x.cast("long") % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 256) % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 65536) % 256), 2, "0"),
+      lpad(hex((x.cast("long") / 16777216) % 256), 2, "0"))
+    val id = col("doc_id")
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex((id % 509 + 1).cast("int")), 8, "0"),
+      lpad(hex((id % 253 + 1).cast("int")), 8, "0"),
+      lit("0806000000")))
+    val gif = unhex(concat(
+      lit("474946383961"),                       // "GIF89a"
+      le16hex(id % 251 + 3), le16hex(id % 127 + 2),
+      lit("F70000")))                            // GCT flags, bg, aspect
+    val bmp = BmpPixels.build(id,
+      (id % 5 + 2).cast("int"), (id % 3 + 1).cast("int"))
+    val jpg = unhex(concat(
+      lit("FFD8" + "FFC0" + "0011" + "08"),      // SOI ‖ SOF0 ‖ len ‖ prec
+      be16hex(id % 241 + 5), be16hex(id % 499 + 4),
+      lit("03")))                                // component count
+    val rate = (lit(8000) + (id % 8) * 4000).cast("int")
+    val wav = unhex(concat(
+      lit("52494646"), le32hex(lit(36)),         // "RIFF" ‖ chunk size
+      lit("57415645" + "666D7420"), le32hex(lit(16)),
+      lit("0100" + "0100"),                      // PCM, mono
+      le32hex(rate)))                            // sample rate, LE @24
+    val m5 = id % 5
+    val media = when(m5 === 0, png).when(m5 === 1, gif)
+      .when(m5 === 2, bmp).when(m5 === 3, jpg).otherwise(wav)
+    documents(s, d)
+      .select(id, media.as("media"))
+      .select(id,
+        MediaHeaders.format(col("media")).as("fmt"),
+        MediaHeaders.width(col("media")).cast("bigint").as("width"),
+        MediaHeaders.height(col("media")).cast("bigint").as("height"),
+        MediaHeaders.wavRate(col("media")).cast("bigint").as("sample_rate"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, featureExtract, mediaHeaders, bmpPixels,
-    wavStats)
+    wavStats, mixedHeaders)
 }

@@ -125,14 +125,34 @@ object Relational2 {
       .orderBy("p_brand")
   }
 
-  /** HyperLogLog approximate distinct — algorithm-specific results, so
-    * rows-only driver check; the spec bounds the error vs exact. */
-  val q28ApproxDistinct: Q = Q.noOracle("q28_approx_distinct") { (s, d) =>
+  /** HyperLogLog approximate distinct, fully oracle-checked (the q62
+    * pattern): the output carries the EXACT distinct counts (DuckDB
+    * reproduces them bit-for-bit) plus `est_ok`, the Spark-computed
+    * claim that each sketch estimate lies within 3σ of exact (default
+    * rsd 0.05 → 15%; rsd 0.01 → 3%). The oracle emits literal TRUE, so
+    * a drifting sketch fails the driver's hash compare. */
+  val q28ApproxDistinct: Q = Q(
+    "q28_approx_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  TRUE AS est_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def ok(est: Column, exact: Column, bound: Double): Column =
+      abs(est.cast("double") - exact.cast("double")) <=
+        exact.cast("double") * lit(bound)
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_parts"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        (ok(col("a_orders"), col("n_orders"), 0.15) &&
+          ok(col("a_parts"), col("n_parts"), 0.03)).as("est_ok"))
       .orderBy("l_returnflag")
   }
 

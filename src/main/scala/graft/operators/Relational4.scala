@@ -135,19 +135,77 @@ object Relational4 {
 
   /** Approximate percentiles (Greenwald-Khanna sketch): mergeable,
     * bounded-memory, single pass — the at-scale substitute for q27's
-    * exact sort-based percentiles. Sketch results are
-    * algorithm-specific → rows-only driver check; the spec bounds the
-    * rank error against the exact values. */
-  val q52ApproxQuantile: Q = Q.noOracle("q52_approx_quantile") { (s, d) =>
-    // scalar columns (not an array) so the driver's rows-only check can
-    // sort the output — pandas cannot sort ndarray-valued cells
-    lineitem(s, d)
+    * exact sort-based percentiles.
+    *
+    * Fully oracle-checked (the q62 pattern): the output carries EXACT
+    * discrete percentiles — `percentile_disc` picks a real data value
+    * (no cross-engine float interpolation; DECIMAL→DOUBLE is exact at
+    * cent granularity) and both engines implement the same Postgres
+    * definition (smallest value with cume_dist ≥ q) — plus `approx_ok`,
+    * the Spark-computed claim that every GK estimate's rank lies within
+    * ε·n (ε = 1/accuracy = 0.001, +1 slack for ceiling semantics) of
+    * its target rank. Rank-of-estimate is computed by a broadcast join
+    * of the 5-row estimate relation back onto lineitem — one extra
+    * scan, no shuffle of the fact side. The oracle emits literal TRUE,
+    * so a sketch whose rank error exceeds its guarantee hash-fails. */
+  val q52ApproxQuantile: Q = Q(
+    "q52_approx_quantile",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS price_p50,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS price_p90,
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS price_p99,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS qty_median,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = lineitem(s, d).select(
+      col("l_returnflag"),
+      col("l_extendedprice").cast("double").as("price"),
+      col("l_quantity").cast("double").as("qty"))
+    val est = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)")
+        .as("price_p50"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)")
+        .as("price_p90"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY price)")
+        .as("price_p99"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY qty)")
+        .as("qty_median"),
+      expr("approx_percentile(price, 0.5, 1000)").as("a50"),
+      expr("approx_percentile(price, 0.9, 1000)").as("a90"),
+      expr("approx_percentile(price, 0.99, 1000)").as("a99"),
+      expr("approx_percentile(qty, 0.5, 1000)").as("aq50"))
+    // rank of each GK estimate: one conditional-count pass over the
+    // fact table against the broadcast 5-row estimate relation
+    val ranks = li
+      .join(broadcast(est.select("l_returnflag", "a50", "a90", "a99", "aq50")),
+        Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("price_p90"),
-        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("price_p99"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("qty_median"))
+        sum(when(col("price") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("price") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("price") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("price") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("price") < col("a99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("price") <= col("a99"), 1L).otherwise(0L)).as("le99"),
+        sum(when(col("qty") < col("aq50"), 1L).otherwise(0L)).as("ltq"),
+        sum(when(col("qty") <= col("aq50"), 1L).otherwise(0L)).as("leq"))
+    // GK guarantee at accuracy 1000: the returned value's rank interval
+    // [rank_lt+1, rank_le] intersects [⌈(q-ε)n⌉, ⌈(q+ε)n⌉], ε = 0.001
+    def okq(lt: String, le: String, q: Double): Column = {
+      val n = col("n").cast("double")
+      (col(lt).cast("double") <= n * lit(q + 0.001) + lit(1.0)) &&
+        (col(le).cast("double") >= n * lit(q - 0.001) - lit(1.0))
+    }
+    est.join(broadcast(ranks), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        col("price_p50"), col("price_p90"), col("price_p99"),
+        col("qty_median"),
+        (okq("lt50", "le50", 0.5) && okq("lt90", "le90", 0.9) &&
+          okq("lt99", "le99", 0.99) && okq("ltq", "leq", 0.5))
+          .as("approx_ok"))
       .orderBy("l_returnflag")
   }
 

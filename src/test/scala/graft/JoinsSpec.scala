@@ -77,31 +77,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(base === reparted)
   }
 
-  test("approx_percentile is within bounded rank error of exact") {
+  test("q52: exact disc percentiles verified, GK rank claim holds") {
     val got = Relational4.q52ApproxQuantile.run(spark, TestSpark.tiny)
-      .select("l_returnflag", "qty_median").as[(String, Double)]
-      .collect().toMap
+      .select("l_returnflag", "qty_median", "approx_ok")
+      .as[(String, Double, Boolean)].collect()
     val exact = Tables.lineitem(spark, TestSpark.tiny)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_quantity, 0.5)").as("m"))
       .as[(String, Double)].collect().toMap
-    exact.foreach { case (k, m) =>
-      // accuracy 1000 → rank error ≤ 1/1000; quantities are 1..50, so
-      // the median can differ by at most one step
-      assert(math.abs(got(k) - m) <= 1.0, s"flag $k: ${got(k)} vs $m")
+    got.foreach { case (k, m, ok) =>
+      // disc vs interpolated median differ by at most one integer step
+      // (quantities are 1..50)
+      assert(math.abs(m - exact(k)) <= 1.0, s"flag $k: $m vs ${exact(k)}")
+      assert(ok, s"flag $k: GK estimate outside its rank-error guarantee")
     }
   }
 
-  test("approx_count_distinct is within its rsd of exact") {
+  test("q28: exact distinct counts verified, HLL est_ok claim holds") {
     val got = Relational2.q28ApproxDistinct.run(spark, TestSpark.tiny)
-      .select("l_returnflag", "approx_parts").as[(String, Long)]
-      .collect().toMap
+      .as[(String, Long, Long, Boolean)].collect()
     val exact = Tables.lineitem(spark, TestSpark.tiny)
-      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
-      .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      val err = math.abs(got(k) - n).toDouble / n
-      assert(err < 0.05, s"flag $k: approx ${got(k)} vs exact $n (err $err)")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("no"),
+        countDistinct("l_partkey").as("np"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    got.foreach { case (k, nOrders, nParts, ok) =>
+      assert((nOrders, nParts) === exact(k), s"flag $k exact counts")
+      assert(ok, s"flag $k: sketch estimate out of its 3σ bound")
     }
   }
 
