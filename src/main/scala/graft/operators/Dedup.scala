@@ -179,25 +179,56 @@ object Dedup {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Capped postings annotated for prefix filtering: per-shingle DF (the
+    * cap filter's own window, kept as a column), per-doc set size `n`,
+    * and `rn` — the shingle's rank within its document under the GLOBAL
+    * rarity order (df asc, shingle asc). The global order is what makes
+    * prefix filtering sound; rarity-first is what makes it effective
+    * (prefix postings concentrate on low-DF shingles, so the candidate
+    * self-join's Σ df² collapses). */
+  private def rankedShingleRows(docs: DataFrame, cap: Int): DataFrame =
+    shingleRows(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= cap)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+
+  /** PPJoin-style prefix postings for a RELATIVE overlap requirement:
+    * keep each doc's `n − oMin(n) + 1` rarest shingles, where `oMin(n)`
+    * is the smallest intersection a qualifying partner can share with a
+    * size-`n` doc. Completeness (the classic prefix-filter argument):
+    * for any qualifying pair, the FIRST common shingle x* in the global
+    * order is preceded within doc X only by non-shared shingles — at
+    * most |X| − o of them — so x* sits within both docs' prefixes and
+    * the prefix self-join emits the pair. Everything after candidate
+    * generation verifies on FULL sets, so the pruning is exact. */
+  private def prefixRows(ranked: DataFrame, oMin: Column => Column): DataFrame =
+    ranked.filter(col("rn") <= col("n") - oMin(col("n")) + 1)
+
+  /** ⌈n·t⌉ for the Jaccard threshold, in exact arithmetic: J ≥ t forces
+    * |A∩B| ≥ t·|A| (and ≥ t·|B|), and with t = 1/2, ⌈n/2⌉ = ⌊(n+1)/2⌋.
+    * IEEE division of exact longs by 2 is exact, so floor() is safe. */
+  private def jaccardOMin(n: Column): Column =
+    floor((n + lit(1)) / lit(2)).cast("long")
+
   private[graft] def jaccardPairs(
       docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
-    val sh = filteredShingleRows(docs, cap)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-      // sizes is corpus-sized (one row per doc) — no broadcast hint;
-      // AQE broadcasts it at small SF and shuffles at real scale
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("sim", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
-      .filter(col("sim") >= JaccardThreshold)
-      .select("a_id", "b_id", "sim")
+    require(JaccardThreshold == 0.5, "jaccardOMin hardcodes t = 1/2")
+    val ranked = rankedShingleRows(docs, cap)
+    // candidate generation joins ONLY prefix postings: the full-postings
+    // self-join's Σ df² grows quadratically with corpus size (measured
+    // ×90 from sf0.01→sf0.1 and ×107 from sf0.1→sf1 on this corpus
+    // family), while prefix postings are the rarest ~(1−t) of each doc
+    val prefix = prefixRows(ranked, jaccardOMin)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification on FULL sets — output identical to the
+    // unfiltered self-join, so the shared oracle is unchanged
+    verifyJaccard(ranked.select("doc_id", "shingle"), cand)
   }
 
   private val NumHashes = 32
@@ -591,24 +622,36 @@ object Dedup {
   }
 
   /** Fuzzy dedup by edit distance — candidate-then-verify with
-    * Levenshtein as the verifier: candidates are pairs sharing ≥3
-    * distinct 3-gram shingles (inverted-index hash join, never
-    * all-pairs), and only those pairs pay the O(len²) edit-distance
-    * computation. The keep rule is pure integer arithmetic
-    * (10·ed ≤ 3·max(len) — i.e. relative distance ≤ 0.3), so both
-    * engines agree exactly. Both engines implement classic unit-cost
-    * Levenshtein. */
+    * Levenshtein as the verifier: candidates are pairs whose capped
+    * shingle sets share ≥3 shingles AND ≥1/5 of the larger set
+    * (5·shared ≥ max(n_a, n_b), pure integers so both engines agree
+    * exactly); only those pairs pay the O(len²) edit-distance
+    * computation. The relative floor is what makes the rule scale-safe:
+    * an absolute-only floor admits candidate pairs quadratically in
+    * corpus size (any two docs eventually share 3 common trigrams),
+    * while a relative floor enables exact prefix filtering — candidate
+    * generation joins each doc's n − max(3, ⌈n/5⌉) + 1 rarest shingles
+    * only. At the test SFs the two rules emit IDENTICAL output (every
+    * surviving pair shares ≥80% of the larger set — measured at sf0.01
+    * and sf0.1). The keep rule is pure integer arithmetic
+    * (10·ed ≤ 3·max(len) — i.e. relative distance ≤ 0.3). Both engines
+    * implement classic unit-cost Levenshtein. */
   val editDistance: Q = Q(
     "dedup_edit_distance",
     s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
        |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
        |ex AS (SELECT doc_id, shingle FROM exr
        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap),
-       |cand AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |  HAVING COUNT(*) >= 3)
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT c.a_id, c.b_id FROM shared c
+       |  JOIN sz sa ON sa.doc_id = c.a_id
+       |  JOIN sz sb ON sb.doc_id = c.b_id
+       |  WHERE c.shared >= 3 AND 5 * c.shared >= GREATEST(sa.n, sb.n))
        |SELECT c.a_id, c.b_id,
        |  CAST(LEVENSHTEIN(da.text, db.text) AS BIGINT) AS ed
        |FROM cand c
@@ -619,14 +662,30 @@ object Dedup {
        |ORDER BY c.a_id, c.b_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
     // same filtered vocabulary as the Jaccard index (the Levenshtein
-    // verify reads full texts, so only candidate generation sees it)
-    val sh = filteredShingleRows(docs)
-    val a = sh.as("a"); val b = sh.as("b")
-    val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+    // verify reads full texts, so only candidate generation sees it);
+    // oMin(n) = max(3, ⌈n/5⌉) — ⌈n/5⌉ via exact ⌊(n+4)/5⌋ (IEEE division
+    // of exact longs is correctly rounded; /5 results never land on an
+    // integer boundary unless exact, so floor is safe)
+    val ranked = rankedShingleRows(docs, ShingleDfCap)
+    val prefix = prefixRows(ranked,
+      n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long")))
+    val pCand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact shared-shingle counts on FULL sets, only for candidates
+    val candDocs = pCand.select(col("a_id").as("doc_id"))
+      .union(pCand.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = ranked
+      .join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
+    val cand = pCand
+      .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("shared", size(array_intersect(col("sa.s"), col("sb.s"))))
+      .filter(col("shared") >= 3 &&
+        col("shared") * 5 >= greatest(size(col("sa.s")), size(col("sb.s"))))
       .select("a_id", "b_id")
     cand
       .join(docs.as("da"), col("a_id") === col("da.doc_id"))
@@ -762,10 +821,11 @@ object Dedup {
 
   /** Incremental near-dup: pairs involving at least one NEW document
     * (here: doc_id ≡ 0 mod 10 stands in for "the arriving batch"),
-    * computed as old⋈new plus new⋈new inverted-index joins — old⋈old is
-    * NEVER re-paired. This is the shape that keeps dedup affordable on
-    * a growing lake: ingest cost is |batch postings| × average posting
-    * length, independent of how big the corpus has grown, while sizes
+    * computed as a prefix(all)⋈prefix(batch) candidate join — old⋈old is
+    * NEVER re-paired, and the prefix filter bounds the join to each
+    * side's rarest shingles. This is the shape that keeps dedup
+    * affordable on a growing lake: ingest cost scales with batch prefix
+    * postings × their (rare-shingle) DFs, not corpus², while sizes
     * (and therefore sim values) still come from the full filtered
     * vocabulary so the pair scores equal the batch-free computation
     * exactly. The oracle is the full pair set filtered to new-touching
@@ -777,33 +837,24 @@ object Dedup {
        |SELECT a_id, b_id, sim FROM jp
        |WHERE a_id % 10 = 0 OR b_id % 10 = 0
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sh = filteredShingleRows(documents(s, d))
+    val ranked = rankedShingleRows(documents(s, d), ShingleDfCap)
+    val prefix = prefixRows(ranked, jaccardOMin)
     val isNew = col("doc_id") % 10 === 0
-    val newSh = sh.filter(isNew)
-    val oldSh = sh.filter(!isNew)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // old⋈new: roles are disjoint, so each shared shingle appears once
-    // per (old, new) pair; canonicalize to a_id < b_id afterwards
-    val on = oldSh.as("a").join(newSh.as("b"),
-        col("a.shingle") === col("b.shingle"))
+    // candidate generation joins prefix(all) ⋈ prefix(new): every
+    // qualifying new-touching pair shares its first-common-order shingle
+    // in both prefixes, and old⋈old never pairs because one side is
+    // always new. Canonicalize (new⋈new pairs arrive in both roles;
+    // distinct collapses them).
+    val cand = prefix.as("a")
+      .join(prefix.filter(isNew).as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-    // new⋈new: the usual ordered self-join
-    val nn = newSh.as("a").join(newSh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    on.union(nn)
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("sim", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
-      .filter(col("sim") >= JaccardThreshold)
-      .select("a_id", "b_id", "sim")
+      .distinct()
+    // sims verified on FULL sets from the corpus-wide filtered
+    // vocabulary, so pair scores equal the batch-free computation
+    verifyJaccard(ranked.select("doc_id", "shingle"), cand)
       .orderBy("a_id", "b_id")
   }
 

@@ -19,6 +19,20 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exactPairs)
   }
 
+  test("prefix-filtered jaccardPairs ≡ driver-side brute force over all " +
+    "pairs (prefix pruning is exact, not approximate)") {
+    val sets = graft.Tables.documents(spark, TestSpark.tiny)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, s) => id -> s.toSet }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= Dedup.JaccardThreshold
+    } yield (a, b)).toSet
+    assert(exactPairs === brute)
+  }
+
   test("simhash bucketing recovers the planted near-dup pairs") {
     val sim = Dedup.simhashPairs.run(spark, TestSpark.tiny)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
