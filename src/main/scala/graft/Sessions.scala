@@ -25,7 +25,10 @@ object Sessions {
 
   def local(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N, 4]: allow task retries like a real cluster would —
+      // plain local[N] aborts a whole query on one transient task
+      // failure (e.g. the JDK NIO spill-read race under heavy spill)
+      .master(s"local[$cpus,4]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -159,25 +159,52 @@ object Dedup {
     capGroups(shingleRows(docs), cap, "shingle")
 
   /** Exact-Jaccard verification of candidate pairs over the (filtered)
-    * shingle relation: sets are collected ONLY for docs appearing in a
-    * candidate pair (sparse at any scale). Used by MinHash-LSH, whose
-    * banding admits few candidates; the exact query counts intersections
-    * directly off its self-join instead. */
+    * shingle relation. Sets are collected ONLY for docs appearing in a
+    * candidate pair, and as SORTED 64-BIT HASH SIGNATURES, not string
+    * arrays: candidate verification joins those signatures onto every
+    * candidate row, so the bytes that cross the wire per pair are
+    * 8·|set| instead of the raw shingle text (~2.5× smaller), and the
+    * intersection is a codegen'd two-pointer merge over primitives
+    * ([[graft.functions.SortedIntersectCount]]) instead of a per-row
+    * hash-set build. xxhash64 collisions within the shingle vocabulary
+    * (~52k distinct at sf1) have probability ~|V|²/2⁶⁴ ≈ 1e-10 —
+    * negligible like the SHA-256 grouping in [[exact]]. */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val candSets = sh
       .join(broadcast(candDocs), "doc_id")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s"))
     cand
       .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.s"), col("sb.s"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sa.s"), col("sb.s")))
       .withColumn("sim", col("inter").cast("double") /
         (size(col("sa.s")) + size(col("sb.s")) - col("inter")))
       .filter(col("sim") >= JaccardThreshold)
       .select("a_id", "b_id", "sim")
   }
+
+  /** PPJoin positional filter, as a JOIN predicate on prefix-postings
+    * co-occurrences: a match at in-document rarity ranks (rn_a, rn_b)
+    * can witness an overlap of at most 1 + min(n_a−rn_a, n_b−rn_b)
+    * (everything shared must sit at or after the matched rank on both
+    * sides for the FIRST common shingle, which is the co-occurrence
+    * completeness relies on). Pairs whose required overlap exceeds that
+    * reach are dropped before the candidate distinct — at sf1 this cuts
+    * co-occurrences 48M → 13M. `alpha` must be the exact integer
+    * overlap bound for the pair (a function of n_a, n_b). */
+  private def positionalFilter(alpha: (Column, Column) => Column): Column =
+    lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+      alpha(col("a.n"), col("b.n"))
+
+  /** α for Jaccard ≥ 1/2: ⌈(n_a+n_b)/3⌉ = ⌊(n_a+n_b+2)/3⌋, exact in
+    * IEEE double for any realistic set sizes (/3 of an exact long is
+    * correctly rounded and lands on an integer only when exact). */
+  private def jaccardAlpha(na: Column, nb: Column): Column =
+    floor((na + nb + lit(2)) / lit(3)).cast("long")
 
   /** Capped postings annotated for prefix filtering: per-shingle DF (the
     * cap filter's own window, kept as a column), per-doc set size `n`,
@@ -223,7 +250,8 @@ object Dedup {
     val prefix = prefixRows(ranked, jaccardOMin)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          positionalFilter(jaccardAlpha))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     // exact verification on FULL sets — output identical to the
@@ -667,23 +695,51 @@ object Dedup {
     // of exact longs is correctly rounded; /5 results never land on an
     // integer boundary unless exact, so floor is safe)
     val ranked = rankedShingleRows(docs, ShingleDfCap)
-    val prefix = prefixRows(ranked,
-      n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long")))
+    val edOMin: Column => Column =
+      n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long"))
+    val edAlpha: (Column, Column) => Column =
+      (na, nb) => greatest(lit(3L),
+        floor((greatest(na, nb) + lit(4)) / lit(5)).cast("long"))
+    // 3-WITNESS prefix filtering: the i-th smallest common shingle (in
+    // the global rarity order) sits within position n − o + i on both
+    // sides, so extending the prefix by 2 guarantees every qualifying
+    // pair (overlap ≥ 3 always, by the rule) co-occurs on ≥3 prefix
+    // shingles — candidates then require THREE witnesses instead of
+    // one, which kills chance single-rare-shingle matches before the
+    // signature verify (sf1: 21M → 4.6M verify pairs). The positional
+    // reach of the 3rd witness is 3 + min(suffixes), hence the +3.
+    val prefix = ranked.filter(col("rn") <= col("n") - edOMin(col("n")) + 3)
+      // char length rides along for the length-compatibility prune
+      .join(broadcast(docs.select(col("doc_id"),
+        length(col("text")).as("len"))), "doc_id")
     val pCand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // exact shared-shingle counts on FULL sets, only for candidates
+          col("a.doc_id") < col("b.doc_id") &&
+          (lit(3) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+            edAlpha(col("a.n"), col("b.n"))) &&
+          // implied by the FINAL keep rule (rel-ed ≤ 0.3) and the
+          // shared-floor (shared ≤ min(n)), so pruning here is exact
+          (lit(10) * abs(col("a.len") - col("b.len")) <=
+            lit(3) * greatest(col("a.len"), col("b.len"))) &&
+          (lit(5) * least(col("a.n"), col("b.n")) >=
+            greatest(col("a.n"), col("b.n"))))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select("a_id", "b_id")
+    // exact shared-shingle counts on FULL sets, only for candidates —
+    // sorted hash signatures + codegen'd merge, as in verifyJaccard
     val candDocs = pCand.select(col("a_id").as("doc_id"))
       .union(pCand.select(col("b_id").as("doc_id"))).distinct()
     val candSets = ranked
       .join(broadcast(candDocs), "doc_id")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s"))
     val cand = pCand
       .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
-      .withColumn("shared", size(array_intersect(col("sa.s"), col("sb.s"))))
+      .withColumn("shared",
+        graft.functions.SortedIntersectCount(col("sa.s"), col("sb.s")))
       .filter(col("shared") >= 3 &&
         col("shared") * 5 >= greatest(size(col("sa.s")), size(col("sb.s"))))
       .select("a_id", "b_id")
@@ -848,7 +904,8 @@ object Dedup {
     val cand = prefix.as("a")
       .join(prefix.filter(isNew).as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          positionalFilter(jaccardAlpha))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()

@@ -117,11 +117,18 @@ object Relational3 {
     * training-pipeline staple. Multiplicative (Knuth) hashing over the
     * key in portable BIGINT arithmetic, so the split is reproducible on
     * any engine and stable under repartitioning (unlike rand()-based
-    * sampling). 10 folds; fold 0 doubles as a 10% sample. */
+    * sampling). 10 folds; fold 0 doubles as a 10% sample.
+    *
+    * The key is reduced mod 2²⁶ BEFORE the multiply: the raw product
+    * `doc_id · 2654435761` overflows BIGINT for doc_id ≳ 3.5e9 — found
+    * by the sf1 scale run, where replica-offset ids hit ~9e9 and ANSI
+    * mode aborted the query. 2²⁶·2654435761 ≈ 1.8e17 can never
+    * overflow, and the reduction is the identity for every driver-SF
+    * id, so gate outputs are bit-identical. */
   val q34FoldAssign: Q = Q(
     "q34_fold_assign",
     """WITH folded AS (
-      |  SELECT lang, ((doc_id * 2654435761) % 4294967296) % 10 AS fold
+      |  SELECT lang, (((doc_id % 67108864) * 2654435761) % 4294967296) % 10 AS fold
       |  FROM documents)
       |SELECT lang, fold, COUNT(*) AS n
       |FROM folded
@@ -129,7 +136,8 @@ object Relational3 {
       |ORDER BY lang, fold""".stripMargin) { (s, d) =>
     documents(s, d)
       .select(col("lang"),
-        (((col("doc_id") * 2654435761L) % 4294967296L) % 10).as("fold"))
+        ((col("doc_id") % 67108864L * 2654435761L) % 4294967296L % 10)
+          .as("fold"))
       .groupBy("lang", "fold")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "fold")

@@ -56,11 +56,14 @@ object Relational4 {
     * Knuth multiplicative hashing of the key — reproducible on any
     * engine, stable under repartitioning, and a pure per-row filter (no
     * shuffle before the verifying aggregation). The training-pipeline
-    * counterpart of q34's global folds. */
+    * counterpart of q34's global folds. Key reduced mod 2²⁶ before the
+    * multiply so the product can never overflow BIGINT (see
+    * [[Relational3.q34FoldAssign]] — found by the sf1 scale run);
+    * identity at every driver SF. */
   val q49StratifiedSample: Q = Q(
     "q49_stratified_sample",
     """WITH hashed AS (
-      |  SELECT doc_id, lang, ((doc_id * 2654435761) % 4294967296) AS h
+      |  SELECT doc_id, lang, (((doc_id % 67108864) * 2654435761) % 4294967296) AS h
       |  FROM documents),
       |sampled AS (
       |  SELECT * FROM hashed
@@ -72,7 +75,7 @@ object Relational4 {
       |ORDER BY lang""".stripMargin) { (s, d) =>
     documents(s, d)
       .select(col("doc_id"), col("lang"),
-        ((col("doc_id") * 2654435761L) % 4294967296L).as("h"))
+        (col("doc_id") % 67108864L * 2654435761L % 4294967296L).as("h"))
       // 50% of en docs, 10% of the rest — all integer arithmetic
       .filter(col("h") < when(col("lang") === "en", 2147483648L)
         .otherwise(429496729L))

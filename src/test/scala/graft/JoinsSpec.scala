@@ -71,7 +71,8 @@ class JoinsSpec extends AnyFunSuite {
     // same hash arithmetic over the repartitioned table
     val reparted = docs
       .select(col("lang"),
-        (((col("doc_id") * 2654435761L) % 4294967296L) % 10).as("fold"))
+        (col("doc_id") % 67108864L * 2654435761L % 4294967296L % 10)
+          .as("fold"))
       .groupBy("lang", "fold").agg(count(lit(1)).as("n"))
       .orderBy("lang", "fold").collect().map(_.toSeq).toSeq
     assert(base === reparted)
