@@ -411,7 +411,11 @@ object Dedup {
   /** Embedding-cosine near-dup pairs ≥ [[CosineThreshold]], EXACT (same
     * oracle as brute force) but with no cartesian product in the plan:
     * candidates come from [[cellCosinePairs]] — triangle-inequality-pruned
-    * cell pairs verified by partitioned hash joins. */
+    * cell pairs verified by partitioned hash joins. Cell bits AUTO-SCALE
+    * with the corpus (≈ log₂(n / 2000), clamped to [4, 12]) so cells hold
+    * ~2 k vectors at any size — the corpus count is a parquet
+    * metadata-only job, and the result is exact at every bits value, so
+    * the knob tunes verify-join volume without touching semantics. */
   val embeddingCosine: Q = Q(
     "dedup_embedding_cosine",
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -419,7 +423,11 @@ object Dedup {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${VectorFunctions.duckCosine("a.embedding", "b.embedding", EmbDim)} >= $CosineThreshold
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    cellCosinePairs(embeddings(s, d), CosineThreshold).orderBy("a_id", "b_id")
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val bits = math.min(12, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2000))))
+    cellCosinePairs(emb, CosineThreshold, bits).orderBy("a_id", "b_id")
   }
 
   /** Exact all-pairs cosine ≥ threshold WITHOUT an all-pairs join.

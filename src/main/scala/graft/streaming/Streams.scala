@@ -3,6 +3,7 @@ package graft.streaming
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -322,7 +323,7 @@ object Streams {
     * (StreamingSpec asserts this golden, plus retry-idempotence). */
   def nearDupIncrementalBatch(batch: DataFrame, indexDir: String,
       batchId: Long): DataFrame = {
-    val (pairsPlan, newPost, batchDf, newSizes) =
+    val (pairsPlan, newPost, batchDf, newSizes, newSigs) =
       nearDupBatchRelations(batch, indexDir, batchId)
     // materialize BEFORE the index writes so the pair set reflects
     // the pre-append corpus even under lazy re-evaluation
@@ -333,15 +334,33 @@ object Streams {
       .parquet(s"$indexDir/df/batch_id=$batchId")
     newSizes.write.mode("overwrite")
       .parquet(s"$indexDir/sizes/batch_id=$batchId")
+    newSigs.write.mode("overwrite")
+      .parquet(s"$indexDir/sets/batch_id=$batchId")
     pairs
   }
 
   /** the per-batch relations, pre-materialization — split out so specs
-    * can assert the PAIR PLAN's scale shape (one postings scan, no
-    * corpus-wide cap window) before localCheckpoint makes it opaque */
+    * can assert the PAIR PLAN's scale shape (one postings scan, one
+    * signature-table scan, no corpus-wide cap window) before
+    * localCheckpoint makes it opaque.
+    *
+    * Scale shape (r05): candidate generation joins the postings index
+    * against the BATCH'S PREFIX postings only — each arriving doc's
+    * n − ⌈n/3⌉ + 1 rarest shingles under the CURRENT global DF order
+    * (the df delta table the index already maintains). Restricting only
+    * the batch side is complete: the stored side carries every shingle,
+    * so the pair's smallest-ranked common shingle always matches, and
+    * ⌈n/3⌉ (not ⌈n/2⌉) is the bound that stays valid even where the
+    * incremental DF cap bites (sim ≥ t ⟹ inter ≥ t·n_new/(1+t)
+    * regardless of the stored side's capped size). Intersections are
+    * then counted on per-doc SORTED HASH SIGNATURES from the new
+    * `sets/` index table (old docs) and the capped batch (new docs) via
+    * the codegen'd merge — candidate-bounded work, instead of counting
+    * matches across the full old⋈new postings join, whose output grows
+    * with corpus × batch vocabulary overlap. */
   private[graft] def nearDupBatchRelations(batch: DataFrame,
       indexDir: String, batchId: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     def readPrior(name: String, cols: String*): Option[DataFrame] = {
@@ -360,29 +379,54 @@ object Streams {
     // a sum over per-batch AGGREGATES, never a postings re-scan
     val dfAll = readPrior("df", "shingle", "cnt")
       .map(_.unionByName(batchDf)).getOrElse(batchDf)
-    val overCap = dfAll.groupBy("shingle").agg(sum("cnt").as("df"))
-      .filter(col("df") > Dedup.ShingleDfCap)
+    val dfNow = dfAll.groupBy("shingle").agg(sum("cnt").as("df"))
+    val overCap = dfNow.filter(col("df") > Dedup.ShingleDfCap)
       .select("shingle")
     val cappedNew = newPost.join(overCap, Seq("shingle"), "left_anti")
     val newSizes = cappedNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizes = readPrior("sizes", "doc_id", "n")
       .map(_.unionByName(newSizes)).getOrElse(newSizes)
+    // per-doc sorted hash signature of the FULL (uncapped) arrival set —
+    // what the index stores; intersections against it reproduce the
+    // previous match-count semantics (old side uncapped, new side
+    // capped) exactly
+    val newSigs = newPost.groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("sig"))
+    // batch-side prefix under the current global order (batch-sized
+    // windows — keyed by doc_id, never corpus-wide)
+    val wDoc = Window.partitionBy("doc_id")
+    val rankedNew = cappedNew.join(dfNow, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("df"), col("shingle"))))
+    val prefixNew = rankedNew
+      .filter(col("rn") <= col("n") - floor((col("n") + lit(2)) / lit(3)) + 1)
+      .select("doc_id", "shingle")
     val oldPost = readPrior("postings", "doc_id", "shingle")
-    val on = oldPost match {
-      case Some(op) => op.as("a").join(cappedNew.as("b"),
+    val onCand = oldPost match {
+      case Some(op) => op.as("a").join(prefixNew.as("b"),
           col("a.shingle") === col("b.shingle"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       case None => newPost.limit(0)
         .select(col("doc_id").as("a_id"), col("doc_id").as("b_id"))
     }
-    val nn = cappedNew.as("a").join(cappedNew.as("b"),
+    val nnCand = prefixNew.as("a").join(prefixNew.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    val pairs = on.union(nn)
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
+    val cand = onCand.union(nnCand).distinct()
+    // signature lookup: old docs resolve to their stored (uncapped)
+    // arrival signature, new docs to the capped batch signature
+    val cappedSigs = cappedNew.groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("sig"))
+    val lookup = readPrior("sets", "doc_id", "sig")
+      .map(_.unionByName(cappedSigs)).getOrElse(cappedSigs)
+    val pairs = cand
+      .join(lookup.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(lookup.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sa"), col("sb")))
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -391,7 +435,7 @@ object Streams {
         (col("na") + col("nb") - col("inter")))
       .filter(col("sim") >= Dedup.JaccardThreshold)
       .select("a_id", "b_id", "sim")
-    (pairs, newPost, batchDf, newSizes)
+    (pairs, newPost, batchDf, newSizes, newSigs)
   }
 
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains

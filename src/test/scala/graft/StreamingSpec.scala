@@ -377,14 +377,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(p0 ++ p1 === expected,
       s"missing=${expected -- p0 -- p1}, spurious=${(p0 ++ p1) -- expected}")
     // scale shape: the pair plan reads the postings index exactly once
-    // (the old⋈new join — that scan IS the index's job); DF-cap and
-    // sizes come from the delta tables (one scan each), with no
-    // corpus-wide cap window anywhere
+    // (the old⋈prefix(new) candidate join — that scan IS the index's
+    // job); DF-cap and sizes come from the delta tables; the only
+    // windows are BATCH-sized per-doc rank/size windows (partitioned by
+    // doc_id), never a corpus-wide cap window over shingle
     val pairPlan = Streams.nearDupBatchRelations(
       Seq((999001L, "fresh doc about nothing at all")).toDF("doc_id", "text"),
       dir, 2L)._1.queryExecution.executedPlan.toString
-    assert(!pairPlan.contains("Window"),
-      s"corpus-wide cap window crept back:\n$pairPlan")
+    val windowLines = pairPlan.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(_.contains("doc_id")),
+      s"non-doc_id-partitioned window crept back:\n${windowLines.mkString("\n")}")
     val postingsScans = "/postings".r.findAllIn(pairPlan).length
     assert(postingsScans === 1,
       s"expected exactly 1 postings-index scan (the old⋈new join), " +
