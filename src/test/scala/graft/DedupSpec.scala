@@ -85,6 +85,52 @@ class DedupSpec extends AnyFunSuite {
     assert(jp.contains("Window"), s"DF-cap window missing from plan:\n$jp")
   }
 
+  test("BoundedLevenshtein: per-row threshold returns the exact distance " +
+    "at or under the band and -1 above it (matches the unbounded builtin)") {
+    val rows = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("abc", "xyz"),
+      ("", "abcd"), ("flaw", "lawn"), ("abcdefgh", "abcdefgh"),
+      ("aaaa", "bbbbbbbb"), ("same text here", "same text hero"))
+      .toDF("a", "b")
+    val got = rows.select(
+        levenshtein(col("a"), col("b")).as("ed"),
+        graft.functions.BoundedLevenshtein(col("a"), col("b"), lit(3)).as("b3"),
+        graft.functions.BoundedLevenshtein(col("a"), col("b"), lit(0)).as("b0"))
+      .as[(Int, Int, Int)].collect()
+    for ((ed, b3, b0) <- got) {
+      assert(b3 === (if (ed <= 3) ed else -1))
+      assert(b0 === (if (ed == 0) 0 else -1))
+    }
+  }
+
+  test("MyersLevenshtein ≡ builtin levenshtein on random strings " +
+    "(including multi-block patterns > 64 chars and non-ASCII)") {
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abcde ", "abcdefghij xyzµλ☃")
+    val cases = Seq.newBuilder[(String, String)]
+    cases += (("", "")); cases += (("", "abc")); cases += (("abc", ""))
+    for (alpha <- alphabets; _ <- 1 to 40) {
+      def mk(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val n1 = rnd.nextInt(150)
+      // mix independent strings and near-edits of each other
+      val s1 = mk(n1)
+      val s2 = if (rnd.nextBoolean()) mk(rnd.nextInt(150))
+        else {
+          val at = rnd.nextInt(n1 + 1)
+          s1.patch(at, mk(rnd.nextInt(5)), math.min(rnd.nextInt(4), n1 - at))
+        }
+      cases += ((s1, s2))
+    }
+    val df = cases.result().toDF("a", "b")
+    val bad = df.select(
+        levenshtein(col("a"), col("b")).as("ref"),
+        graft.functions.MyersLevenshtein(col("a"), col("b")).as("got"),
+        col("a"), col("b"))
+      .filter(col("ref") =!= col("got"))
+      .collect()
+    assert(bad.isEmpty, s"Myers diverges on: ${bad.take(5).mkString("; ")}")
+  }
+
   test("connectedComponents: min-label propagation over a known graph") {
     // components: {1,2,3,9} (chain 1-2-3 + 3-9), {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
