@@ -62,7 +62,7 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"word_shingles n must be an int literal, got $other")
       }
-      graft.functions.WordShingles(exprs(0), n)
+      graft.functions.WordShingles(exprs(0), n, distinct = false)
     })
 
   val mediaFormat: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -18,8 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * right one at corpus scale — shingling before any exchange) is also the
   * fast one. Short inputs (< n words) yield an empty array, matching the
   * oracle's empty RANGE.
+  *
+  * `distinct = true` dedups WITHIN the row (first-occurrence order —
+  * exactly `array_distinct` semantics) via a row-local hash set, O(len)
+  * per row inside codegen. This is what lets [[graft.operators.Dedup
+  * .shingleRows]] emit distinct (doc_id, shingle) postings with NO
+  * relational distinct: within a doc the expression dedups, across docs
+  * doc_id differs — so the postings relation needs zero shuffles, where
+  * the explode + `.distinct()` formulation paid a full hash-aggregate
+  * exchange over the corpus' raw postings in every near-dup query.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -30,17 +40,19 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     val len = arr.numElements()
     if (len < n) new GenericArrayData(Array.empty[Any])
     else {
-      val out = new Array[Any](len - n + 1)
       val sep = UTF8String.fromString(" ")
+      val out = new java.util.ArrayList[Any](len - n + 1)
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
       var i = 0
       while (i <= len - n) {
         val parts = new Array[UTF8String](n)
         var k = 0
         while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
-        out(i) = UTF8String.concatWs(sep, parts: _*)
+        val s = UTF8String.concatWs(sep, parts: _*)
+        if (seen == null || seen.add(s)) out.add(s)
         i += 1
       }
-      new GenericArrayData(out)
+      new GenericArrayData(out.toArray)
     }
   }
 
@@ -50,23 +62,34 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       val u8 = classOf[UTF8String].getName
       val lenVar = ctx.freshName("len")
       val outVar = ctx.freshName("out")
+      val seenVar = ctx.freshName("seen")
       val partsVar = ctx.freshName("parts")
+      val sVar = ctx.freshName("s")
       val iVar = ctx.freshName("i")
       val kVar = ctx.freshName("k")
+      val seenDecl =
+        if (distinct) s"java.util.HashSet<$u8> $seenVar = new java.util.HashSet<$u8>();"
+        else ""
+      val add =
+        if (distinct) s"if ($seenVar.add($sVar)) $outVar.add($sVar);"
+        else s"$outVar.add($sVar);"
       s"""
          |int $lenVar = $c.numElements();
          |if ($lenVar < $n) {
          |  ${ev.value} = new $arrCls(new Object[0]);
          |} else {
-         |  Object[] $outVar = new Object[$lenVar - $n + 1];
+         |  java.util.ArrayList<Object> $outVar =
+         |    new java.util.ArrayList<Object>($lenVar - $n + 1);
+         |  $seenDecl
          |  for (int $iVar = 0; $iVar <= $lenVar - $n; $iVar++) {
          |    $u8[] $partsVar = new $u8[$n];
          |    for (int $kVar = 0; $kVar < $n; $kVar++) {
          |      $partsVar[$kVar] = $c.getUTF8String($iVar + $kVar);
          |    }
-         |    $outVar[$iVar] = $u8.concatWs($u8.fromString(" "), $partsVar);
+         |    $u8 $sVar = $u8.concatWs($u8.fromString(" "), $partsVar);
+         |    $add
          |  }
-         |  ${ev.value} = new $arrCls($outVar);
+         |  ${ev.value} = new $arrCls($outVar.toArray());
          |}
        """.stripMargin
     })
@@ -76,6 +99,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  def apply(words: Column, n: Int): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(words), n))
+  def apply(words: Column, n: Int): Column = apply(words, n, distinct = false)
+
+  def apply(words: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(WordShingles(
+      ColumnBridge.expression(words), n, distinct))
 }
