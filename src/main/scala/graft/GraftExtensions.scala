@@ -107,9 +107,32 @@ object GraftExtensions {
         intLit(exprs(1), "bmp_channel_sum channel"), weighted)
     })
 
+  /** Spark ships BloomFilterAggregate/BloomFilterMightContain as
+    * INTERNAL expressions (they power injected runtime filters) without
+    * public SQL names. Registering them makes the operator-level
+    * bloom-prune-then-exact-verify pattern (e.g.
+    * `text_decontaminate_bloom`) expressible in one SQL statement:
+    * `might_contain((SELECT bloom_filter_agg(xxhash64(x), n, bits)
+    * FROM small_side), xxhash64(probe))`. */
+  val bloomFilterAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    info("bloom_filter_agg",
+      "bloom_filter_agg(xxhash64(col), estNumItems, numBits) - build a bloom filter as binary"),
+    (exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression())
+
+  val mightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain"),
+    info("might_contain",
+      "might_contain(bloomBinary, xxhash64(value)) - bloom membership probe (no false negatives)"),
+    (exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(dotProduct, avroDecode, wordShingles, mediaFormat, imageWidth,
-      imageHeight, bmpBuild, bmpChannelSum)
+      imageHeight, bmpBuild, bmpChannelSum, bloomFilterAgg, mightContain)
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =

@@ -140,11 +140,51 @@ object TextAnalysis3 {
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
     val sh = docs.select(col("doc_id"),
-        explode(Dedup.shinglesFromWords(split(trim(col("text")), " "), 5)).as("s"))
-      .distinct()
+        explode(Dedup.shingles(col("text"), 5)).as("s"))
     val hold = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
     val shared = sh.filter(col("doc_id") % 50 =!= 0)
       .join(hold, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] with a BLOOM-FILTER prefilter on the corpus scan
+    * — the shape for when the holdout's shingle set is too large to
+    * broadcast as a hash relation but fits as bits (a 10⁸-shingle
+    * holdout is ~6 GB of strings yet ~170 MB of bloom at 1% FP). The
+    * corpus side is pruned BY THE SCAN's filter (`might_contain` over a
+    * scalar-subquery bloom built with `bloom_filter_agg`) before any
+    * join; the survivors (true matches + ~FP-rate noise) then pay the
+    * exact inverted-index join, so false positives are eliminated and
+    * the OUTPUT IS IDENTICAL to the exact query — the oracle is shared
+    * verbatim. Same two-step as Spark's own injected runtime filters
+    * (bloom prune + exact join), applied at the operator level. */
+  val decontaminateBloom: Q = Q(
+    "text_decontaminate_bloom", decontaminate.oracle.get) { (s, d) =>
+    // bloom_filter_agg / might_contain are graft-registered SQL names
+    // (idempotent; works on any caller's session, including the driver's)
+    graft.GraftExtensions.register(s)
+    val docs = documents(s, d)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 5)).as("s"))
+    sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
+      .createOrReplaceTempView(s"graft_decon_hold_$tag")
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView(s"graft_decon_train_$tag")
+    val cand = s.sql(
+      s"""SELECT doc_id, s FROM graft_decon_train_$tag t
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(s), 1000000L, 8388608L)
+         |   FROM graft_decon_hold_$tag),
+         |  xxhash64(t.s))""".stripMargin)
+    val hold = s.table(s"graft_decon_hold_$tag")
+    val shared = cand.join(hold, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
       .join(shared, Seq("doc_id"), "left")
@@ -281,8 +321,7 @@ object TextAnalysis3 {
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_neardup", lit(true))
     val sh5 = docs.select(col("doc_id"),
-        explode(Dedup.shinglesFromWords(split(trim(col("text")), " "), 5)).as("s"))
-      .distinct()
+        explode(Dedup.shingles(col("text"), 5)).as("s"))
     val hold = sh5.filter(col("doc_id") % 50 === 0).select("s").distinct()
     val cont = sh5.filter(col("doc_id") % 50 =!= 0).join(hold, "s")
       .select("doc_id").distinct().withColumn("is_cont", lit(true))
@@ -368,6 +407,6 @@ object TextAnalysis3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate, entropy,
-    keepList, perplexity)
+  val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate,
+    decontaminateBloom, entropy, keepList, perplexity)
 }

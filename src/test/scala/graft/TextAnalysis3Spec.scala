@@ -43,6 +43,16 @@ class TextAnalysis3Spec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate_bloom ≡ exact decontaminate, and the plan prunes " +
+    "the corpus scan with a bloom might_contain before any join") {
+    val exact = TextAnalysis3.decontaminate.run(spark, sf).collect().toSeq
+    val bloomDf = TextAnalysis3.decontaminateBloom.run(spark, sf)
+    val bloom = bloomDf.collect().toSeq
+    assert(bloom === exact)
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter in plan:\n$plan")
+  }
+
   test("entropy: bounded by ln(n_distinct) and exact for uniform docs") {
     val rows = TextAnalysis3.entropy.run(spark, sf).collect()
     assert(rows.nonEmpty)
