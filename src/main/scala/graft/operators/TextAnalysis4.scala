@@ -153,6 +153,69 @@ object TextAnalysis4 {
       .orderBy("source", "lang")
   }
 
+  /** Sequence PACKING — the GPT-pretraining data-prep step: the token
+    * stream (docs concatenated in doc_id order) is cut into fixed-size
+    * context windows of [[PackLen]] tokens, and each document's token
+    * span maps onto the bins it overlaps, SPLITTING documents that
+    * straddle a boundary (the standard packed-pretraining layout; the
+    * fragment's bin position is what an attention-mask builder consumes
+    * downstream). One fragment row per (doc, bin) overlap:
+    * bins `⌊before/L⌋ .. ⌊(before+n−1)/L⌋`, fragment length
+    * `min((bin+1)·L, before+n) − max(bin·L, before)`.
+    *
+    * Scale shape: the exclusive prefix sum `before` comes from the
+    * two-pass range-partitioned [[ScalableWindows.globalRunningSum]]
+    * (NOT a single-partition global window), the bin span explodes
+    * per-doc (≤ n/L + 1 rows), and everything else is per-row integer
+    * arithmetic — exact on both engines, no floats anywhere. */
+  val PackLen = 128L
+  val packSequences: Q = Q(
+    "text_pack_sequences",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |ord AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS before
+       |  FROM toks),
+       |frag AS (
+       |  SELECT doc_id, n, before, UNNEST(RANGE(before // $PackLen,
+       |    (before + n - 1) // $PackLen + 1)) AS bin
+       |  FROM ord)
+       |SELECT doc_id, bin,
+       |  CAST(GREATEST(bin * $PackLen, before) - bin * $PackLen AS BIGINT)
+       |    AS pos_in_bin,
+       |  CAST(LEAST((bin + 1) * $PackLen, before + n)
+       |       - GREATEST(bin * $PackLen, before) AS BIGINT) AS n_tok,
+       |  (before < bin * $PackLen
+       |   OR before + n > (bin + 1) * $PackLen) AS is_split
+       |FROM frag
+       |ORDER BY doc_id, bin""".stripMargin) { (s, d) =>
+    val L = lit(PackLen)
+    val toks = documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("n"))
+    val withCum = ScalableWindows.globalRunningSum(toks,
+      Seq(col("doc_id")), col("n"), "__rn", "__cum")
+    val spans = withCum
+      .withColumn("before", col("__cum") - col("n"))
+      .withColumn("bin", explode(sequence(
+        expr(s"before div $PackLen"),
+        expr(s"(before + n - 1) div $PackLen"))))
+    spans.select(
+        col("doc_id"), col("bin"),
+        (greatest(col("bin") * L, col("before")) - col("bin") * L)
+          .cast("bigint").as("pos_in_bin"),
+        (least((col("bin") + 1) * L, col("before") + col("n"))
+          - greatest(col("bin") * L, col("before")))
+          .cast("bigint").as("n_tok"),
+        (col("before") < col("bin") * L ||
+          col("before") + col("n") > (col("bin") + 1) * L).as("is_split"))
+      .orderBy("doc_id", "bin")
+  }
+
   val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk, budgetSample,
-    mixtureReport)
+    mixtureReport, packSequences)
 }
