@@ -33,6 +33,16 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE re-plans joins from TRUE materialized sizes, so its
+      // broadcast threshold can safely exceed the static estimate-based
+      // one (kept at the 10 MB default): a mid-plan relation that turns
+      // out to be ≤64 MB — e.g. the candidate-doc signature table in the
+      // near-dup verify, ~20 MB at sf1 — broadcasts instead of paying a
+      // shuffle join per pair side (measured 12 s → 2 s on that stage);
+      // anything bigger at corpus scale still falls back to the shuffle
+      // join. 64 MB is a routine executor-memory budget on real
+      // clusters.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -173,14 +173,45 @@ object Dedup {
     * hash-set build. xxhash64 collisions within the shingle vocabulary
     * (~52k distinct at sf1) have probability ~|V|²/2⁶⁴ ≈ 1e-10 —
     * negligible like the SHA-256 grouping in [[exact]]. */
+  /** Operator-level adaptive broadcast for the (doc_id, signature)
+    * tables of the candidate-verify joins: materialize once (eager
+    * localCheckpoint), measure the TRUE payload size with one cheap agg
+    * over the checkpointed blocks, and broadcast only when it fits a
+    * 64 MB budget. Estimate-driven planning can't make this call — the
+    * relation sits behind generators and windows, whose size estimates
+    * are unreliable, and the fused candidate stage leaves AQE no
+    * materialized boundary to re-plan (the r05 sf1 finding: the
+    * signature joins stayed sort-merge at ~30 MB of signatures, 12 s
+    * vs 2 s broadcast). Above the budget the partitioned hash/merge
+    * join stands — the 100 TB default. */
+  private def sizeGatedBroadcast(sets: DataFrame): DataFrame = {
+    val m = sets.localCheckpoint(true)
+    val bytes = m.agg(
+        coalesce(sum(size(col("s")) * 8L + 64L), lit(0L)).cast("long"))
+      .head.getLong(0)
+    if (bytes <= 64L * 1024 * 1024) broadcast(m) else m
+  }
+
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val candDocs = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val candSets = sh
+    // Materialize the candidate pairs ONCE. The pair relation feeds
+    // three consumers (candDocs + both signature joins); left as a plan
+    // it is recomputed per consumer — worse, the whole query then fuses
+    // into a few mega-stages in which AQE has no materialized boundary
+    // left to re-plan, so the signature joins stay sort-merge even when
+    // the signature table's TRUE size is broadcastable (the r05 finding
+    // on the sf1 corpus: 12 s → 2 s for the verify once a boundary
+    // exists and adaptive broadcast kicks in; see
+    // Sessions' adaptive.autoBroadcastJoinThreshold note). Eager
+    // localCheckpoint = one job, executor-local blocks — same pattern
+    // as the CC loop.
+    val candM = cand.localCheckpoint(true)
+    val candDocs = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = sizeGatedBroadcast(sh
       .join(broadcast(candDocs), "doc_id")
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s"))
-    cand
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s")))
+    candM
       .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("inter",
@@ -739,14 +770,17 @@ object Dedup {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3)
       .select("a_id", "b_id")
+      // one materialization, three consumers + an AQE boundary for the
+      // signature joins — same reasoning as verifyJaccard's checkpoint
+      .localCheckpoint(true)
     // exact shared-shingle counts on FULL sets, only for candidates —
     // sorted hash signatures + codegen'd merge, as in verifyJaccard
     val candDocs = pCand.select(col("a_id").as("doc_id"))
       .union(pCand.select(col("b_id").as("doc_id"))).distinct()
-    val candSets = ranked
+    val candSets = sizeGatedBroadcast(ranked
       .join(broadcast(candDocs), "doc_id")
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s"))
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s")))
     val cand = pCand
       .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))

@@ -48,5 +48,36 @@ object ProfileDedup {
     val candD = cand.distinct()
     time("candidates (post-distinct)")(candD.count())
     time("full jaccardPairs")(Dedup.jaccardPairs(docs).count())
+
+    // dissect the verify stage: signature build + pair joins, with and
+    // without materializing the shared lineage
+    val sh = ranked.select("doc_id", "shingle")
+    val candM = time("cand localCheckpoint")(candD.localCheckpoint(true))
+    val candDocs = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = sh
+      .join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s"))
+    val setsM = time("candSets build (from ranked lineage)")(
+      candSets.localCheckpoint(true))
+    def pairJoins(label: String): Unit =
+      time(label) {
+        candM
+          .join(setsM.as("sa"), col("a_id") === col("sa.doc_id"))
+          .join(setsM.as("sb"), col("b_id") === col("sb.doc_id"))
+          .withColumn("inter",
+            graft.functions.SortedIntersectCount(col("sa.s"), col("sb.s")))
+          .withColumn("sim", col("inter").cast("double") /
+            (size(col("sa.s")) + size(col("sb.s")) - col("inter")))
+          .filter(col("sim") >= Dedup.JaccardThreshold)
+          .count()
+      }
+    pairJoins("pair joins + intersect (materialized inputs)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    pairJoins("pair joins + intersect (64MB broadcast threshold)")
+    println("[profile] cand pairs = " + candM.count() +
+      ", cand docs = " + setsM.count())
   }
 }

@@ -80,9 +80,12 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a BNL:\n$plan")
     }
-    val jp = Dedup.jaccardPairs(graft.Tables.documents(spark, TestSpark.tiny))
+    // jaccardPairs' own final plan is joins over the two checkpointed
+    // relations (candidates + signatures), so the DF-cap window is
+    // asserted on the postings relation every candidate path consumes
+    val fs = Dedup.filteredShingleRows(graft.Tables.documents(spark, TestSpark.tiny))
       .queryExecution.executedPlan.toString
-    assert(jp.contains("Window"), s"DF-cap window missing from plan:\n$jp")
+    assert(fs.contains("Window"), s"DF-cap window missing from plan:\n$fs")
   }
 
   test("BoundedLevenshtein: per-row threshold returns the exact distance " +
