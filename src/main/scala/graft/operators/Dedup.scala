@@ -494,9 +494,13 @@ object Dedup {
       bits: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // one materialization of the annotated corpus: norm + cell are
+    // consumed by FOUR subplans (centroids, radii, both verify sides)
+    // and would be recomputed per consumer as a lazy plan
     val e = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"),
       Similarity.lshSignature(col("embedding"), bits).as("cell"))
+      .localCheckpoint(true)
     // centroid per cell: per-dimension mean via explode + hash agg
     // (map-side partials; one corpus pass), re-assembled in pos order
     val cent = e.select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
