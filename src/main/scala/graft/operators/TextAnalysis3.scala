@@ -317,7 +317,11 @@ object TextAnalysis3 {
     val exd = docs.select(col("doc_id"), lower(trim(col("text"))).as("norm"))
       .join(exKeep, "norm").filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id").withColumn("is_exdup", lit(true))
-    val nd = Dedup.jaccardPairs(docs)
+    // the materialized per-(session, corpus) pair graph — the same
+    // dedup_labels lake-table the CC consumers read; recomputing the
+    // pair pipeline inside every downstream curation query is exactly
+    // what the shared materialization exists to avoid
+    val nd = Dedup.sharedPairs(s, d)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_neardup", lit(true))
     val sh5 = docs.select(col("doc_id"),
