@@ -216,6 +216,57 @@ object TextAnalysis4 {
       .orderBy("doc_id", "bin")
   }
 
+  /** Temperature-based mixture SAMPLING — the multilingual-LM data-prep
+    * step: sample half the corpus with per-language weights ∝ n_l^α at
+    * α = 1/2, which upsamples low-resource languages relative to their
+    * natural share. A document is kept iff
+    *
+    *   h(doc) · Σk · n_l  <  k_l · target · 2³²
+    *
+    * with h the portable 32-bit hash (q34/q49's overflow-safe Knuth
+    * form, uniform on [0, 2³²)), k_l = ⌊√n_l·2²⁰ + ½⌋ the fixed-point
+    * weight, and target = ⌊total/2⌋ — so P(keep) = k_l·target/(Σk·n_l),
+    * the exact temperature rate, capped at 1 automatically (a rate > 1
+    * makes the RHS exceed every possible LHS). All quantities on both
+    * comparison sides are EXACT integers (√ of an integer-valued double
+    * is correctly rounded identically in both engines; ·2²⁰ is an
+    * exponent shift; products run in DECIMAL(38,0)/HUGEINT), so the
+    * kept set is bit-deterministic at any scale — no float-sum order
+    * hazard anywhere. Scale shape: one tiny lang aggregate broadcast
+    * back; everything per-doc is map-side. */
+  val mixtureSample: Q = Q(
+    "text_mixture_sample",
+    """WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+      |k AS (SELECT lang, n_l,
+      |        CAST(FLOOR(SQRT(CAST(n_l AS DOUBLE)) * 1048576 + 0.5) AS BIGINT) AS k_l
+      |      FROM n),
+      |s AS (SELECT SUM(k_l) AS sumk, SUM(n_l) // 2 AS target FROM k)
+      |SELECT d.doc_id, d.lang,
+      |  (CAST(((d.doc_id % 67108864) * 2654435761) % 4294967296 AS HUGEINT)
+      |     * k.sumk_ * k.n_l)
+      |  < (CAST(k.k_l AS HUGEINT) * k.target_ * 4294967296) AS kept
+      |FROM documents d
+      |JOIN (SELECT lang, n_l, k_l, s.sumk AS sumk_, s.target AS target_
+      |      FROM k, s) k ON k.lang = d.lang
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val k = n.withColumn("k_l",
+      floor(sqrt(col("n_l").cast("double")) * 1048576 + 0.5).cast("long"))
+    val sums = k.agg(sum("k_l").as("sumk"),
+      expr("sum(n_l) div 2").as("target"))
+    val rates = broadcast(k.crossJoin(broadcast(sums)))
+    val dec = "decimal(38,0)"
+    docs.select(col("doc_id"), col("lang"))
+      .join(rates, "lang")
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") % 67108864L * 2654435761L % 4294967296L).cast(dec)
+          * col("sumk").cast(dec) * col("n_l").cast(dec)
+          < col("k_l").cast(dec) * col("target").cast(dec)
+            * lit(4294967296L).cast(dec)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(lengthFilter, vocabGrowth, ngramTopk, budgetSample,
-    mixtureReport, packSequences)
+    mixtureReport, packSequences, mixtureSample)
 }

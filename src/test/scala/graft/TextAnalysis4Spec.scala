@@ -51,4 +51,33 @@ class TextAnalysis4Spec extends AnyFunSuite {
       assert(frs.head._5 === (frs.length > 1), s"doc $doc flag vs spans")
     }
   }
+
+  test("mixture_sample: keep rates match the temperature formula per " +
+    "language and the hash threshold is exact") {
+    val rows = TextAnalysis4.mixtureSample.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._2)
+    val nl = byLang.map { case (l, rs) => l -> rs.length.toLong }
+    val kl = nl.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1048576 + 0.5).toLong }
+    val sumk = kl.values.sum
+    val target = nl.values.sum / 2
+    for ((l, rs) <- byLang) {
+      // exact expected rate (possibly > 1 → everything kept)
+      val rate = math.min(1.0,
+        kl(l).toDouble * target / (sumk.toDouble * nl(l)))
+      val got = rs.count(_._3).toDouble / rs.length
+      // the portable hash is uniform; n_l ≈ 10-60 at sf0.001, so allow
+      // generous sampling noise while still pinning the rate
+      assert(math.abs(got - rate) < 0.25, s"lang $l rate $got vs $rate")
+      // per-doc determinism: recompute the threshold rule directly
+      rs.foreach { case (id, _, kept) =>
+        val h = BigInt(id % 67108864L) * 2654435761L % 4294967296L
+        val lhs = h * sumk * nl(l)
+        val rhs = BigInt(kl(l)) * target * 4294967296L
+        assert(kept === (lhs < rhs), s"doc $id kept flag")
+      }
+    }
+  }
 }
