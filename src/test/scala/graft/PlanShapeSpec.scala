@@ -38,7 +38,10 @@ class PlanShapeSpec extends AnyFunSuite {
       graft.operators.Scd.all.filterNot(q =>
         Set("cdc_gap_audit", "cdc_freshness")(q.name)) ++
       TextAnalysis3.all.filterNot(_.name == "text_perplexity") ++
-      graft.operators.TextAnalysis4.all.filterNot(_.name == "text_length_filter")
+      // text_mixture_sample cross-attaches the one-row (Σk, target)
+      // aggregate — the same bounded scalar-attach exemption
+      graft.operators.TextAnalysis4.all.filterNot(q =>
+        Set("text_length_filter", "text_mixture_sample")(q.name))
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
