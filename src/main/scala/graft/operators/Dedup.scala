@@ -277,7 +277,10 @@ object Dedup {
   private[graft] def jaccardPairs(
       docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
     require(JaccardThreshold == 0.5, "jaccardOMin hardcodes t = 1/2")
-    val ranked = rankedShingleRows(docs, cap)
+    // materialized once: candidate generation AND the signature build
+    // both consume the window-annotated postings; left lazy, the verify
+    // job recomputes the two window passes (~3.5 s at sf1)
+    val ranked = rankedShingleRows(docs, cap).localCheckpoint(true)
     // candidate generation joins ONLY prefix postings: the full-postings
     // self-join's Σ df² grows quadratically with corpus size (measured
     // ×90 from sf0.01→sf0.1 and ×107 from sf0.1→sf1 on this corpus
@@ -325,7 +328,7 @@ object Dedup {
     // more than the extra codegen'd scan and blocks exchange reuse
     // signatures, buckets, AND verification all read the same filtered
     // vocabulary, so the verified output equals jaccardPairs exactly
-    val sh = filteredShingleRows(documents(s, d))
+    val sh = filteredShingleRows(documents(s, d)).localCheckpoint(true)
     val signed = withMinhashFrom(sh)
     val bands = signed.select(
       col("doc_id"),
@@ -741,7 +744,7 @@ object Dedup {
     // oMin(n) = max(3, ⌈n/5⌉) — ⌈n/5⌉ via exact ⌊(n+4)/5⌋ (IEEE division
     // of exact longs is correctly rounded; /5 results never land on an
     // integer boundary unless exact, so floor is safe)
-    val ranked = rankedShingleRows(docs, ShingleDfCap)
+    val ranked = rankedShingleRows(docs, ShingleDfCap).localCheckpoint(true)
     val edOMin: Column => Column =
       n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long"))
     val edAlpha: (Column, Column) => Column =
@@ -951,6 +954,7 @@ object Dedup {
        |WHERE a_id % 10 = 0 OR b_id % 10 = 0
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val ranked = rankedShingleRows(documents(s, d), ShingleDfCap)
+      .localCheckpoint(true)
     val prefix = prefixRows(ranked, jaccardOMin)
     val isNew = col("doc_id") % 10 === 0
     // candidate generation joins prefix(all) ⋈ prefix(new): every
