@@ -17,7 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * array per row, zero shuffles, so the per-row generation shape (the
   * right one at corpus scale — shingling before any exchange) is also the
   * fast one. Short inputs (< n words) yield an empty array, matching the
-  * oracle's empty RANGE.
+  * oracle's empty RANGE. The non-distinct path fills an exact-size array
+  * (the output count is known up front); only the distinct path pays a
+  * growable list.
   *
   * `distinct = true` dedups WITHIN the row (first-occurrence order —
   * exactly `array_distinct` semantics) via a row-local hash set, O(len)
@@ -41,18 +43,28 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     if (len < n) new GenericArrayData(Array.empty[Any])
     else {
       val sep = UTF8String.fromString(" ")
-      val out = new java.util.ArrayList[Any](len - n + 1)
-      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
-      var i = 0
-      while (i <= len - n) {
+      def shingleAt(i: Int): UTF8String = {
         val parts = new Array[UTF8String](n)
         var k = 0
         while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
-        val s = UTF8String.concatWs(sep, parts: _*)
-        if (seen == null || seen.add(s)) out.add(s)
-        i += 1
+        UTF8String.concatWs(sep, parts: _*)
       }
-      new GenericArrayData(out.toArray)
+      if (distinct) {
+        val out = new java.util.ArrayList[Any](len - n + 1)
+        val seen = new java.util.HashSet[UTF8String]()
+        var i = 0
+        while (i <= len - n) {
+          val s = shingleAt(i)
+          if (seen.add(s)) out.add(s)
+          i += 1
+        }
+        new GenericArrayData(out.toArray)
+      } else {
+        val out = new Array[Any](len - n + 1)
+        var i = 0
+        while (i <= len - n) { out(i) = shingleAt(i); i += 1 }
+        new GenericArrayData(out)
+      }
     }
   }
 
@@ -67,29 +79,36 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       val sVar = ctx.freshName("s")
       val iVar = ctx.freshName("i")
       val kVar = ctx.freshName("k")
-      val seenDecl =
-        if (distinct) s"java.util.HashSet<$u8> $seenVar = new java.util.HashSet<$u8>();"
-        else ""
-      val add =
-        if (distinct) s"if ($seenVar.add($sVar)) $outVar.add($sVar);"
-        else s"$outVar.add($sVar);"
+      val body =
+        if (distinct)
+          s"""java.util.ArrayList<Object> $outVar =
+             |  new java.util.ArrayList<Object>($lenVar - $n + 1);
+             |java.util.HashSet<$u8> $seenVar = new java.util.HashSet<$u8>();
+             |for (int $iVar = 0; $iVar <= $lenVar - $n; $iVar++) {
+             |  $u8[] $partsVar = new $u8[$n];
+             |  for (int $kVar = 0; $kVar < $n; $kVar++) {
+             |    $partsVar[$kVar] = $c.getUTF8String($iVar + $kVar);
+             |  }
+             |  $u8 $sVar = $u8.concatWs($u8.fromString(" "), $partsVar);
+             |  if ($seenVar.add($sVar)) $outVar.add($sVar);
+             |}
+             |${ev.value} = new $arrCls($outVar.toArray());""".stripMargin
+        else
+          s"""Object[] $outVar = new Object[$lenVar - $n + 1];
+             |for (int $iVar = 0; $iVar <= $lenVar - $n; $iVar++) {
+             |  $u8[] $partsVar = new $u8[$n];
+             |  for (int $kVar = 0; $kVar < $n; $kVar++) {
+             |    $partsVar[$kVar] = $c.getUTF8String($iVar + $kVar);
+             |  }
+             |  $outVar[$iVar] = $u8.concatWs($u8.fromString(" "), $partsVar);
+             |}
+             |${ev.value} = new $arrCls($outVar);""".stripMargin
       s"""
          |int $lenVar = $c.numElements();
          |if ($lenVar < $n) {
          |  ${ev.value} = new $arrCls(new Object[0]);
          |} else {
-         |  java.util.ArrayList<Object> $outVar =
-         |    new java.util.ArrayList<Object>($lenVar - $n + 1);
-         |  $seenDecl
-         |  for (int $iVar = 0; $iVar <= $lenVar - $n; $iVar++) {
-         |    $u8[] $partsVar = new $u8[$n];
-         |    for (int $kVar = 0; $kVar < $n; $kVar++) {
-         |      $partsVar[$kVar] = $c.getUTF8String($iVar + $kVar);
-         |    }
-         |    $u8 $sVar = $u8.concatWs($u8.fromString(" "), $partsVar);
-         |    $add
-         |  }
-         |  ${ev.value} = new $arrCls($outVar.toArray());
+         |  $body
          |}
        """.stripMargin
     })

@@ -55,9 +55,10 @@ object Dedup {
   def shinglesFromWords(ws: Column, n: Int = 3): Column =
     graft.functions.WordShingles(ws, n)
 
-  /** all 3-gram shingles (with duplicates) — for single-column contexts;
-    * the distinct step is done relationally in [[shingleRows]] because
-    * `array_distinct` is an interpreted O(len²) expression. */
+  /** all 3-gram shingles (with duplicates) — for consumers that count
+    * occurrences (duplicate-3-gram fraction, fingerprints); the set
+    * consumers use [[shingles]], whose dedup runs inside the
+    * expression. */
   def rawShingles(text: Column, n: Int = 3): Column =
     shinglesFromWords(split(trim(text), " "), n)
 
@@ -67,7 +68,13 @@ object Dedup {
     * docs apart), so the relation is produced with ZERO shuffles — the
     * explode + relational `.distinct()` formulation paid a full
     * hash-aggregate exchange over the raw postings in every near-dup
-    * query (~28% of the sf0.1 jaccardPairs pipeline). */
+    * query (~28% of the sf0.1 jaccardPairs pipeline).
+    *
+    * CONTRACT: `docs` must have one row per doc_id (the documents
+    * table's primary key; the corpus loader and every oracle assume the
+    * same). A caller holding possibly-redelivered rows must
+    * `dropDuplicates("doc_id")` first — as the streaming batch path
+    * does — or duplicate postings would inflate df and set sizes. */
   def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("shingle"))
@@ -162,6 +169,33 @@ object Dedup {
   def filteredShingleRows(docs: DataFrame, cap: Int = ShingleDfCap): DataFrame =
     capGroups(shingleRows(docs), cap, "shingle")
 
+  /** Operator-level adaptive broadcast for the (doc_id, signature)
+    * tables of the candidate-verify joins: materialize once (eager
+    * localCheckpoint), measure the TRUE payload size with one cheap agg
+    * over the checkpointed blocks, and broadcast only when it fits the
+    * budget. Estimate-driven planning can't make this call — the
+    * relation sits behind generators and windows, whose size estimates
+    * are unreliable, and the fused candidate stage leaves AQE no
+    * materialized boundary to re-plan (the r05 sf1 finding: the
+    * signature joins stayed sort-merge at ~30 MB of signatures, 12 s
+    * vs 2 s broadcast). Above the budget the partitioned hash/merge
+    * join stands — the 100 TB default.
+    *
+    * The payload estimate (8 B/element + 64 B/row on the long-array
+    * column `sigCol`) is the raw data size; the broadcast hash relation
+    * roughly doubles it in memory, so the 64 MB payload budget admits a
+    * ~128 MB relation — a routine broadcast on real executors (Spark's
+    * own hard cap is 8 GB), and measured necessary: a 32 MB budget
+    * rejects the sf1 edit-distance signature table (~25-30 MB payload)
+    * and costs the query +5 s in sort-merge joins. */
+  private def sizeGatedBroadcast(sets: DataFrame, sigCol: String = "s"): DataFrame = {
+    val m = sets.localCheckpoint(true)
+    val bytes = m.agg(
+        coalesce(sum(size(col(sigCol)) * 8L + 64L), lit(0L)).cast("long"))
+      .head.getLong(0)
+    if (bytes <= 64L * 1024 * 1024) broadcast(m) else m
+  }
+
   /** Exact-Jaccard verification of candidate pairs over the (filtered)
     * shingle relation. Sets are collected ONLY for docs appearing in a
     * candidate pair, and as SORTED 64-BIT HASH SIGNATURES, not string
@@ -173,25 +207,6 @@ object Dedup {
     * hash-set build. xxhash64 collisions within the shingle vocabulary
     * (~52k distinct at sf1) have probability ~|V|²/2⁶⁴ ≈ 1e-10 —
     * negligible like the SHA-256 grouping in [[exact]]. */
-  /** Operator-level adaptive broadcast for the (doc_id, signature)
-    * tables of the candidate-verify joins: materialize once (eager
-    * localCheckpoint), measure the TRUE payload size with one cheap agg
-    * over the checkpointed blocks, and broadcast only when it fits a
-    * 64 MB budget. Estimate-driven planning can't make this call — the
-    * relation sits behind generators and windows, whose size estimates
-    * are unreliable, and the fused candidate stage leaves AQE no
-    * materialized boundary to re-plan (the r05 sf1 finding: the
-    * signature joins stayed sort-merge at ~30 MB of signatures, 12 s
-    * vs 2 s broadcast). Above the budget the partitioned hash/merge
-    * join stands — the 100 TB default. */
-  private def sizeGatedBroadcast(sets: DataFrame): DataFrame = {
-    val m = sets.localCheckpoint(true)
-    val bytes = m.agg(
-        coalesce(sum(size(col("s")) * 8L + 64L), lit(0L)).cast("long"))
-      .head.getLong(0)
-    if (bytes <= 64L * 1024 * 1024) broadcast(m) else m
-  }
-
   private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     // Materialize the candidate pairs ONCE. The pair relation feeds
     // three consumers (candDocs + both signature joins); left as a plan
@@ -274,6 +289,74 @@ object Dedup {
   private def jaccardOMin(n: Column): Column =
     floor((n + lit(1)) / lit(2)).cast("long")
 
+  /** candidate generation from annotated postings — joins ONLY prefix
+    * postings: the full-postings self-join's Σ df² grows quadratically
+    * with corpus size (measured ×90 from sf0.01→sf0.1 and ×107 from
+    * sf0.1→sf1 on this corpus family), while prefix postings are the
+    * rarest ~(1−t) of each doc */
+  private def jaccardCandidatesFrom(ranked: DataFrame): DataFrame = {
+    val prefix = prefixRows(ranked, jaccardOMin)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          positionalFilter(jaccardAlpha))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** The LAZY candidate plan, pre-materialization — the executing path
+    * hides candidate generation behind localCheckpoint, so plan-shape
+    * regressions (cartesian/BNL, a dropped DF-cap window) would be
+    * invisible in the query's own executedPlan; DedupSpec targets THIS
+    * relation instead. */
+  private[graft] def jaccardCandidatePlan(
+      docs: DataFrame, cap: Int = ShingleDfCap): DataFrame =
+    jaccardCandidatesFrom(rankedShingleRows(docs, cap))
+
+  /** edit-distance witness candidates from annotated postings.
+    * 3-WITNESS prefix filtering: the i-th smallest common shingle (in
+    * the global rarity order) sits within position n − o + i on both
+    * sides, so extending the prefix by 2 guarantees every qualifying
+    * pair (overlap ≥ 3 always, by the rule) co-occurs on ≥3 prefix
+    * shingles — candidates then require THREE witnesses instead of
+    * one, which kills chance single-rare-shingle matches before the
+    * signature verify (sf1: 21M → 4.6M verify pairs). The positional
+    * reach of the 3rd witness is 3 + min(suffixes), hence the +3.
+    * oMin(n) = max(3, ⌈n/5⌉) — ⌈n/5⌉ via exact ⌊(n+4)/5⌋ (IEEE division
+    * of exact longs is correctly rounded; /5 results never land on an
+    * integer boundary unless exact, so floor is safe). */
+  private def editCandidatesFrom(ranked: DataFrame, docs: DataFrame): DataFrame = {
+    val edOMin: Column => Column =
+      n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long"))
+    val edAlpha: (Column, Column) => Column =
+      (na, nb) => greatest(lit(3L),
+        floor((greatest(na, nb) + lit(4)) / lit(5)).cast("long"))
+    val prefix = ranked.filter(col("rn") <= col("n") - edOMin(col("n")) + 3)
+      // char length rides along for the length-compatibility prune
+      .join(broadcast(docs.select(col("doc_id"),
+        length(col("text")).as("len"))), "doc_id")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (lit(3) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+            edAlpha(col("a.n"), col("b.n"))) &&
+          // implied by the FINAL keep rule (rel-ed ≤ 0.3) and the
+          // shared-floor (shared ≤ min(n)), so pruning here is exact
+          (lit(10) * abs(col("a.len") - col("b.len")) <=
+            lit(3) * greatest(col("a.len"), col("b.len"))) &&
+          (lit(5) * least(col("a.n"), col("b.n")) >=
+            greatest(col("a.n"), col("b.n"))))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select("a_id", "b_id")
+  }
+
+  /** lazy edit-distance candidate plan for DedupSpec's plan assertions
+    * (same rationale as [[jaccardCandidatePlan]]) */
+  private[graft] def editCandidatePlan(docs: DataFrame): DataFrame =
+    editCandidatesFrom(rankedShingleRows(docs, ShingleDfCap), docs)
+
   private[graft] def jaccardPairs(
       docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
     require(JaccardThreshold == 0.5, "jaccardOMin hardcodes t = 1/2")
@@ -281,20 +364,10 @@ object Dedup {
     // both consume the window-annotated postings; left lazy, the verify
     // job recomputes the two window passes (~3.5 s at sf1)
     val ranked = rankedShingleRows(docs, cap).localCheckpoint(true)
-    // candidate generation joins ONLY prefix postings: the full-postings
-    // self-join's Σ df² grows quadratically with corpus size (measured
-    // ×90 from sf0.01→sf0.1 and ×107 from sf0.1→sf1 on this corpus
-    // family), while prefix postings are the rarest ~(1−t) of each doc
-    val prefix = prefixRows(ranked, jaccardOMin)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          positionalFilter(jaccardAlpha))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
     // exact verification on FULL sets — output identical to the
     // unfiltered self-join, so the shared oracle is unchanged
-    verifyJaccard(ranked.select("doc_id", "shingle"), cand)
+    verifyJaccard(ranked.select("doc_id", "shingle"),
+      jaccardCandidatesFrom(ranked))
   }
 
   private val NumHashes = 32
@@ -745,38 +818,7 @@ object Dedup {
     // of exact longs is correctly rounded; /5 results never land on an
     // integer boundary unless exact, so floor is safe)
     val ranked = rankedShingleRows(docs, ShingleDfCap).localCheckpoint(true)
-    val edOMin: Column => Column =
-      n => greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long"))
-    val edAlpha: (Column, Column) => Column =
-      (na, nb) => greatest(lit(3L),
-        floor((greatest(na, nb) + lit(4)) / lit(5)).cast("long"))
-    // 3-WITNESS prefix filtering: the i-th smallest common shingle (in
-    // the global rarity order) sits within position n − o + i on both
-    // sides, so extending the prefix by 2 guarantees every qualifying
-    // pair (overlap ≥ 3 always, by the rule) co-occurs on ≥3 prefix
-    // shingles — candidates then require THREE witnesses instead of
-    // one, which kills chance single-rare-shingle matches before the
-    // signature verify (sf1: 21M → 4.6M verify pairs). The positional
-    // reach of the 3rd witness is 3 + min(suffixes), hence the +3.
-    val prefix = ranked.filter(col("rn") <= col("n") - edOMin(col("n")) + 3)
-      // char length rides along for the length-compatibility prune
-      .join(broadcast(docs.select(col("doc_id"),
-        length(col("text")).as("len"))), "doc_id")
-    val pCand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (lit(3) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
-            edAlpha(col("a.n"), col("b.n"))) &&
-          // implied by the FINAL keep rule (rel-ed ≤ 0.3) and the
-          // shared-floor (shared ≤ min(n)), so pruning here is exact
-          (lit(10) * abs(col("a.len") - col("b.len")) <=
-            lit(3) * greatest(col("a.len"), col("b.len"))) &&
-          (lit(5) * least(col("a.n"), col("b.n")) >=
-            greatest(col("a.n"), col("b.n"))))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
-      .select("a_id", "b_id")
+    val pCand = editCandidatesFrom(ranked, docs)
       // one materialization, three consumers + an AQE boundary for the
       // signature joins — same reasoning as verifyJaccard's checkpoint
       .localCheckpoint(true)

@@ -170,17 +170,29 @@ object TextAnalysis3 {
     // (idempotent; works on any caller's session, including the driver's)
     graft.GraftExtensions.register(s)
     val docs = documents(s, d)
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // collision-proof view tag: sanitized for readability, md5-suffixed
+    // so distinct dirs that sanitize alike never share views
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val sh = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 5)).as("s"))
     sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
       .createOrReplaceTempView(s"graft_decon_hold_$tag")
     sh.filter(col("doc_id") % 50 =!= 0)
       .createOrReplaceTempView(s"graft_decon_train_$tag")
+    // size the bloom from the ACTUAL holdout cardinality (one count over
+    // the holdout view — holdout-sized, not corpus-sized): bits =
+    // ⌈n·ln(0.01)/ln²2⌉ ≈ 9.6·n keeps FP ≈ 1% at any scale, where the
+    // r05-review finding showed a hardcoded 1M/8Mbit filter saturating
+    // (FP → 1, pruning nothing) exactly at the 10⁸-item scale this
+    // operator exists for
+    val nHold = math.max(1L, s.table(s"graft_decon_hold_$tag").count())
+    val nBits = math.max(64L, (nHold * 9.6).toLong)
     val cand = s.sql(
       s"""SELECT doc_id, s FROM graft_decon_train_$tag t
          |WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(s), 1000000L, 8388608L)
+         |  (SELECT bloom_filter_agg(xxhash64(s), ${nHold}L, ${nBits}L)
          |   FROM graft_decon_hold_$tag),
          |  xxhash64(t.s))""".stripMargin)
     val hold = s.table(s"graft_decon_hold_$tag")

@@ -373,7 +373,12 @@ object Streams {
       else None
     }
     // shingle ONLY the batch (batch-sized; reused by df/cap/sizes/joins)
-    val newPost = Dedup.shingleRows(batch).localCheckpoint(true)
+    // shingleRows' contract requires one row per doc_id; an
+    // at-least-once source can redeliver a doc WITHIN a batch, which
+    // would otherwise inflate df/set sizes (cross-batch redelivery is
+    // handled by the batchId-keyed idempotent writes below)
+    val newPost = Dedup.shingleRows(batch.dropDuplicates("doc_id"))
+      .localCheckpoint(true)
     val batchDf = newPost.groupBy("shingle").agg(count(lit(1)).as("cnt"))
     // current document frequency = prior per-batch deltas + this batch:
     // a sum over per-batch AGGREGATES, never a postings re-scan

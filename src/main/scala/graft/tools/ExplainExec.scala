@@ -7,9 +7,7 @@ object ExplainExec {
     val sfDir = args(0)
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for (name <- args.drop(1)) {
-      val df = graft.SparkEntry.queries(name)(sfDir == null match {
-        case _ => spark
-      }, sfDir)
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // drive the SAME queryExecution so the adaptive plan finalizes
       val t0 = System.nanoTime()
       val n = df.queryExecution.executedPlan.execute().count()

@@ -73,10 +73,12 @@ object ProfileDedup {
           .filter(col("sim") >= Dedup.JaccardThreshold)
           .count()
       }
-    pairJoins("pair joins + intersect (materialized inputs)")
+    // NOTE: Sessions.local already sets the ADAPTIVE threshold to 64 MB;
+    // this A/B isolates the STATIC threshold (checkpointed leaves carry
+    // accurate stats, so static planning can pick the broadcast directly)
+    pairJoins("pair joins + intersect (static 10MB threshold)")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-    pairJoins("pair joins + intersect (64MB broadcast threshold)")
+    pairJoins("pair joins + intersect (static 64MB threshold)")
     println("[profile] cand pairs = " + candM.count() +
       ", cand docs = " + setsM.count())
   }

@@ -81,8 +81,21 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a BNL:\n$plan")
     }
     // jaccardPairs' own final plan is joins over the two checkpointed
-    // relations (candidates + signatures), so the DF-cap window is
-    // asserted on the postings relation every candidate path consumes
+    // relations (candidates + signatures) — plan-shape regressions in
+    // candidate generation would be invisible there. Assert on the LAZY
+    // candidate plan instead: it must contain the DF-cap/rank windows
+    // (rankedShingleRows — the relation the Jaccard/edit paths actually
+    // consume) and no cartesian/BNL in the prefix self-join.
+    for (cand <- Seq(
+        Dedup.jaccardCandidatePlan(graft.Tables.documents(spark, TestSpark.tiny)),
+        Dedup.editCandidatePlan(graft.Tables.documents(spark, TestSpark.tiny)))) {
+      val cp = cand.queryExecution.executedPlan.toString
+      assert(cp.contains("Window"), s"DF-cap window missing from plan:\n$cp")
+      assert(!cp.contains("CartesianProduct"), s"candidate plan cartesian:\n$cp")
+      assert(!cp.contains("BroadcastNestedLoopJoin"), s"candidate plan BNL:\n$cp")
+    }
+    // the LSH/simhash bucket paths consume filteredShingleRows — its
+    // cap window is a separate implementation, asserted separately
     val fs = Dedup.filteredShingleRows(graft.Tables.documents(spark, TestSpark.tiny))
       .queryExecution.executedPlan.toString
     assert(fs.contains("Window"), s"DF-cap window missing from plan:\n$fs")
