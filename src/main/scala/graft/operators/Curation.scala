@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.Tables._
+
+/** Span-level corpus curation (SURVEY.md §2.5 extensions): exact
+  * repeated-substring detection and source-scoped boilerplate coverage.
+  *
+  * Both re-express a suffix-structure computation as POSITIONAL K-GRAM
+  * POSTINGS — (doc_id, position, gram-hash) rows — followed by a per-doc
+  * interval merge, the shape that distributes:
+  *
+  *  - the postings relation is produced by a codegen'd per-row shingle
+  *    expression (zero shuffles to generate);
+  *  - "duplicated gram" is ONE hash aggregation keyed on the 64-bit gram
+  *    hash (linear in corpus size — no self-join, so a hot gram is a big
+  *    COUNT, never a quadratic key);
+  *  - marking hit positions is a keyed join postings ⋈ dup-grams (AQE
+  *    broadcasts the dup side when small);
+  *  - merging overlapping hits into maximal spans is a gaps-islands
+  *    window PARTITIONED BY doc_id — thousands of rows per partition at
+  *    any corpus size, never a global window.
+  *
+  * A suffix array (the single-node formulation of exact substring dedup
+  * in the public literature) serializes on one sorted structure; the
+  * postings formulation gives the same maximal-span output for spans
+  * ≥ k tokens and is embarrassingly parallel. Gram equality is decided
+  * on xxhash64 of the gram text (shuffle key 8 B instead of the k-word
+  * string); collisions within a corpus vocabulary are ~|V|²/2⁶⁴ —
+  * negligible, the same argument as the SHA-256 grouping in
+  * [[Dedup.exact]].
+  */
+object Curation {
+
+  /** minimum duplicated run length, in tokens: a span is reported iff a
+    * k-token window repeats verbatim elsewhere in the corpus. 8 tokens ≈
+    * the shortest run that is evidence of copying rather than chance
+    * collocation on this corpus family. */
+  val SpanK = 8
+
+  /** boilerplate gram width + the within-source document-frequency
+    * floor: a 3-gram is boilerplate for a source when ≥ 2 distinct docs
+    * of that SAME source contain it (header/footer/template text repeats
+    * across a source's docs; cross-source repeats are dedup's business,
+    * not boilerplate's). */
+  val BoilerplateK = 3
+  val BoilerplateMinDocs = 2
+
+  /** Merge hit positions (doc_id, pos), each covering [pos, pos+k-1],
+    * into maximal spans: gaps-islands over the per-doc position order —
+    * a new island starts when the previous hit's window cannot reach the
+    * current one. Output: per-doc span count + tokens covered. */
+  private def spanStats(hits: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+  }
+
+  /** positional k-gram postings: (doc_id [, extra], pos, h) with pos
+    * 1-based to match the oracle's RANGE */
+  private def posGrams(docs: DataFrame, k: Int, extra: Seq[String]): DataFrame =
+    docs.select(col("doc_id") +: extra.map(col) :+
+        posexplode(Dedup.shinglesFromWords(split(trim(col("text")), " "), k)): _*)
+      .select(col("doc_id") +: extra.map(col) :+
+        (col("pos") + 1).as("pos") :+ xxhash64(col("col")).as("h"): _*)
+
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+
+  /** Exact repeated-substring spans (the train-data "exact substring
+    * dedup"): for every doc, the maximal token spans whose every
+    * k-window occurs ≥ 2 times in the corpus (within- or cross-doc),
+    * reported as span count + duplicated-token count per doc. */
+  val spanExact: Q = Q(
+    "dedup_span_exact",
+    s"""WITH words AS (
+       |  SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, u.i AS pos, ARRAY_TO_STRING(w[u.i:u.i+$SpanK-1], ' ') AS g
+       |  FROM words, UNNEST(RANGE(1, GREATEST(LEN(w)-$SpanK+2, 1))) u(i)),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+       |gaps AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      <= $SpanK THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM gaps),
+       |spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos)+$SpanK-1 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans, SUM(e-s+1) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(LEN(STRING_SPLIT(TRIM(d.text), ' ')) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    // one materialization, two consumers (dup-gram agg + hit join) —
+    // the postings would otherwise be scanned+exploded twice
+    val grams = posGrams(docs, SpanK, Nil).localCheckpoint(true)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val hits = grams.join(dup, "h").select("doc_id", "pos")
+    docTokens(docs)
+      .join(spanStats(hits, SpanK), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Source-scoped boilerplate coverage: tokens of each doc covered by
+    * 3-grams that repeat across ≥ 2 distinct docs of the SAME source
+    * (template/header text), merged into spans exactly as above. The
+    * boilerplate decision keys on (source, gram) — the agg and the hit
+    * join both shuffle on that composite key, so one source's templates
+    * never become a global hot key. */
+  val boilerplate: Q = Q(
+    "text_boilerplate",
+    s"""WITH words AS (
+       |  SELECT doc_id, source, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, u.i AS pos,
+       |    ARRAY_TO_STRING(w[u.i:u.i+$BoilerplateK-1], ' ') AS g
+       |  FROM words, UNNEST(RANGE(1, GREATEST(LEN(w)-$BoilerplateK+2, 1))) u(i)),
+       |bp AS (
+       |  SELECT source, g FROM grams GROUP BY source, g
+       |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinDocs),
+       |hits AS (SELECT doc_id, pos FROM grams JOIN bp USING (source, g)),
+       |gaps AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      <= $BoilerplateK THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM gaps),
+       |spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos)+$BoilerplateK-1 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |perdoc AS (SELECT doc_id, SUM(e-s+1) AS bp_tokens FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.bp_tokens, 0) AS BIGINT) AS bp_tokens,
+       |  CAST(LEN(STRING_SPLIT(TRIM(d.text), ' ')) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val grams = posGrams(docs, BoilerplateK, Seq("source")).localCheckpoint(true)
+    val bp = grams.groupBy("source", "h")
+      .agg(count_distinct(col("doc_id")).as("dd"))
+      .filter(col("dd") >= BoilerplateMinDocs)
+      .select("source", "h")
+    val hits = grams.join(bp, Seq("source", "h")).select("doc_id", "pos")
+    docTokens(docs)
+      .join(spanStats(hits, BoilerplateK)
+        .withColumnRenamed("dup_tokens", "bp_tokens"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bp_tokens"), lit(0L)).as("bp_tokens"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(spanExact, boilerplate)
+}

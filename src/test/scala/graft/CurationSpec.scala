@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** hand-built corpus exercising the span-merge edge cases: an exact
+    * cross-doc copy, overlapping duplicated windows that must merge into
+    * ONE maximal span, a within-doc repeat, and a clean doc */
+  private lazy val goldenDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ") // 12-token run
+    Seq(
+      // doc 1 + 2: the same 12-token run embedded in different prefixes
+      (1L, s"alpha beta $run gamma", "en", "srcA", 0L),
+      (2L, s"delta $run epsilon zeta", "en", "srcA", 0L),
+      // doc 3: the run appears TWICE (within-doc repeat → two spans)
+      (3L, s"$run filler1 filler2 filler3 filler4 filler5 filler6 filler7 filler8 filler9 $run", "en", "srcB", 0L),
+      // doc 4: unique text, no spans
+      (4L, (1 to 20).map(i => s"uniq$i").mkString(" "), "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("span dedup merges overlapping k-windows into maximal spans " +
+    "and counts within-doc repeats") {
+    val out = Curation.spanExact.run(spark, goldenDir)
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    // a 12-token duplicated run = 5 overlapping 8-windows → ONE span of
+    // 12 tokens, wherever it sits
+    assert(out(1L) == (1L, 12L, 15L))
+    assert(out(2L) == (1L, 12L, 15L))
+    // doc 3 holds the run twice, separated by 9 unique fillers (< k
+    // apart would merge; 9 ≥ k=8 keeps them apart) → two 12-token spans
+    assert(out(3L) == (2L, 24L, 33L))
+    assert(out(4L) == (0L, 0L, 20L))
+  }
+
+  test("span dedup matches a driver-side brute force on the tiny corpus") {
+    val k = Curation.SpanK
+    val docs = Tables.documents(spark, TestSpark.tiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val grams = docs.flatMap { case (id, t) =>
+      val w = t.trim.split(" ")
+      (0 to w.length - k).map(i => (id, i + 1, w.slice(i, i + k).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val expected = docs.map { case (id, t) =>
+      val hits = grams.filter(g => g._1 == id && dup(g._3)).map(_._2).sorted
+      // interval merge
+      val spans = hits.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p <= e + 1 => (s, math.max(e, p + k - 1)) :: rest
+        case (acc, p) => (p, p + k - 1) :: acc
+      }
+      id -> ((spans.size.toLong, spans.map(s => s._2 - s._1 + 1).sum.toLong,
+        t.trim.split(" ").length.toLong))
+    }.toMap
+    val got = Curation.spanExact.run(spark, TestSpark.tiny)
+      .select("doc_id", "n_spans", "dup_tokens", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(got === expected)
+  }
+
+  test("boilerplate coverage is source-scoped: the same 3-gram in two " +
+    "docs of DIFFERENT sources is not boilerplate") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_bp").toString
+    Seq(
+      (1L, "header line one body x1 y1 z1", "en", "srcA", 0L),
+      (2L, "header line one body x2 y2 z2", "en", "srcA", 0L),
+      (3L, "header line one body x3 y3 z3", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.boilerplate.run(spark, dir)
+      .select("doc_id", "bp_tokens", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "header line one body" = 4 tokens covered by shared 3-grams in
+    // srcA's two docs; srcB's lone doc shares text only cross-source
+    assert(out(1L) == (4L, 7L))
+    assert(out(2L) == (4L, 7L))
+    assert(out(3L) == (0L, 7L))
+  }
+
+  test("curation plans: no cartesian/BNL, island windows partitioned by doc") {
+    for (q <- Curation.all) {
+      val plan = q.run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a BNL:\n$plan")
+    }
+  }
+
+  private implicit class Tup4Map(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
