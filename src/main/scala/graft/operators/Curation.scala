@@ -183,5 +183,79 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(spanExact, boilerplate)
+  /** semantic-dedup bucket width: 2⁸ = 256 clusters at test SF. The
+    * bucket ASSIGNMENT is part of the operator's semantics (pairs are
+    * only compared within a bucket), so unlike [[Dedup.embeddingCosine]]
+    * — whose cell pruning is exact and bits-independent — this constant
+    * must be FIXED for oracle parity. Production sets bits ≈
+    * log₂(n/target-bucket-size): buckets scale with the corpus, keeping
+    * the within-bucket quadratic bounded; the [[SemBucketCap]] guard
+    * (mirrored in the oracle, [[Dedup.BandBucketCap]] pattern) bounds
+    * the damage of any residual hot bucket. */
+  val SemBits = 8
+  val SemBucketCap: Int = Dedup.BandBucketCap
+  val SemThreshold: Double = Dedup.CosineThreshold
+
+  private val EmbDim = 64
+
+  /** Semantic dedup over embeddings (the SemDeDup recipe from the public
+    * literature, deterministic form): cluster vectors, then within each
+    * cluster drop every vector that is near-duplicate (cosine ≥ τ) of a
+    * kept one. Clusters here are deterministic hyperplane-LSH buckets
+    * ([[Similarity.lshSignature]]) standing in for SemDeDup's k-means —
+    * reproducible across engines, so the WHOLE pipeline is
+    * oracle-checked (the seeded-k-means variants can't be). The keep
+    * rule is greedy-by-id: v is removed iff some lower-id vector in its
+    * bucket sits within the threshold — the public result that a random
+    * exemplar works as well as the centroid-nearest one makes lowest-id
+    * a faithful deterministic stand-in. */
+  val semantic: Q = {
+    import graft.functions.VectorFunctions
+    val projCols = (0 until SemBits)
+      .map(p => s"${Similarity.duckProj(p)} AS proj_$p").mkString(",\n    ")
+    val sigExpr = (0 until SemBits)
+      .map(p => s"(CASE WHEN proj_$p >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $p)")
+      .mkString(" | ")
+    Q(
+      "dedup_semantic",
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding,
+         |    $projCols
+         |  FROM embeddings),
+         |sig AS (SELECT vec_id, embedding, $sigExpr AS bucket FROM proj),
+         |capped AS (
+         |  SELECT vec_id, embedding, bucket FROM sig
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $SemBucketCap),
+         |rm AS (
+         |  SELECT DISTINCT b.vec_id AS rm
+         |  FROM capped a JOIN capped b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${VectorFunctions.duckCosine("a.embedding", "b.embedding", EmbDim)} >= $SemThreshold)
+         |SELECT s.vec_id, s.bucket, (rm.rm IS NULL) AS keep
+         |FROM sig s LEFT JOIN rm ON s.vec_id = rm.rm
+         |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
+      import VectorFunctions.{dot, norm}
+      val sig = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshSignature(col("embedding"), SemBits).as("bucket"))
+        .localCheckpoint(true) // three consumers: cap, pair join ×2, output
+      val w = Window.partitionBy("bucket")
+      val capped = sig.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= SemBucketCap)
+        .select(col("vec_id"), col("bucket"),
+          col("embedding"), norm(col("embedding")).as("nrm"))
+      val removed = capped.as("a").join(capped.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) >= SemThreshold)
+        .select(col("b.vec_id").as("rm"))
+        .distinct()
+      sig.join(removed, sig("vec_id") === removed("rm"), "left")
+        .select(col("vec_id"), col("bucket"), col("rm").isNull.as("keep"))
+        .orderBy("vec_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(spanExact, boilerplate, semantic)
 }

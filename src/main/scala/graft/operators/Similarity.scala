@@ -119,7 +119,7 @@ object Similarity {
   /** Plane-p projection in DuckDB: the identical sequential fold as
     * [[planeSign]] (0.0 seed, index order, float→double per element),
     * with the plane's sign row inlined as a literal list. */
-  private def duckProj(p: Int): String = {
+  private[operators] def duckProj(p: Int): String = {
     val signs = signMatrix(p)
       .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST_TRANSFORM(RANGE(1, ${EmbDim + 1}), i -> embedding[i]::DOUBLE * ($signs::DOUBLE[])[i])), (acc, x) -> acc + x)"

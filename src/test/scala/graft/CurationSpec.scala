@@ -87,6 +87,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == (0L, 7L))
   }
 
+  test("semantic dedup matches the greedy-by-id rule brute-forced over " +
+    "within-bucket cosine pairs") {
+    val out = Curation.semantic.run(spark, TestSpark.tiny)
+      .select("vec_id", "bucket", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    val byBucket = Tables.embeddings(spark, TestSpark.tiny)
+      .select(col("vec_id"),
+        graft.operators.Similarity.lshSignature(col("embedding"), Curation.SemBits)
+          .as("bucket"), col("embedding"))
+      .as[(Long, Long, Seq[Float])].collect()
+      .groupBy(_._2)
+    // same sequential-fold arithmetic as the dot expression: float
+    // elements widened one at a time, index order
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def fold(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    val expectedRemoved = byBucket.values.flatMap { vs =>
+      for {
+        (b, _, eb) <- vs
+        if vs.exists { case (a, _, ea) => a < b && cos(ea, eb) >= Curation.SemThreshold }
+      } yield b
+    }.toSet
+    assert(out.map(_._1).toSet === byBucket.values.flatten.map(_._1).toSet)
+    assert(out.filter(r => !r._3).map(_._1).toSet === expectedRemoved)
+    // bucket assignment in the output matches the signature expression
+    val sigMap = byBucket.values.flatten.map(v => v._1 -> v._2).toMap
+    assert(out.forall(r => sigMap(r._1) == r._2))
+  }
+
   test("curation plans: no cartesian/BNL, island windows partitioned by doc") {
     for (q <- Curation.all) {
       val plan = q.run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
