@@ -257,5 +257,104 @@ object Curation {
     }
   }
 
-  val all: Seq[Q] = Seq(spanExact, boilerplate, semantic)
+  /** BPE merge candidates, iteration zero: corpus-wide frequencies of
+    * adjacent character pairs within words — the statistic the first BPE
+    * merge maximizes (tokenizer-training prep). One explode + one hash
+    * agg; the pair vocabulary is bounded by charset² regardless of
+    * corpus size, so the final rank window runs over a few thousand rows
+    * at most (bounded cardinality — the q81/q86 exemption, not a
+    * corpus-sized global window). */
+  val bpeMerges: Q = Q(
+    "text_bpe_merges",
+    """WITH words AS (
+      |  SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT SUBSTRING(w, u.i, 2) AS pair
+      |  FROM words, UNNEST(RANGE(1, GREATEST(LEN(w), 1))) u(i)
+      |  WHERE LEN(w) >= 2),
+      |c AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+      |SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+      |FROM c QUALIFY rank <= 30 ORDER BY rank""".stripMargin) { (s, d) =>
+    val counts = documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w)-1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("long"))
+      .filter(col("rank") <= 30)
+      .orderBy("rank")
+  }
+
+  /** Per-source dedup-inflation report: how much of each source exact +
+    * near dedup would remove. A doc is removed when it is a
+    * non-representative exact copy (same normalized text as a lower-id
+    * doc) or a non-representative member of a near-dup component
+    * ([[Dedup.sharedLabels]] — materialized once per session/corpus and
+    * shared with the other four component consumers, so this report adds
+    * one broadcast-sized join, not a components recompute). The rollup
+    * itself is one groupBy(source) over doc-grain rows. */
+  val dupInflation: Q = Q(
+    "dedup_inflation",
+    s"""WITH RECURSIVE jp AS (${Dedup.duckJaccardPairs}),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |exdup AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      MIN(doc_id) OVER (PARTITION BY LOWER(TRIM(text))) AS keep
+       |    FROM documents)
+       |  WHERE doc_id <> keep),
+       |removed AS (
+       |  SELECT doc_id FROM exdup
+       |  UNION SELECT id FROM labels WHERE id <> rep)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(r.doc_id) AS BIGINT) AS n_removed,
+       |  CAST(SUM(LEN(STRING_SPLIT(TRIM(d.text), ' '))) AS BIGINT) AS tokens_total,
+       |  CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL
+       |    THEN LEN(STRING_SPLIT(TRIM(d.text), ' ')) END), 0) AS BIGINT)
+       |    AS tokens_removed
+       |FROM documents d LEFT JOIN removed r USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    // shuffle key = content hash, not the raw normalized text — the
+    // same 10×-smaller-exchange argument as [[Dedup.exact]]
+    val exdup = docs
+      .withColumn("keep",
+        min(col("doc_id")).over(Window.partitionBy(
+          sha2(encode(lower(trim(col("text"))), "UTF-8"), 256))))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val neardup = Dedup.sharedLabels(s, d)
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("id").as("doc_id"))
+    val removed = exdup.union(neardup).distinct()
+      .withColumn("rm", lit(1))
+    docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("rm")).as("n_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        coalesce(sum(when(col("rm").isNotNull, col("n_tokens"))), lit(0L))
+          .as("tokens_removed"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges, dupInflation)
 }

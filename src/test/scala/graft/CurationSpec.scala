@@ -118,6 +118,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => sigMap(r._1) == r._2))
   }
 
+  test("bpe merge candidates count adjacent character pairs per occurrence") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_bpe").toString
+    Seq((1L, "abab ab", "en", "srcA", 0L), (2L, "ba x", "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.bpeMerges.run(spark, dir)
+      .select("pair", "cnt", "rank").as[(String, Long, Long)].collect()
+    // "abab": ab, ba, ab; "ab": ab; "ba": ba; "x": none → ab=3, ba=2
+    assert(out.toList === List(("ab", 3L, 1L), ("ba", 2L, 2L)))
+  }
+
+  test("dedup inflation reconciles with the exact and component queries") {
+    val perSource = Curation.dupInflation.run(spark, TestSpark.tiny)
+      .select("source", "n_docs", "n_removed", "tokens_total", "tokens_removed")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, TestSpark.tiny)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val exdupRemoved = docs.groupBy(_._3.trim.toLowerCase)
+      .values.flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val ccRemoved = graft.operators.Dedup.components.run(spark, TestSpark.tiny)
+      .select("id", "rep_id").as[(Long, Long)].collect()
+      .filter(r => r._1 != r._2).map(_._1).toSet
+    val removed = exdupRemoved ++ ccRemoved
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val rm = g.filter(d => removed(d._1))
+      src -> ((g.length.toLong, rm.length.toLong,
+        g.map(_._3.trim.split(" ").length.toLong).sum,
+        rm.map(_._3.trim.split(" ").length.toLong).sum))
+    }
+    assert(perSource.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap === expected)
+    // the report must see a non-trivial corpus: every source present
+    assert(perSource.map(_._1).toSet === docs.map(_._2).toSet)
+  }
+
   test("curation plans: no cartesian/BNL, island windows partitioned by doc") {
     for (q <- Curation.all) {
       val plan = q.run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
