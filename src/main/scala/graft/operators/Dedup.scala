@@ -442,7 +442,22 @@ object Dedup {
     * single doc_id shuffle); the per-row formulation ran 60 interpreted
     * folds per document. The shingle hash is md5-derived (see
     * [[SimHashBits]]) so the DuckDB oracle reproduces it bit-for-bit. */
-  def simhashDf(docs: DataFrame): DataFrame = {
+  /** per-doc 60-bit SimHash signatures, computed ROW-LOCALLY by the
+    * codegen'd [[graft.functions.SimHash60]] over the distinct-shingle
+    * array — zero exchanges (the r04 form exploded postings and paid a
+    * corpus-wide 60-column hash aggregate for what is per-row work).
+    * The empty-shingle filter preserves the explode semantics: short
+    * docs produced no aggregation group, and must not surface as
+    * signature 0. */
+  def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), graft.functions.SimHash60(col("ws")).as("sh"))
+
+  /** the r04 relational formulation (explode → 60 conditional sums →
+    * repack) — kept as the independent reference [[DedupSpec]] asserts
+    * [[simhashDf]] against bit-for-bit */
+  private[graft] def simhashDfRelational(docs: DataFrame): DataFrame = {
     // portable 60-bit hash: both engines md5 the UTF-8 shingle, take the
     // leading 15 hex chars, and parse them as an unsigned hex integer
     val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint")

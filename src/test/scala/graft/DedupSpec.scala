@@ -33,6 +33,17 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs === brute)
   }
 
+  test("row-local SimHash60 signatures are bit-identical to the " +
+    "relational explode-and-vote formulation") {
+    val docs = graft.Tables.documents(spark, TestSpark.tiny)
+    val fast = Dedup.simhashDf(docs)
+      .as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhashDfRelational(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === ref)
+    assert(fast.nonEmpty)
+  }
+
   test("simhash bucketing recovers the planted near-dup pairs") {
     val sim = Dedup.simhashPairs.run(spark, TestSpark.tiny)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
