@@ -260,10 +260,13 @@ object Curation {
   /** BPE merge candidates, iteration zero: corpus-wide frequencies of
     * adjacent character pairs within words — the statistic the first BPE
     * merge maximizes (tokenizer-training prep). One explode + one hash
-    * agg; the pair vocabulary is bounded by charset² regardless of
-    * corpus size, so the final rank window runs over a few thousand rows
-    * at most (bounded cardinality — the q81/q86 exemption, not a
-    * corpus-sized global window). */
+    * agg. The global top-30 is `orderBy().limit(30)` — planned as
+    * TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
+    * NOT a rank window: on a CJK/multilingual corpus the character-bigram
+    * vocabulary reaches 10⁷⁺ rows, and `Window.orderBy` would serialize
+    * all of them onto one task. Ranks are then recovered from the 30
+    * surviving rows via one collect_list→sort_array→posexplode (a normal
+    * two-phase global aggregate — no WindowExec in the plan at all). */
   val bpeMerges: Q = Q(
     "text_bpe_merges",
     """WITH words AS (
@@ -284,10 +287,16 @@ object Curation {
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
     counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
-          .cast("long"))
-      .filter(col("rank") <= 30)
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+      // rank without a window: 30 rows → one sorted array → posexplode.
+      // Sort key (-cnt, pair) gives cnt DESC, pair ASC via the default
+      // ascending lexicographic struct order.
+      .agg(sort_array(collect_list(struct(
+        (-col("cnt")).as("nc"), col("pair"), col("cnt")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("x.pair").as("pair"), col("x.cnt").as("cnt"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("rank")
   }
 

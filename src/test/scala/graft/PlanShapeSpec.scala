@@ -139,4 +139,48 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("text_bpe_merges top-30 plans TakeOrderedAndProject, no window") {
+    // the r05 `weak`: a global rank window over the pair vocabulary is a
+    // single task holding 10⁷⁺ rows on a multilingual corpus. The fixed
+    // plan is per-partition top-k + 30-row rank recovery — zero WindowExec.
+    val df = graft.operators.Curation.bpeMerges.run(spark, TestSpark.tiny)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"bpe_merges still plans a window:\n$plan")
+  }
+
+  test("unpartitioned windows appear only in documented bounded queries") {
+    // Registry-wide net for the q10-class regression: a `Window.orderBy`
+    // / `Window.partitionBy()` with no partition key serializes its whole
+    // input onto one task. The allowed list enumerates the windows whose
+    // input is a bounded aggregate (days / months / nations / sources —
+    // NOT corpus-sized); any new unpartitioned window elsewhere fails.
+    // (Checkpointed subplans collapse to LogicalRDD and are invisible to
+    // this walk — the Dedup brute-force-equality specs cover those on
+    // output instead.)
+    val allowed = Map(
+      "q80_ratio_to_report" -> "per-nation rows (25)",
+      "q81_cumulative_distinct" -> "per-day rows (~366/yr)",
+      "q86_period_over_period" -> "per-month rows (~12/yr)",
+      "text_mixture_report" -> "per-(source,lang) cells (bounded)",
+      "text_frequent_tokens" -> "Misra-Gries sketch output (≤ capacity 4096 rows)")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (q <- SparkEntry.registry) {
+      val global = q.run(spark, TestSpark.tiny)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+      if (global.nonEmpty && !allowed.contains(q.name))
+        offenders += q.name
+    }
+    assert(offenders.isEmpty,
+      s"new unpartitioned window(s) in: ${offenders.mkString(", ")} — " +
+        "either repartition the window (ScalableWindows) or, if the input " +
+        "is a bounded aggregate, add it to the allowed list with a reason")
+  }
 }
