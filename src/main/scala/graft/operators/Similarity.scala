@@ -28,24 +28,6 @@ object Similarity {
   val K = 5
   private val NumQueries = 10
 
-  /** Cap on rows fed to k-means codebook/centroid training (IVF cells,
-    * PQ codebooks). At 100 TB you never fit on the full corpus — a few
-    * thousand sampled vectors bound the quantization error just as well
-    * (public IVF/PQ practice) while the fit cost becomes
-    * corpus-independent. At test SFs at or below the cap the fraction is
-    * 1.0, so recall specs measure exactly the shipped configuration. */
-  val FitSampleCap = 1024L
-
-  /** Seeded sample of at most ~[[FitSampleCap]] rows for model fitting;
-    * identity when the input is already within the cap. Callers cache
-    * `df` first so the sizing count() doubles as the cache build rather
-    * than being an extra corpus pass. */
-  private[operators] def fitSample(df: DataFrame): DataFrame = {
-    val n = df.count()
-    if (n <= FitSampleCap) df
-    else df.sample(withReplacement = false, FitSampleCap.toDouble / n, 7L)
-  }
-
   /** Deterministic pseudo-random hyperplanes: component (p, i) has sign
     * from the parity of xxhash64(p, i) — reproducible across engines and
     * runs without any RNG state. */
@@ -53,14 +35,23 @@ object Similarity {
     when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, lit(1.0))
       .otherwise(lit(-1.0))
 
-  /** ±1-hyperplane dot sign for plane p over an embedding column. */
-  private def planeSign(p: Int, emb: Column): Column = {
-    val proj = aggregate(
-      zip_with(emb, sequence(lit(0), lit(EmbDim - 1)),
+  /** Raw hyperplane projection for plane p over the first `len`
+    * components of a vector column, indexed locally 0..len-1
+    * (sequential double fold in array order — the cross-engine
+    * determinism contract). */
+  private[operators] def planeProjOver(p: Int, vec: Column, len: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), lit(len - 1)),
         (x, i) => x.cast("double") * signBit(p, i)),
       lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
+
+  /** ±1-hyperplane dot sign for plane p, first `len` components. */
+  private[operators] def planeSignOver(p: Int, vec: Column, len: Int): Column =
+    when(planeProjOver(p, vec, len) >= 0, lit(1L)).otherwise(lit(0L))
+
+  /** ±1-hyperplane dot sign for plane p over an embedding column. */
+  private def planeSign(p: Int, emb: Column): Column =
+    planeSignOver(p, emb, EmbDim)
 
   /** 16-bit sign signature packed as a long. */
   def lshSignature(emb: Column, bits: Int = 16): Column =
@@ -107,7 +98,9 @@ object Similarity {
     * join → exact re-rank) into portable arithmetic. */
   private lazy val signMatrix: IndexedSeq[IndexedSeq[Double]] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    (0 until 32).map { p =>
+    // planes 0..31: annLsh signature; 32..35: IVF coarse quantizer;
+    // 36..51: PQ subspace codes (4 planes per subspace)
+    (0 until 52).map { p =>
       (0 until EmbDim).map { i =>
         val h = XxHash64(Seq(Literal(p), Literal(i)), 42L)
           .eval(null).asInstanceOf[Long]
@@ -116,14 +109,19 @@ object Similarity {
     }
   }
 
-  /** Plane-p projection in DuckDB: the identical sequential fold as
-    * [[planeSign]] (0.0 seed, index order, float→double per element),
-    * with the plane's sign row inlined as a literal list. */
-  private[operators] def duckProj(p: Int): String = {
-    val signs = signMatrix(p)
+  /** Plane-p projection over `expr`'s first `len` components in DuckDB:
+    * the identical sequential fold as [[planeSignOver]] (0.0 seed, index
+    * order, float→double per element), with the plane's sign row inlined
+    * as a literal list — DuckDB never computes xxhash64; the hyperplanes
+    * are corpus-independent constants. */
+  private[operators] def duckProjOver(p: Int, expr: String, len: Int): String = {
+    val signs = signMatrix(p).take(len)
       .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-    s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST_TRANSFORM(RANGE(1, ${EmbDim + 1}), i -> embedding[i]::DOUBLE * ($signs::DOUBLE[])[i])), (acc, x) -> acc + x)"
+    s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST_TRANSFORM(RANGE(1, ${len + 1}), i -> $expr[i]::DOUBLE * ($signs::DOUBLE[])[i])), (acc, x) -> acc + x)"
   }
+
+  private[operators] def duckProj(p: Int): String =
+    duckProjOver(p, "embedding", EmbDim)
 
   /** [[annTopk]] restated over DuckDB primitives with the sign matrix
     * inlined: 32 sequential-fold projections → packed sign bits → 8 × 4
@@ -199,64 +197,132 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF (inverted-file) ANN: cluster the corpus with k-means, probe the
-    * nProbe centroids nearest each query, exact-rank within the probed
-    * cells. The 100 TB shape: centroids are tiny and broadcast; the
-    * corpus is partitioned by cell, so each query touches ~nProbe/k of
-    * it. Driver-side work is bounded by |queries|·k centroid distances.
-    * Deterministic via fixed seed → rows-only check + recall spec. */
+  /** Plane base for the IVF coarse quantizer — disjoint from the 32
+    * [[annLsh]] signature planes, so cells and LSH bands are
+    * independent partitions of the corpus. */
+  private val IvfPlaneBase = 32
+  private val IvfBits = 4
+  /** Default probe depth: the query's own cell, its [[IvfBits]]
+    * Hamming-1 neighbors, and one Hamming-2 cell — sign-LSH cells are
+    * coarser than k-means cells, so multi-probe depth carries the
+    * recall (probe fraction 6/16 of the corpus here; at scale, bits
+    * grows with corpus size and the fraction shrinks). */
+  private val IvfNProbe = 6
+
+  /** IVF (inverted-file) ANN with a DETERMINISTIC coarse quantizer:
+    * cells are [[IvfBits]]-bit hyperplane-LSH signatures (fixed
+    * xxhash64-derived planes — no k-means, no RNG state), and probing is
+    * query-directed multi-probe LSH (Lv et al., VLDB'07): each candidate
+    * cell is scored by the sum of |projection| over the bits where it
+    * differs from the query's own cell — the cells across hyperplanes
+    * the query sits closest to are probed first, which is where the
+    * boundary-straddling true neighbors live. Projections are
+    * sequential-fold doubles and the penalty is a fixed-order expression
+    * sum, so the whole pipeline is bit-reproducible cross-engine and
+    * fully oracle-checked — the property the seeded-k-means variant
+    * could never give.
+    *
+    * The 100 TB shape: cell assignment is one map-side signature pass;
+    * the probe set is |queries|·2^bits scored rows (broadcast); the
+    * corpus is touched only in the ~nProbe/2^bits probed fraction via a
+    * hash join on cell — no corpus shuffle, no driver-side collect at
+    * all (the old k-means variant collected the query vectors). */
   def ivfTopk(emb: DataFrame, numQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      bits: Int = IvfBits, nProbe: Int = IvfNProbe): DataFrame = {
     val spark = emb.sparkSession
-    // cached: consumed by the sizing count, the k-means fit, the cell
-    // assignment, and the query collect — one materialization for all
-    val withVec = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      array_to_vector(col("embedding")).as("features")).cache()
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(fitSample(withVec))
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("prediction").as("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    // nProbe nearest cells per query (|queries| × k distances, driver-side)
-    val queries = withVec.filter(col("vec_id") < numQueries)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = queries.flatMap { case (qid, v) =>
-      centroids.zipWithIndex
-        .map { case (c, ci) =>
-          val d = c.zip(v).map { case (x, y) => val t = x - y; t * t }.sum
-          (ci, d)
-        }
-        .sortBy(_._2).take(nProbe)
-        .map { case (ci, _) => (qid, ci) }
+    // raw projections once; cell = packed sign bits of the projections
+    val p = emb.select(
+      Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++
+        (0 until bits).map(b =>
+          planeProjOver(IvfPlaneBase + b, col("embedding"), EmbDim)
+            .as(s"proj_$b")): _*)
+    val cellCol = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(shiftleft(
+        when(col(s"proj_$b") >= 0, lit(1L)).otherwise(lit(0L)), b))
     }
+    val e = p.withColumn("cell", cellCol)
+    val corpus = e.select("vec_id", "embedding", "nrm", "cell")
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell")) ++
+        (0 until bits).map(b => col(s"proj_$b").as(s"q_proj_$b")): _*)
     import spark.implicits._
-    val probeDf = probes.toSeq.toDF("q_id", "cell")
-    val qSide = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-      .join(broadcast(probeDf), "q_id")
+    val cells = (0L until (1L << bits)).toDF("cell")
+    // multi-probe penalty: Σ |q_proj_b| over differing bits, summed in
+    // fixed expression order (b = 0..bits-1) — identical in the oracle
+    val penalty = (0 until bits).map { b =>
+      when(shiftrightunsigned(col("q_cell"), b).bitwiseAND(lit(1L)) =!=
+        shiftrightunsigned(col("cell"), b).bitwiseAND(lit(1L)),
+        abs(col(s"q_proj_$b")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val wp = Window.partitionBy("q_id").orderBy(col("penalty"), col("cell"))
+    val probes = queries.crossJoin(broadcast(cells)) // |Q| × 2^bits rows
+      .withColumn("penalty", penalty)
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select("q_id", "q_emb", "q_nrm", "cell")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-    assigned
-      .join(broadcast(qSide), Seq("cell"))
+    corpus.join(broadcast(probes), Seq("cell")) // probed cells only
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
       .orderBy("q_id", "rank")
   }
 
-  /** IVF ANN as a registered operator (approximate → rows-only check;
-    * SimilaritySpec measures recall vs brute force). */
-  val annIvf: Q = Q.noOracle("sim_ann_ivf") { (s, d) =>
+  /** [[ivfTopk]] restated over DuckDB primitives: 4 inlined-sign
+    * projections → cell id → penalty-ranked multi-probe set → cell-join
+    * candidates → exact cosine re-rank. Fully deterministic, so IVF gets
+    * the full hash check (the r05 `no_oracle` row retired). */
+  private lazy val duckAnnIvf: String = {
+    val projCols = (0 until IvfBits)
+      .map(b => s"${duckProj(IvfPlaneBase + b)} AS proj_$b")
+      .mkString(",\n    ")
+    val cellExpr = (0 until IvfBits)
+      .map(b => s"(CASE WHEN proj_$b >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)")
+      .mkString(" | ")
+    // fixed-order expression sum b = 0..bits-1, as in [[ivfTopk]]
+    val penaltyExpr = (0 until IvfBits)
+      .map(b => s"(CASE WHEN ((q.q_cell >> $b) & 1) <> ((c.cell >> $b) & 1) THEN ABS(q.proj_$b) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding,
+       |    $projCols
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, embedding, $cellExpr AS cell,
+       |        ${(0 until IvfBits).map(b => s"proj_$b").mkString(", ")}
+       |        FROM proj),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe, cell AS q_cell,
+       |    ${(0 until IvfBits).map(b => s"proj_$b").mkString(", ")}
+       |  FROM sig WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT q_id, qe, cell FROM (
+       |    SELECT q.q_id, q.qe, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY $penaltyExpr, c.cell) AS prank
+       |    FROM q CROSS JOIN (SELECT UNNEST(RANGE(0, ${1 << IvfBits})) AS cell) c)
+       |  WHERE prank <= $IvfNProbe),
+       |cand AS (
+       |  SELECT p.q_id, p.qe, s.vec_id AS n_id, s.embedding AS ce
+       |  FROM probes p JOIN sig s ON s.cell = p.cell AND s.vec_id <> p.q_id)
+       |SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT q_id, n_id, ${duckCosine("qe", "ce", EmbDim)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${duckCosine("qe", "ce", EmbDim)} DESC, n_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** IVF ANN as a registered operator — deterministic LSH-cell coarse
+    * quantizer → FULL oracle check; SimilaritySpec additionally measures
+    * recall vs [[topkBruteForce]]. */
+  val annIvf: Q = Q("sim_ann_ivf", duckAnnIvf) { (s, d) =>
     ivfTopk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,102 +10,107 @@ import graft.functions.VectorFunctions._
 
 /** Product quantization (PQ) ANN — the memory-compression tier of the
   * similarity stack (SURVEY.md §2.5): each 64-dim float vector becomes
-  * m=4 one-byte codes (64× smaller than float32), candidate scoring is
+  * m=4 one-nibble codes (32× smaller than float32), candidate scoring is
   * table lookups instead of float dot products, and only a short-listed
   * fraction of the corpus ever touches the full vectors again.
   *
+  * DETERMINISM (the r05 `no_oracle` row retired): subspace codes are
+  * 4-bit hyperplane-LSH signatures over fixed xxhash64-derived planes
+  * (36..51 of [[Similarity]]'s sign matrix — no k-means, no RNG state),
+  * and the per-cell codebook centroids are corpus means computed with
+  * fixed-point BIGINT sums (order-independent across partitions and
+  * engines). Every remaining float reduction — the 16-term per-subspace
+  * query↔centroid distance and the m-term ADC total — is an ordered
+  * sequential fold, so Spark and DuckDB agree bit-for-bit and the driver
+  * hash-checks the full output.
+  *
   * The 100 TB shape:
-  *   - codebooks are m·kc tiny centroids — trained once (at scale: on a
-  *     sample), broadcast everywhere; the corpus encode is one map-side
-  *     pass per subspace;
-  *   - ADC (asymmetric distance computation) is a hash join of the
-  *     exploded (vec_id, subspace, code) relation against a
-  *     |Q|·m·kc-row lookup table, then a sum per (query, vector) —
-  *     linear in corpus size, NO pairwise vector math;
-  *   - exact re-rank touches only `shortlist` rows per query.
-  * Codebook training is seeded k-means → deterministic, but
-  * implementation-specific → rows-only driver check; `Similarity2Spec`
-  * measures recall against the exact brute-force top-k. */
+  *   - encoding is one map-side sign pass per subspace (codegen'd HOFs);
+  *   - the codebook is a hash aggregation on (subspace, code, pos) — at
+  *     most m·kc·16 = 1024 rows of global state, map-side combined;
+  *     fixed-point sums hold to ~5e14 rows per cell before BIGINT range
+  *     matters (2^24-scale addends), and cells partition the corpus;
+  *   - ADC is a hash join of the exploded (vec_id, subspace, code)
+  *     relation against a |Q|·m·kc-row broadcast lookup table, then a
+  *     sum per (query, vector) — linear in corpus size, NO pairwise
+  *     vector math and no driver-side collect anywhere;
+  *   - exact re-rank touches only `shortlist` rows per query. */
 object Similarity2 {
 
   private val EmbDim = 64
   private val NumQueries = 10
   private val K = Similarity.K
 
+  /** First sign-matrix plane of the PQ code planes (4 per subspace). */
+  private val PqPlaneBase = 36
+  private val PqM = 4
+  private val PqBits = 4
+  /** Fixed-point scale for order-independent centroid sums. */
+  private val PqFp = 1048576.0 // 2^20
+
+  private def sub = EmbDim / PqM // 16 dims per subspace
+
+  /** 4-bit LSH code of subspace j: sign bits of planes
+    * PqPlaneBase+4j..+3 over the 16-dim subvector (locally indexed). */
+  private def codeCol(j: Int): Column =
+    (0 until PqBits).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(shiftleft(
+        Similarity.planeSignOver(PqPlaneBase + j * PqBits + b,
+          slice(col("embedding"), j * sub + 1, sub), sub), b))
+    }
+
+  /** Ordered sequential fold Σ field over array_sort(collect_list(
+    * struct(ord, field))) — the order-pinned double sum both engines
+    * reproduce exactly (plain SUM over doubles is order-unspecified). */
+  private def orderedSum(ord: Column, value: Column, field: String): Column =
+    aggregate(array_sort(collect_list(struct(ord, value.as(field)))),
+      lit(0.0), (acc, x) => acc + x.getField(field))
+
   /** PQ encode + ADC shortlist + exact re-rank.
     * Output: (q_id, n_id, rank, sim). */
   def pqTopk(emb: DataFrame, numQueries: Int, k: Int,
-      m: Int = 4, kc: Int = 16, shortlist: Int = 150): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val sub = EmbDim / m
-
-    val sliced = emb.select(
-      Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++
-        (0 until m).map(j =>
-          array_to_vector(slice(col("embedding"), j * sub + 1, sub))
-            .as(s"sub_$j")): _*)
-
-    // one seeded k-means per subspace; models stay in scope to encode the
-    // corpus AND to hand their centers to the query-side lookup tables.
-    // Fits are independent → submitted concurrently (the executor pool
-    // is idle between each fit's tiny jobs), and each trains on a
-    // seeded sample capped at [[Similarity.FitSampleCap]] rows — the
-    // corpus-independent codebook cost that 100 TB demands. The sample
-    // is materialized once and shared by all m fits.
-    val subCols =
-      sliced.select((0 until m).map(j => col(s"sub_$j")): _*).cache()
-    // fitSample's sizing count materializes the cache; the m fits then
-    // re-read the in-memory columns, never the parquet scan
-    val fitDf = Similarity.fitSample(subCols)
-    import scala.collection.parallel.CollectionConverters._
-    val models = (0 until m).par.map { j =>
-      new KMeans().setK(kc).setSeed(42L + j).setMaxIter(4)
-        .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
-        .fit(fitDf)
-    }.seq
-    subCols.unpersist(blocking = false)
-    val encoded = models.zipWithIndex
-      .foldLeft(sliced) { case (df, (model, _)) => model.transform(df) }
-      .select(Seq(col("vec_id")) ++
-        (0 until m).map(j => col(s"code_$j")): _*)
-
-    // exploded code relation: (vec_id, subspace j, code) — m rows/vector
-    val codes = encoded.select(col("vec_id"),
-        explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"), col(s"code_$j").as("code"))): _*)).as("jc"))
-      .select(col("vec_id"), col("jc.j").as("j"), col("jc.code").as("code"))
-
-    // query-side ADC lookup table: (q_id, j, code, partial squared L2) —
-    // |Q|·m·kc rows, built driver-side from the broadcast-small centers
-    val queryVecs = emb.filter(col("vec_id") < numQueries)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val lut = for {
-      (qid, v) <- queryVecs.toSeq
-      j <- 0 until m
-      (center, code) <- models(j).clusterCenters.zipWithIndex
-    } yield {
-      val qSub = v.slice(j * sub, (j + 1) * sub)
-      val d2 = center.toArray.zip(qSub)
-        .map { case (c, q) => val t = c - q; t * t }.sum
-      (qid, j, code, d2)
-    }
-    val lutDf = lut.toDF("q_id", "j", "code", "d2")
-
-    // ADC: hash join on (j, code), sum the m partials per (query, vector)
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
-    val short = codes
-      .join(broadcast(lutDf), Seq("j", "code"))
-      .groupBy(col("q_id"), col("vec_id").as("n_id"))
-      .agg(sum("d2").as("adc"))
+      shortlist: Int = 150): DataFrame = {
+    // (vec_id, j, code): m rows/vector, codes map-side
+    val enc = emb.select(
+      Seq(col("vec_id"), col("embedding")) ++
+        (0 until PqM).map(j => codeCol(j).as(s"code_$j")): _*)
+    val codes = enc.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until PqM).map(j => col(s"code_$j")): _*))
+        .as(Seq("j", "code")))
+    // (vec_id, j, code, pos, comp): per-subspace components, pos local
+    val comp = codes.select(col("vec_id"), col("j"), col("code"),
+      posexplode(slice(col("embedding"), col("j") * sub + 1, lit(sub)))
+        .as(Seq("pos", "comp")))
+    // codebook: cell means via fixed-point BIGINT sums (exact integers →
+    // order-independent), one double division at the end
+    val cent = comp.groupBy("j", "code", "pos")
+      .agg(count(lit(1)).as("n_cnt"),
+        sum(floor(col("comp").cast("double") * PqFp + 0.5).cast("long"))
+          .as("s_fp"))
+      .select(col("j"), col("code"), col("pos"),
+        (col("s_fp").cast("double") / col("n_cnt") / PqFp).as("cent"))
+    // query subvector components (|Q|·m·16 rows)
+    val qc = comp.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("j"), col("pos"),
+        col("comp").cast("double").as("qv"))
+    // ADC lookup table: (q_id, j, code) → partial squared L2 to the cell
+    // centroid, summed over pos as an ordered fold — |Q|·m·kc rows
+    val lut = cent.join(qc, Seq("j", "pos"))
+      .select(col("q_id"), col("j"), col("code"),
+        col("pos"),
+        ((col("cent") - col("qv")) * (col("cent") - col("qv"))).as("sq"))
+      .groupBy("q_id", "j", "code")
+      .agg(orderedSum(col("pos"), col("sq"), "sq").as("d2"))
+    // ADC: hash join on (j, code), ordered-fold the m partials
+    val wS = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val short = codes.select(col("vec_id").as("n_id"), col("j"), col("code"))
+      .join(broadcast(lut), Seq("j", "code"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("srank", row_number().over(w))
+      .groupBy("q_id", "n_id")
+      .agg(orderedSum(col("j"), col("d2"), "d2").as("adc"))
+      .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select("q_id", "n_id")
-
     // exact cosine re-rank over shortlist·|Q| rows only
     val corpus = emb.select(col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), norm(col("embedding")).as("n_nrm"))
@@ -125,9 +130,87 @@ object Similarity2 {
       .orderBy("q_id", "rank")
   }
 
-  /** PQ ANN as a registered operator (approximate + k-means-seeded →
-    * rows-only check; `Similarity2Spec` measures recall vs brute force). */
-  val annPq: Q = Q.noOracle("sim_ann_pq") { (s, d) =>
+  /** [[pqTopk]] restated over DuckDB primitives: 16 inlined-sign
+    * projections → per-subspace codes → fixed-point cell means →
+    * ordered-fold LUT/ADC → shortlist → exact cosine re-rank. Every
+    * float reduction is the identical sequential fold, so the whole
+    * approximate pipeline is hash-checked exactly. */
+  private lazy val duckAnnPq: String = {
+    def planes(j: Int) = (0 until PqBits).map(b => PqPlaneBase + j * PqBits + b)
+    val projCols = (0 until PqM).flatMap { j =>
+      val sl = s"list_slice(embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+      planes(j).zipWithIndex.map { case (p, b) =>
+        s"${Similarity.duckProjOver(p, sl, sub)} AS proj_${j}_$b"
+      }
+    }.mkString(",\n    ")
+    val codeCols = (0 until PqM).map { j =>
+      (0 until PqBits)
+        .map(b => s"(CASE WHEN proj_${j}_$b >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)")
+        .mkString(" | ") + s" AS code_$j"
+    }.mkString(",\n    ")
+    val codeCase = (0 until PqM)
+      .map(j => s"WHEN $j THEN code_$j").mkString(" ")
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding,
+       |    $projCols
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |    $codeCols
+       |  FROM proj),
+       |codes AS (
+       |  SELECT vec_id, embedding, js.j,
+       |    CASE js.j $codeCase END AS code
+       |  FROM enc CROSS JOIN (SELECT UNNEST(RANGE(0, $PqM)) AS j) js),
+       |comp AS (
+       |  SELECT vec_id, j, code,
+       |    UNNEST(RANGE(0, $sub)) AS pos,
+       |    UNNEST(list_slice(embedding, j * $sub + 1, (j + 1) * $sub)) AS comp
+       |  FROM codes),
+       |cent AS (
+       |  SELECT j, code, pos,
+       |    CAST(CAST(SUM(CAST(FLOOR(comp::DOUBLE * $PqFp + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |      / COUNT(*) / $PqFp AS cent
+       |  FROM comp GROUP BY 1, 2, 3),
+       |qc AS (
+       |  SELECT vec_id AS q_id, j, pos, comp::DOUBLE AS qv
+       |  FROM comp WHERE vec_id < $NumQueries),
+       |lut AS (
+       |  SELECT q.q_id, c.j, c.code,
+       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+       |      LIST((c.cent - q.qv) * (c.cent - q.qv) ORDER BY c.pos)),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM cent c JOIN qc q ON q.j = c.j AND q.pos = c.pos
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.q_id, k.vec_id AS n_id,
+       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST(l.d2 ORDER BY l.j)),
+       |      (acc, x) -> acc + x) AS adc
+       |  FROM codes k JOIN lut l ON l.j = k.j AND l.code = k.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srank
+       |    FROM adc)
+       |  WHERE srank <= 150)
+       |SELECT q_id, n_id, rank, sim FROM (
+       |  SELECT s.q_id, s.n_id,
+       |    ${duckCosine("q.embedding", "c.embedding", EmbDim)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+       |      ORDER BY ${duckCosine("q.embedding", "c.embedding", EmbDim)} DESC, s.n_id) AS rank
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.n_id)
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** PQ ANN as a registered operator — deterministic LSH-cell codebooks
+    * → FULL oracle check; `Similarity2Spec` additionally measures recall
+    * vs brute force. */
+  val annPq: Q = Q("sim_ann_pq", duckAnnPq) { (s, d) =>
     pqTopk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 

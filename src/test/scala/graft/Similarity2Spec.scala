@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Similarity, Similarity2}
 
 /** PQ ANN: recall vs the exact brute-force top-k, determinism of the
-  * seeded codebooks, and the compression contract (m codes per vector). */
+  * LSH-cell codebooks, and the k-per-query output contract. (The full
+  * output is also hash-checked against the DuckDB oracle by the driver;
+  * these specs cover the approximation QUALITY the oracle can't.) */
 class Similarity2Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -16,13 +18,13 @@ class Similarity2Spec extends AnyFunSuite {
     val pq = Similarity2.annPq.run(spark, TestSpark.tiny)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(pq).size.toDouble / exact.size
-    // 4×16 codebooks + 150-deep exact re-rank over a 500-vector corpus:
-    // measured 0.82; floor kept loose for k-means sensitivity
+    // 4 subspaces × 16 LSH-cell codebooks + 150-deep exact re-rank:
+    // measured 0.66 on this corpus; floor leaves hash-sensitivity room
     assert(recall >= 0.5, s"PQ recall@5 = $recall")
     info(f"PQ recall@5 = $recall%.2f")
   }
 
-  test("PQ top-k is deterministic across runs (seeded codebooks)") {
+  test("PQ top-k is deterministic across runs (fixed-plane codebooks)") {
     def once(): Seq[(Long, Long, Long)] =
       Similarity2.annPq.run(spark, TestSpark.tiny)
         .select("q_id", "n_id", "rank").as[(Long, Long, Long)]
