@@ -246,14 +246,14 @@ object Dedup {
     * reach are dropped before the candidate distinct — at sf1 this cuts
     * co-occurrences 48M → 13M. `alpha` must be the exact integer
     * overlap bound for the pair (a function of n_a, n_b). */
-  private def positionalFilter(alpha: (Column, Column) => Column): Column =
+  private[graft] def positionalFilter(alpha: (Column, Column) => Column): Column =
     lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
       alpha(col("a.n"), col("b.n"))
 
   /** α for Jaccard ≥ 1/2: ⌈(n_a+n_b)/3⌉ = ⌊(n_a+n_b+2)/3⌋, exact in
     * IEEE double for any realistic set sizes (/3 of an exact long is
     * correctly rounded and lands on an integer only when exact). */
-  private def jaccardAlpha(na: Column, nb: Column): Column =
+  private[graft] def jaccardAlpha(na: Column, nb: Column): Column =
     floor((na + nb + lit(2)) / lit(3)).cast("long")
 
   /** Capped postings annotated for prefix filtering: per-shingle DF (the
@@ -263,7 +263,7 @@ object Dedup {
     * prefix filtering sound; rarity-first is what makes it effective
     * (prefix postings concentrate on low-DF shingles, so the candidate
     * self-join's Σ df² collapses). */
-  private def rankedShingleRows(docs: DataFrame, cap: Int): DataFrame =
+  private[graft] def rankedShingleRows(docs: DataFrame, cap: Int): DataFrame =
     shingleRows(docs)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= cap)
@@ -280,13 +280,13 @@ object Dedup {
     * most |X| − o of them — so x* sits within both docs' prefixes and
     * the prefix self-join emits the pair. Everything after candidate
     * generation verifies on FULL sets, so the pruning is exact. */
-  private def prefixRows(ranked: DataFrame, oMin: Column => Column): DataFrame =
+  private[graft] def prefixRows(ranked: DataFrame, oMin: Column => Column): DataFrame =
     ranked.filter(col("rn") <= col("n") - oMin(col("n")) + 1)
 
   /** ⌈n·t⌉ for the Jaccard threshold, in exact arithmetic: J ≥ t forces
     * |A∩B| ≥ t·|A| (and ≥ t·|B|), and with t = 1/2, ⌈n/2⌉ = ⌊(n+1)/2⌋.
     * IEEE division of exact longs by 2 is exact, so floor() is safe. */
-  private def jaccardOMin(n: Column): Column =
+  private[graft] def jaccardOMin(n: Column): Column =
     floor((n + lit(1)) / lit(2)).cast("long")
 
   /** candidate generation from annotated postings — joins ONLY prefix

@@ -18,6 +18,32 @@ import graft.Tables._
   */
 object TextAnalysis3 {
 
+  /** Curation gate predicates + precedence, shared by the batch
+    * [[keepList]] and the streaming incremental pipeline
+    * (`Streams.curationIncrementalBatch`) so the rules can't drift
+    * between the two. */
+  private[graft] def isHoldout(docId: Column): Column = docId % 50 === 0
+
+  /** Quality gate failure (word count outside [20, 80] or type/token
+    * ratio < 0.3). NULL (empty text) coalesces to false — same reason
+    * outcome as the when-chain skipping a null predicate. */
+  private[graft] def qualityBad(text: Column): Column = {
+    val ws = split(trim(text), " ")
+    coalesce(!(size(ws).cast("bigint").between(20, 80) &&
+      (size(array_distinct(ws)).cast("double") / size(ws)) >= 0.3),
+      lit(false))
+  }
+
+  /** Keep/drop precedence over boolean flag columns
+    * (holdout, quality_bad, exact_dup, near_dup, contaminated). */
+  private[graft] def curationReason: Column =
+    when(col("holdout"), "holdout")
+      .when(col("quality_bad"), "quality")
+      .when(col("exact_dup"), "exact_dup")
+      .when(col("near_dup"), "near_dup")
+      .when(col("contaminated"), "contaminated")
+      .otherwise("kept")
+
   /** Email/phone patterns restricted to syntax Java regex and RE2 (DuckDB)
     * interpret identically: character classes, bounded repetition, \b. */
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -177,25 +203,49 @@ object TextAnalysis3 {
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val sh = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 5)).as("s"))
-    sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
-      .createOrReplaceTempView(s"graft_decon_hold_$tag")
-    sh.filter(col("doc_id") % 50 =!= 0)
-      .createOrReplaceTempView(s"graft_decon_train_$tag")
+    // holdout materialized ONCE (localCheckpoint): the sizing count, the
+    // bloom build, and the exact verify join all read the checkpointed
+    // blocks instead of re-deriving shingles from the scan three times
+    val hold = sh.filter(col("doc_id") % 50 === 0).select("s").distinct()
+      .localCheckpoint()
     // size the bloom from the ACTUAL holdout cardinality (one count over
-    // the holdout view — holdout-sized, not corpus-sized): bits =
+    // the checkpoint — holdout-sized, not corpus-sized): bits =
     // ⌈n·ln(0.01)/ln²2⌉ ≈ 9.6·n keeps FP ≈ 1% at any scale, where the
     // r05-review finding showed a hardcoded 1M/8Mbit filter saturating
     // (FP → 1, pruning nothing) exactly at the 10⁸-item scale this
     // operator exists for
-    val nHold = math.max(1L, s.table(s"graft_decon_hold_$tag").count())
+    val nHold = math.max(1L, hold.count())
     val nBits = math.max(64L, (nHold * 9.6).toLong)
-    val cand = s.sql(
-      s"""SELECT doc_id, s FROM graft_decon_train_$tag t
-         |WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(s), ${nHold}L, ${nBits}L)
-         |   FROM graft_decon_hold_$tag),
-         |  xxhash64(t.s))""".stripMargin)
-    val hold = s.table(s"graft_decon_hold_$tag")
+    hold.createOrReplaceTempView(s"graft_decon_hold_$tag")
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView(s"graft_decon_train_$tag")
+    // bloom_filter_agg silently CLAMPS its sizing args to these session
+    // ceilings (defaults: 4e6 items / 2^26 bits ≈ 8 MB) — at the
+    // 10⁸-shingle holdout this operator targets, a clamped filter
+    // saturates (FP → 1) and prunes nothing. Raise the ceilings for the
+    // analysis of this one query (the expression captures its bounds at
+    // construction), then restore, so the 1%-FP sizing is what ships.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (s.conf.get(itemsKey), s.conf.get(bitsKey))
+    val cand =
+      try {
+        if (nHold > oldItems.toLong) s.conf.set(itemsKey, nHold)
+        if (nBits > oldBits.toLong) s.conf.set(bitsKey, nBits)
+        s.sql(
+          s"""SELECT doc_id, s FROM graft_decon_train_$tag t
+             |WHERE might_contain(
+             |  (SELECT bloom_filter_agg(xxhash64(s), ${nHold}L, ${nBits}L)
+             |   FROM graft_decon_hold_$tag),
+             |  xxhash64(t.s))""".stripMargin)
+      } finally {
+        s.conf.set(itemsKey, oldItems)
+        s.conf.set(bitsKey, oldBits)
+      }
+    // s.sql analyzed eagerly — the resolved plan no longer references
+    // the views, so the session is left clean
+    s.catalog.dropTempView(s"graft_decon_hold_$tag")
+    s.catalog.dropTempView(s"graft_decon_train_$tag")
     val shared = cand.join(hold, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
@@ -341,18 +391,17 @@ object TextAnalysis3 {
     val hold = sh5.filter(col("doc_id") % 50 === 0).select("s").distinct()
     val cont = sh5.filter(col("doc_id") % 50 =!= 0).join(hold, "s")
       .select("doc_id").distinct().withColumn("is_cont", lit(true))
-    val reason =
-      when(col("doc_id") % 50 === 0, "holdout")
-        .when(!(col("n_words").between(20, 80) && col("ttr") >= 0.3), "quality")
-        .when(col("is_exdup"), "exact_dup")
-        .when(col("is_neardup"), "near_dup")
-        .when(col("is_cont"), "contaminated")
-        .otherwise("kept")
     q.join(exd, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
-      .select(col("doc_id"), reason.as("reason"),
-        (reason === "kept").as("kept"))
+      .select(col("doc_id"),
+        isHoldout(col("doc_id")).as("holdout"),
+        qualityBad(col("text")).as("quality_bad"),
+        coalesce(col("is_exdup"), lit(false)).as("exact_dup"),
+        coalesce(col("is_neardup"), lit(false)).as("near_dup"),
+        coalesce(col("is_cont"), lit(false)).as("contaminated"))
+      .select(col("doc_id"), curationReason.as("reason"),
+        (curationReason === "kept").as("kept"))
       .orderBy("doc_id")
   }
 

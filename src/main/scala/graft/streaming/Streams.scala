@@ -376,8 +376,17 @@ object Streams {
     // shingleRows' contract requires one row per doc_id; an
     // at-least-once source can redeliver a doc WITHIN a batch, which
     // would otherwise inflate df/set sizes (cross-batch redelivery is
-    // handled by the batchId-keyed idempotent writes below)
-    val newPost = Dedup.shingleRows(batch.dropDuplicates("doc_id"))
+    // handled by the batchId-keyed idempotent writes below). The
+    // surviving row is picked DETERMINISTICALLY (lexicographic max over
+    // the non-key columns, one hash agg) — dropDuplicates keeps an
+    // arbitrary row, so if a "redelivery" ever carried an updated
+    // payload, which text entered the df/posting state would differ
+    // across runs and retries
+    val payloadCols = batch.columns.filterNot(_ == "doc_id").toSeq
+    val oneRowPerDoc = batch.groupBy("doc_id")
+      .agg(max(struct(payloadCols.map(col): _*)).as("_r"))
+      .select(col("doc_id") +: payloadCols.map(c => col(s"_r.$c").as(c)): _*)
+    val newPost = Dedup.shingleRows(oneRowPerDoc)
       .localCheckpoint(true)
     val batchDf = newPost.groupBy("shingle").agg(count(lit(1)).as("cnt"))
     // current document frequency = prior per-batch deltas + this batch:
@@ -443,12 +452,167 @@ object Streams {
     (pairs, newPost, batchDf, newSizes, newSigs)
   }
 
+  /** Streaming END-TO-END curation: the foreachBatch form of
+    * [[graft.operators.TextAnalysis3.keepList]]. Each micro-batch lands
+    * its arriving docs' keep/drop decisions AND re-emits previously
+    * decided docs whose decision a later arrival invalidates, so the
+    * upsert materialization of all emissions (latest batch per doc
+    * wins) equals the one-shot keep list over the docs seen so far — in
+    * ANY arrival order (StreamingSpec asserts sorted and shuffled).
+    *
+    * Decision flags are MONOTONE (false→true only), which is what makes
+    * revision = OR-merge + recomputed precedence sound:
+    *   - holdout / quality: static per-doc rules, final at arrival;
+    *   - exact_dup: a later, smaller-id doc of the same normalized text
+    *     flips the stored keeper;
+    *   - near_dup: [[nearDupIncrementalBatch]] emits each qualifying
+    *     pair when its second member arrives; the pair's max id flips;
+    *   - contaminated: an arriving holdout doc flips every stored
+    *     training doc sharing one of its 5-shingles.
+    *
+    * State at `stateDir` (all batchId-partitioned; reads filter
+    * batch_id < current, writes overwrite their own partition →
+    * idempotent under foreachBatch retries, the near-dup index scheme):
+    *   - `nd/`        — the [[nearDupIncrementalBatch]] index;
+    *   - `norms/`     — per-batch (norm, min_id) keeper deltas;
+    *   - `ho5/`       — per-batch distinct holdout 5-shingles;
+    *   - `tr5/`       — per-batch training-doc 5-shingle postings;
+    *   - `decisions/` — per-batch emitted flag rows.
+    *
+    * The 100 TB shape: exact-dedup state is grouped/joined by norm
+    * (hash agg + hash join, never collected); contamination is the
+    * decontaminate inverted-index join (holdout side is orders of
+    * magnitude smaller); flip re-emission semi-joins the decisions
+    * table on the flipped-doc set only. Assumes cross-batch
+    * exactly-once per doc_id upstream (ST5 stream dedup); within-batch
+    * redelivery is collapsed deterministically like the near-dup
+    * index. */
+  def curationIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis3}
+    val spark = batch.sparkSession
+    def readPrior(name: String, cols: String*): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.parquet(p.toString)
+          .filter(col("batch_id") < batchId) // retries see only priors
+          .select(cols.map(col): _*))
+      else None
+    }
+    // near-dup pairs first (maintains its own nd/ index tables)
+    val pairs = nearDupIncrementalBatch(batch, s"$stateDir/nd", batchId)
+    val ndDocs = pairs.select(col("b_id").as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(true))
+    // deterministic one-row-per-doc, same rule as the near-dup index
+    val payloadCols = batch.columns.filterNot(_ == "doc_id").toSeq
+    val docs = batch.groupBy("doc_id")
+      .agg(max(struct(payloadCols.map(col): _*)).as("_r"))
+      .select(col("doc_id") +: payloadCols.map(c => col(s"_r.$c").as(c)): _*)
+      .localCheckpoint(true)
+    // --- exact-dedup keeper deltas ---
+    val batchNorms = docs.select(col("doc_id"),
+      lower(trim(col("text"))).as("norm"))
+    val batchMin = batchNorms.groupBy("norm").agg(min("doc_id").as("min_id"))
+    val oldMin = readPrior("norms", "norm", "min_id")
+      .map(_.groupBy("norm").agg(min("min_id").as("old_min")))
+    val curMin = oldMin match {
+      case Some(om) => batchMin
+        .unionByName(om.select(col("norm"), col("old_min").as("min_id")))
+        .groupBy("norm").agg(min("min_id").as("cur_min"))
+      case None => batchMin.select(col("norm"), col("min_id").as("cur_min"))
+    }
+    val arrivingExd = batchNorms.join(curMin, "norm")
+      .filter(col("doc_id") > col("cur_min"))
+      .select("doc_id").withColumn("ex_hit", lit(true))
+    // the stored keeper flips iff this batch brought a smaller id
+    val flippedExd = oldMin match {
+      case Some(om) => om.join(batchMin, "norm")
+        .filter(col("min_id") < col("old_min"))
+        .select(col("old_min").as("doc_id"))
+      case None => docs.select("doc_id").limit(0)
+    }
+    // --- contamination (5-shingle overlap with the holdout split) ---
+    val sh5 = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 5)).as("s"))
+      .distinct()
+    val batchHo5 = sh5.filter(TextAnalysis3.isHoldout(col("doc_id")))
+      .select("s").distinct()
+    val batchTr5 = sh5.filter(!TextAnalysis3.isHoldout(col("doc_id")))
+    val allHo5 = readPrior("ho5", "s")
+      .map(_.unionByName(batchHo5).distinct()).getOrElse(batchHo5)
+    val arrivingCont = batchTr5.join(allHo5, "s")
+      .select("doc_id").distinct().withColumn("ct_hit", lit(true))
+    val flippedCont = readPrior("tr5", "doc_id", "s") match {
+      case Some(tr) => tr.join(batchHo5, "s").select("doc_id").distinct()
+      case None => docs.select("doc_id").limit(0)
+    }
+    // --- arriving decisions: full flag row per batch doc ---
+    val arriving = docs.select(col("doc_id"),
+        TextAnalysis3.isHoldout(col("doc_id")).as("holdout"),
+        TextAnalysis3.qualityBad(col("text")).as("quality_bad"))
+      .join(arrivingExd, Seq("doc_id"), "left")
+      .join(ndDocs, Seq("doc_id"), "left")
+      .join(arrivingCont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("holdout"), col("quality_bad"),
+        coalesce(col("ex_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("nd_hit"), lit(false)).as("near_dup"),
+        coalesce(col("ct_hit"), lit(false)).as("contaminated"))
+    // --- flips: previously-decided docs gaining a flag this batch ---
+    val flipSet = flippedExd
+      .select(col("doc_id"), lit(true).as("f_ex"), lit(false).as("f_nd"),
+        lit(false).as("f_ct"))
+      .unionByName(ndDocs.select(col("doc_id"), lit(false).as("f_ex"),
+        lit(true).as("f_nd"), lit(false).as("f_ct")))
+      .unionByName(flippedCont.select(col("doc_id"), lit(false).as("f_ex"),
+        lit(false).as("f_nd"), lit(true).as("f_ct")))
+      .groupBy("doc_id")
+      .agg(max("f_ex").as("f_ex"), max("f_nd").as("f_nd"),
+        max("f_ct").as("f_ct"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val flipped = readPrior("decisions", "doc_id", "holdout", "quality_bad",
+        "exact_dup", "near_dup", "contaminated") match {
+      case Some(dec) =>
+        // flags are monotone, so OR across emissions == latest row
+        dec.groupBy("doc_id").agg(max("holdout").as("holdout"),
+            max("quality_bad").as("quality_bad"),
+            max("exact_dup").as("exact_dup"),
+            max("near_dup").as("near_dup"),
+            max("contaminated").as("contaminated"))
+          .join(flipSet, "doc_id")
+          .select(col("doc_id"), col("holdout"), col("quality_bad"),
+            (col("exact_dup") || col("f_ex")).as("exact_dup"),
+            (col("near_dup") || col("f_nd")).as("near_dup"),
+            (col("contaminated") || col("f_ct")).as("contaminated"))
+      case None => arriving.limit(0)
+    }
+    val emitted = arriving.unionByName(flipped)
+      .withColumn("reason", TextAnalysis3.curationReason)
+      .withColumn("kept", col("reason") === "kept")
+      .localCheckpoint(true) // materialize BEFORE the state writes
+    batchMin.write.mode("overwrite")
+      .parquet(s"$stateDir/norms/batch_id=$batchId")
+    batchHo5.write.mode("overwrite")
+      .parquet(s"$stateDir/ho5/batch_id=$batchId")
+    batchTr5.write.mode("overwrite")
+      .parquet(s"$stateDir/tr5/batch_id=$batchId")
+    emitted.drop("reason", "kept").write.mode("overwrite")
+      .parquet(s"$stateDir/decisions/batch_id=$batchId")
+    emitted.select("doc_id", "reason", "kept")
+  }
+
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
     * keyed state (here an in-memory map; in production the same merge
     * runs as a MERGE INTO / ReplacingMergeTree insert) by replaying each
     * micro-batch through the *batch* CDC materialization logic — the
     * exactly-once-on-sink upgrade of the reference's at-least-once
-    * consumer (reference: main.py:27-55). */
+    * consumer (reference: main.py:27-55).
+    *
+    * TEST/DEMO ONLY: `merge` collects each micro-batch to the driver to
+    * feed the in-memory map, so it is bounded by driver memory and NOT a
+    * production path. The set-based production sink with the same merge
+    * semantics is [[graft.sources.JdbcUpsertSink]] (MERGE INTO per
+    * batch, state in the target store, nothing collected). */
   final class UpsertMemorySink(keyCol: String, versionCols: Seq[String],
       tombstoneCol: String) {
     private val state = TrieMap.empty[Any, (Seq[Any], Row)]

@@ -26,27 +26,26 @@ object ProfileDedup {
     // warm the reader
     docs.count()
 
+    // stages come from the SAME private[graft] helpers the production
+    // query composes — thresholds/filters can't silently drift from
+    // what jaccardPairs actually runs
     import graft.operators.Dedup
-    val m = Dedup.getClass.getDeclaredMethods
-      .find(_.getName == "rankedShingleRows").get
-    m.setAccessible(true)
-    val ranked = m.invoke(Dedup, docs, Int.box(Dedup.ShingleDfCap))
-      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val ranked = Dedup.rankedShingleRows(docs, Dedup.ShingleDfCap)
 
     time("shingleRows count")(Dedup.shingleRows(docs).count())
     time("rankedShingleRows count")(ranked.count())
-    val prefix = ranked.filter(col("rn") <=
-      col("n") - floor((col("n") + lit(1)) / lit(2)).cast("long") + 1)
+    val prefix = Dedup.prefixRows(ranked, Dedup.jaccardOMin)
     time("prefix rows count")(prefix.count())
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
-          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
-            floor((col("a.n") + col("b.n") + lit(2)) / lit(3)).cast("long")))
+          Dedup.positionalFilter(Dedup.jaccardAlpha))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
     time("co-occurrence rows (pre-distinct)")(cand.count())
     val candD = cand.distinct()
     time("candidates (post-distinct)")(candD.count())
+    time("candidates (jaccardCandidatePlan)")(
+      Dedup.jaccardCandidatePlan(docs).count())
     time("full jaccardPairs")(Dedup.jaccardPairs(docs).count())
 
     // dissect the verify stage: signature build + pair joins, with and

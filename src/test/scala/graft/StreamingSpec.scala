@@ -394,6 +394,44 @@ class StreamingSpec extends AnyFunSuite {
         s"got $postingsScans:\n$pairPlan")
   }
 
+  test("streaming curation: upsert of per-batch emissions equals the " +
+    "one-shot keep list, in sorted AND shuffled arrival order") {
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, TestSpark.tiny)
+    val expected = graft.operators.TextAnalysis3.keepList
+      .run(spark, TestSpark.tiny)
+      .select("doc_id", "reason", "kept").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)].collect()
+    def run(order: IndexedSeq[(Long, String)], tag: String)
+        : Map[Long, (String, Boolean)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"curation_$tag")
+        .toString + "/state"
+      // upsert materialization: latest emission per doc_id wins
+      val latest = scala.collection.mutable.Map[Long, (String, Boolean)]()
+      order.grouped(order.length / 3 + 1).zipWithIndex.foreach {
+        case (g, bid) =>
+          Streams.curationIncrementalBatch(
+            g.toIndexedSeq.toDF("doc_id", "text"), dir, bid.toLong)
+            .select("doc_id", "reason", "kept")
+            .as[(Long, String, Boolean)].collect()
+            .foreach { case (id, r, k) => latest(id) = (r, k) }
+      }
+      latest.toMap
+    }
+    val sorted = run(docs.sortBy(_._1).toIndexedSeq, "sorted")
+    assert(sorted === expected,
+      s"sorted-arrival diff: ${(expected.toSet -- sorted.toSet).take(5)} " +
+        s"vs ${(sorted.toSet -- expected.toSet).take(5)}")
+    // arrival order must not matter: every later-arrival invalidation
+    // (keeper flip, pair-max flip, holdout-shingle flip) re-emits
+    val shuffled = run(
+      new scala.util.Random(42).shuffle(docs.toIndexedSeq), "shuffled")
+    assert(shuffled === expected,
+      s"shuffled-arrival diff: ${(expected.toSet -- shuffled.toSet).take(5)} " +
+        s"vs ${(shuffled.toSet -- expected.toSet).take(5)}")
+  }
+
   test("foreachBatch upsert sink: upserts, tombstones, replay-idempotent") {
     implicit val ctx = spark.sqlContext
     val sink = new Streams.UpsertMemorySink("id", Seq("offset"), "is_del")
