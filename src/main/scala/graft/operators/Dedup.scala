@@ -542,6 +542,22 @@ object Dedup {
     * ~2 k vectors at any size — the corpus count is a parquet
     * metadata-only job, and the result is exact at every bits value, so
     * the knob tunes verify-join volume without touching semantics. */
+  /** Cell bits for a corpus of n vectors: ≈ log₂(n/2000) keeps cells at
+    * ~2 k vectors. The DEFAULT ceiling of 12 bounds the driver-side
+    * work, which is O(2^bits) collected cell stats and an O(4^bits)
+    * angle bound matrix: 12 bits = 4096 cells ≈ 16.8 M bounds
+    * (sub-second); every further bit QUADRUPLES it. Raising `maxBits`
+    * is an explicit opt-in — the result is exact at any value, so the
+    * knob is purely cost: ~14 (≈268 M bounds, minutes of driver time)
+    * is the practical ceiling, and past cell-count ≈ corpus/2000 at
+    * that point (~30 M vectors) the right near-dup tool is the banded
+    * MinHash/SimHash LSH path, not a bigger bound matrix
+    * (`DedupSpec` proves pair-identity across bits values straddling
+    * the ceiling). */
+  private[graft] def autoCellBits(n: Long, maxBits: Int = 12): Int =
+    math.min(maxBits, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2000))))
+
   val embeddingCosine: Q = Q(
     "dedup_embedding_cosine",
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -550,9 +566,8 @@ object Dedup {
        |WHERE ${VectorFunctions.duckCosine("a.embedding", "b.embedding", EmbDim)} >= $CosineThreshold
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val emb = embeddings(s, d)
-    val n = emb.count()
-    val bits = math.min(12, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2000))))
+    // metadata-only count
+    val bits = autoCellBits(emb.count())
     cellCosinePairs(emb, CosineThreshold, bits).orderBy("a_id", "b_id")
   }
 

@@ -189,6 +189,22 @@ class DedupSpec extends AnyFunSuite {
       s"BNL in plan:\n$physical")
   }
 
+  test("cellCosinePairs is exact at every bits value — identical pairs " +
+    "straddling the default 12-bit driver-cost ceiling") {
+    val emb = Tables.embeddings(spark, TestSpark.tiny)
+    def pairs(bits: Int) =
+      Dedup.cellCosinePairs(emb, Dedup.CosineThreshold, bits)
+        .as[(Long, Long, Double)].collect().toSet
+    // bits only partitions the verify work; the triangle-inequality
+    // prune is sound at any granularity, so raising maxBits past the
+    // default ceiling (an explicit autoCellBits(n, maxBits) opt-in,
+    // O(4^bits) driver bound-matrix cost) cannot change the output
+    assert(pairs(12) === pairs(13))
+    assert(Dedup.autoCellBits(100L) === 4)
+    assert(Dedup.autoCellBits(Long.MaxValue) === 12)
+    assert(Dedup.autoCellBits(2000L * (1L << 14), maxBits = 14) === 14)
+  }
+
   test("exact dedup collapses identical normalized text") {
     val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
