@@ -9,15 +9,8 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
-      // mllib class-loading costs ~4 s once per JVM; without this it
-      // lands on whichever k-means query (IVF/PQ ANN) runs first
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      new KMeans().setK(2).setSeed(1).setMaxIter(1).setFeaturesCol("f")
-        .fit(spark.range(16).selectExpr(
-          "array(cast(id as float), cast(id % 3 as float)) as a")
-          .select(array_to_vector(org.apache.spark.sql.functions.col("a"))
-            .as("f")))
+      // (the former MLlib k-means warmup left with the seeded-k-means
+      // ANN tiers — the whole library is now MLlib-free)
     } catch { case _: Throwable => () }
     // the q84 bucketed-table landing write is one-time layout work, not
     // query time — do it here so the timed run measures the join

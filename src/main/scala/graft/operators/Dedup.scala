@@ -192,7 +192,7 @@ object Dedup {
     val m = sets.localCheckpoint(true)
     val bytes = m.agg(
         coalesce(sum(size(col(sigCol)) * 8L + 64L), lit(0L)).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
     if (bytes <= 64L * 1024 * 1024) broadcast(m) else m
   }
 

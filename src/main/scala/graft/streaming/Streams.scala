@@ -376,17 +376,8 @@ object Streams {
     // shingleRows' contract requires one row per doc_id; an
     // at-least-once source can redeliver a doc WITHIN a batch, which
     // would otherwise inflate df/set sizes (cross-batch redelivery is
-    // handled by the batchId-keyed idempotent writes below). The
-    // surviving row is picked DETERMINISTICALLY (lexicographic max over
-    // the non-key columns, one hash agg) — dropDuplicates keeps an
-    // arbitrary row, so if a "redelivery" ever carried an updated
-    // payload, which text entered the df/posting state would differ
-    // across runs and retries
-    val payloadCols = batch.columns.filterNot(_ == "doc_id").toSeq
-    val oneRowPerDoc = batch.groupBy("doc_id")
-      .agg(max(struct(payloadCols.map(col): _*)).as("_r"))
-      .select(col("doc_id") +: payloadCols.map(c => col(s"_r.$c").as(c)): _*)
-    val newPost = Dedup.shingleRows(oneRowPerDoc)
+    // handled by the batchId-keyed idempotent writes below)
+    val newPost = Dedup.shingleRows(oneRowPerKey(batch, "doc_id"))
       .localCheckpoint(true)
     val batchDf = newPost.groupBy("shingle").agg(count(lit(1)).as("cnt"))
     // current document frequency = prior per-batch deltas + this batch:
@@ -452,6 +443,20 @@ object Streams {
     (pairs, newPost, batchDf, newSizes, newSigs)
   }
 
+  /** DETERMINISTIC within-batch redelivery collapse: one row per key,
+    * the survivor being the lexicographic max over the non-key columns
+    * (one hash agg). `dropDuplicates` keeps an ARBITRARY row — if a
+    * "redelivery" ever carried an updated payload, which payload
+    * entered downstream state would then differ across runs and
+    * foreachBatch retries. Shared by the near-dup index and the
+    * curation pipeline so their pick rules cannot drift. */
+  private def oneRowPerKey(batch: DataFrame, key: String): DataFrame = {
+    val payloadCols = batch.columns.filterNot(_ == key).toSeq
+    batch.groupBy(key)
+      .agg(max(struct(payloadCols.map(col): _*)).as("_r"))
+      .select(col(key) +: payloadCols.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
   /** Streaming END-TO-END curation: the foreachBatch form of
     * [[graft.operators.TextAnalysis3.keepList]]. Each micro-batch lands
     * its arriving docs' keep/drop decisions AND re-emits previously
@@ -505,11 +510,7 @@ object Streams {
     val ndDocs = pairs.select(col("b_id").as("doc_id")).distinct()
       .withColumn("nd_hit", lit(true))
     // deterministic one-row-per-doc, same rule as the near-dup index
-    val payloadCols = batch.columns.filterNot(_ == "doc_id").toSeq
-    val docs = batch.groupBy("doc_id")
-      .agg(max(struct(payloadCols.map(col): _*)).as("_r"))
-      .select(col("doc_id") +: payloadCols.map(c => col(s"_r.$c").as(c)): _*)
-      .localCheckpoint(true)
+    val docs = oneRowPerKey(batch, "doc_id").localCheckpoint(true)
     // --- exact-dedup keeper deltas ---
     val batchNorms = docs.select(col("doc_id"),
       lower(trim(col("text"))).as("norm"))
