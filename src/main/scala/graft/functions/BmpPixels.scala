@@ -120,6 +120,37 @@ object BmpPixels {
     s
   }
 
+  /** Σ channel value over a NEAREST-NEIGHBOR resample to rw×rh (plain
+    * or (x'+1)·(y'+1)-weighted): output pixel (x', y') reads source
+    * pixel (⌊x'·w/rw⌋, ⌊y'·h/rh⌋) — all-integer index math, so the
+    * "resize" is exactly reproducible by formula (no filtering kernel,
+    * no float). Touches only the rw·rh sampled source bytes; the
+    * position-weighted variant pins output orientation, so a mapping
+    * or row-order slip cannot cancel. -1 invalid. */
+  def bmpResampleSum(b: Array[Byte], rw: Int, rh: Int, channel: Int,
+      weighted: Boolean): Long = {
+    if (!headerOk(b) || rw <= 0 || rh <= 0) return -1L
+    val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
+    val strideL = ((3L * w + 3) / 4) * 4
+    if (off < 54 || off > b.length || (b.length - off) / h < strideL)
+      return -1L
+    val stride = strideL.toInt
+    var s = 0L; var yy = 0
+    while (yy < rh) {
+      val sy = (yy.toLong * h / rh).toInt // top-down image row
+      val base = off + (h - 1 - sy) * stride // bottom-up file order
+      var xx = 0
+      while (xx < rw) {
+        val sx = (xx.toLong * w / rw).toInt
+        val v = b(base + 3 * sx + channel) & 0xFF
+        s += (if (weighted) (xx + 1).toLong * (yy + 1) * v else v.toLong)
+        xx += 1
+      }
+      yy += 1
+    }
+    s
+  }
+
   /** seed/w/h → BMP bytes (generator side of the round trip). */
   case class BmpBuild(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression {
@@ -160,6 +191,28 @@ object BmpPixels {
       copy(child = c)
   }
 
+  /** Resampled pixel-walk sum; -1 sentinel → NULL. */
+  case class BmpResample(child: Expression, rw: Int, rh: Int, channel: Int,
+      weighted: Boolean) extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bmp_resample_sum"
+    override def nullSafeEval(v: Any): Any = {
+      val r = bmpResampleSum(v.asInstanceOf[Array[Byte]], rw, rh, channel,
+        weighted)
+      if (r == -1L) null else r
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = BmpPixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |long r = $cls.bmpResampleSum($c, $rw, $rh, $channel, $weighted);
+        |if (r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def build(seed: Column, w: Column, h: Column): Column =
     ColumnBridge.column(BmpBuild(ColumnBridge.expression(seed),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
@@ -169,4 +222,8 @@ object BmpPixels {
   def weightedSum(media: Column, channel: Int): Column =
     ColumnBridge.column(BmpSum(ColumnBridge.expression(media), channel,
       weighted = true))
+  def resampleSum(media: Column, rw: Int, rh: Int, channel: Int,
+      weighted: Boolean = false): Column =
+    ColumnBridge.column(BmpResample(ColumnBridge.expression(media), rw, rh,
+      channel, weighted))
 }

@@ -420,6 +420,96 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Exact nearest-neighbor RESIZE over the BMP pixel array: output
+    * pixel (x', y') of the fixed 3×2 target reads source pixel
+    * (⌊x'·w/3⌋, ⌊y'·h/2⌋) — the standard thumbnail/downsample step of
+    * an image-preprocessing pipeline, in all-integer index math so the
+    * result is exactly reproducible by formula (no filter kernel, no
+    * float). The codegen'd walker touches only the 6 sampled source
+    * bytes per channel per image (never materializes a resized copy);
+    * the oracle recomputes the resampled sums from the generating
+    * formula over the TARGET grid — independent of builder and walker,
+    * and the (x'+1)·(y'+1)-weighted sum pins the mapping direction, so
+    * an off-by-one in the index math or a row-order slip
+    * hash-mismatches. One scan, no shuffle, at any corpus size. */
+  val resize: Q = Q(
+    "mm_resize",
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 1 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, UNNEST(RANGE(0, 3)) AS xx FROM g),
+      |px AS (SELECT doc_id, w, h, xx, UNNEST(RANGE(0, 2)) AS yy FROM xs),
+      |m AS (SELECT doc_id, xx, yy,
+      |        (xx * w) // 3 AS sx, (yy * h) // 2 AS sy
+      |      FROM px),
+      |v AS (SELECT doc_id, xx, yy,
+      |        (sx * sy + doc_id) % 256 AS r,
+      |        (3 * doc_id + sx) % 256 AS gch,
+      |        (doc_id + 7 * sx + 13 * sy) % 256 AS bch
+      |      FROM m)
+      |SELECT doc_id,
+      |  CAST(3 AS BIGINT) AS rw, CAST(2 AS BIGINT) AS rh,
+      |  CAST(SUM(r) AS BIGINT) AS rsum_r,
+      |  CAST(SUM(gch) AS BIGINT) AS rsum_g,
+      |  CAST(SUM(bch) AS BIGINT) AS rsum_b,
+      |  CAST(SUM((xx + 1) * (yy + 1) * r) AS BIGINT) AS rwsum_r
+      |FROM v GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.BmpPixels
+    val media = BmpPixels.build(col("doc_id"),
+      (col("doc_id") % 5 + 2).cast("int"), (col("doc_id") % 3 + 1).cast("int"))
+    documents(s, d)
+      .select(col("doc_id"), media.as("media"))
+      .select(col("doc_id"),
+        lit(3L).as("rw"), lit(2L).as("rh"),
+        BmpPixels.resampleSum(col("media"), 3, 2, 2).as("rsum_r"),
+        BmpPixels.resampleSum(col("media"), 3, 2, 1).as("rsum_g"),
+        BmpPixels.resampleSum(col("media"), 3, 2, 0).as("rsum_b"),
+        BmpPixels.resampleSum(col("media"), 3, 2, 2, weighted = true)
+          .as("rwsum_r"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling over ANIMATED GIF containers — the every-k-th-frame
+    * selection step of a video-preprocessing pipeline, on the one
+    * mainstream animation container whose frame structure walks without
+    * a codec ([[graft.functions.GifFrames]]). Each doc gets a
+    * structurally valid multi-frame GIF89a (seed-derived per-frame
+    * delay/geometry, opaque LZW payload sub-blocks); the codegen'd
+    * walker re-parses the block structure — pairing graphic-control
+    * delays with their image descriptors, skipping payloads by declared
+    * size — and folds frame count, total animation delay, and the
+    * k=2-sampled checksum Σ (i+1)·(delay_i + w_i·h_i), which is
+    * order/geometry/timing-sensitive so a mis-skipped sub-block or
+    * mispaired delay cannot cancel. The oracle recomputes all three
+    * from the generating formulas — independent of builder AND walker.
+    * One scan, no shuffle, no codec library, at any corpus size. */
+  val gifFrames: Q = Q(
+    "mm_gif_frames",
+    """WITH g AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+      |f AS (SELECT doc_id, n, UNNEST(RANGE(0, n)) AS i FROM g),
+      |d AS (SELECT doc_id, n, i,
+      |        (doc_id + 3 * i) % 50 + 1 AS delay,
+      |        (i % 3 + 1) * ((doc_id + i) % 2 + 1) AS area
+      |      FROM f)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+      |  CAST(SUM(delay) AS BIGINT) AS total_delay_cs,
+      |  CAST(SUM(CASE WHEN i % 2 = 0 THEN (i + 1) * (delay + area)
+      |            ELSE 0 END) AS BIGINT) AS sampled_sum
+      |FROM d GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.GifFrames
+    val media = GifFrames.build(col("doc_id"),
+      (col("doc_id") % 4 + 1).cast("int"))
+    documents(s, d)
+      .select(col("doc_id"), media.as("media"))
+      .select(col("doc_id"),
+        GifFrames.frameCount(col("media")).as("n_frames"),
+        GifFrames.totalDelay(col("media")).as("total_delay_cs"),
+        GifFrames.sampledSum(col("media"), 2).as("sampled_sum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, featureExtract, mediaHeaders, bmpPixels,
-    wavStats, mixedHeaders)
+    wavStats, mixedHeaders, resize, gifFrames)
 }
