@@ -307,7 +307,19 @@ object Curation {
     * ([[Dedup.sharedLabels]] — materialized once per session/corpus and
     * shared with the other four component consumers, so this report adds
     * one broadcast-sized join, not a components recompute). The rollup
-    * itself is one groupBy(source) over doc-grain rows. */
+    * itself is one groupBy(source) over doc-grain rows.
+    *
+    * Oracle note: `removed` dedupes with an explicit DISTINCT over UNION
+    * ALL, not a plain UNION — DuckDB 1.0.0 loses the cross-branch dedup
+    * of a plain UNION in a NON-recursive CTE that sits inside a `WITH
+    * RECURSIVE` list (repro: `WITH RECURSIVE t(x) AS (SELECT 1 UNION
+    * SELECT 2), u AS (SELECT 1 AS x UNION SELECT x FROM t) SELECT
+    * count(*) FROM u` → 3, not 2). The sf0.01 gate could not see it (no
+    * doc was both an exact copy AND a near-dup member there); the sf0.1
+    * sweep caught docs in the overlap joining twice and inflating every
+    * per-source count. The other recursive oracles are immune: their
+    * only plain UNIONs are `edges` (branches disjoint by a_id < b_id)
+    * and `reach` (genuinely recursive, standard semantics). */
   val dupInflation: Q = Q(
     "dedup_inflation",
     s"""WITH RECURSIVE jp AS (${Dedup.duckJaccardPairs}),
@@ -328,8 +340,9 @@ object Curation {
        |    FROM documents)
        |  WHERE doc_id <> keep),
        |removed AS (
-       |  SELECT doc_id FROM exdup
-       |  UNION SELECT id FROM labels WHERE id <> rep)
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id FROM exdup
+       |    UNION ALL SELECT id FROM labels WHERE id <> rep))
        |SELECT d.source,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(COUNT(r.doc_id) AS BIGINT) AS n_removed,

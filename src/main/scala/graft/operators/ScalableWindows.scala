@@ -50,8 +50,20 @@ object ScalableWindows {
       parts: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // MATERIALIZED once: the local-window branch and the totals branch
+    // below must observe the SAME partition assignment, but
+    // RangePartitioner picks its boundaries by SAMPLING at each
+    // evaluation, and the two branches' plan subtrees differ after
+    // column pruning, so nothing guarantees exchange reuse. Without the
+    // checkpoint the branches can sample DIFFERENT boundaries, and
+    // local + offset stops being a permutation — observed at sf0.1
+    // (20k rows, 32 ranges): q10's rn reached n+34 with duplicates,
+    // silently corrupting every downstream rank. sf0.01 passed only
+    // because both samplings happened to agree at 2k rows — the gate
+    // SF could not see this bug; the 10× oracle sweep caught it.
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local0 = ranged.withColumn("__lrn", row_number().over(w).cast("long"))
