@@ -510,6 +510,65 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** SAMPLE-level PCM audio features — the audio analogue of
+    * [[bmpPixels]]: build a fully valid RIFF/WAVE per doc (seed-derived
+    * rate and length, an ODD-sized LIST filler chunk between fmt and
+    * data so a fixed-offset-44 parser reads garbage and the RIFF
+    * even-padding rule is exercised), then re-walk the container with
+    * the codegen'd chunk walker ([[graft.functions.PcmSamples]]) for
+    * energy Σv², peak, zero crossings, and an every-4th-sample
+    * position-weighted decimation checksum (audio downsampling —
+    * the every-k-th analogue of [[gifFrames]]' frame sampling).
+    * duration_ms comes from the PARSED rate and count (integer division
+    * — exact on both engines). The oracle recomputes everything from
+    * the generating formula v_i = ((doc_id·31 + i·37) mod 65536) −
+    * 32768 — independent of builder AND walker, so an endianness,
+    * stride, or chunk-skip slip on either side hash-mismatches. One
+    * map-side scan, no shuffle, no codec. */
+  val pcmFeatures: Q = Q(
+    "mm_pcm_features",
+    """WITH p AS (SELECT doc_id,
+      |        8000 + (doc_id % 8) * 4000 AS rate,
+      |        400 + (doc_id % 13) * 40 AS n
+      |      FROM documents),
+      |s AS (SELECT doc_id, rate, n, UNNEST(RANGE(0, n)) AS i FROM p),
+      |v AS (SELECT doc_id, rate, n, i,
+      |        ((doc_id * 31 + i * 37) % 65536) - 32768 AS v,
+      |        CASE WHEN i > 0 THEN
+      |          ((doc_id * 31 + (i - 1) * 37) % 65536) - 32768 END AS pv
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST(MAX(rate) AS BIGINT) AS sample_rate,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(MAX(n) * 1000 // MAX(rate) AS BIGINT) AS duration_ms,
+      |  CAST(SUM(v * v) AS BIGINT) AS energy,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN i > 0 AND ((v < 0) <> (pv < 0))
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(SUM(CASE WHEN i % 4 = 0 THEN (i // 4 + 1) * v
+      |            ELSE 0 END) AS BIGINT) AS decim_checksum
+      |FROM v GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.PcmSamples
+    val media = PcmSamples.build(col("doc_id"),
+      lit(8000) + (col("doc_id") % 8) * 4000,
+      lit(400) + (col("doc_id") % 13) * 40)
+    documents(s, d)
+      .select(col("doc_id"), media.as("media"))
+      .select(col("doc_id"),
+        PcmSamples.sampleRate(col("media")).as("sample_rate"),
+        PcmSamples.sampleCount(col("media")).as("n_samples"),
+        PcmSamples.energy(col("media")).as("energy"),
+        PcmSamples.peak(col("media")).as("peak"),
+        PcmSamples.zeroCrossings(col("media")).as("zero_crossings"),
+        PcmSamples.decimatedChecksum(col("media"), 4).as("decim_checksum"))
+      // integer division over the PARSED rate/count — exact cross-engine
+      .withColumn("duration_ms", expr("n_samples * 1000 DIV sample_rate"))
+      .select("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "energy", "peak", "zero_crossings", "decim_checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, featureExtract, mediaHeaders, bmpPixels,
-    wavStats, mixedHeaders, resize, gifFrames)
+    wavStats, mixedHeaders, resize, gifFrames, pcmFeatures)
 }

@@ -99,8 +99,9 @@ object Similarity {
   private lazy val signMatrix: IndexedSeq[IndexedSeq[Double]] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     // planes 0..31: annLsh signature; 32..35: IVF coarse quantizer;
-    // 36..51: PQ subspace codes (4 planes per subspace)
-    (0 until 52).map { p =>
+    // 36..51: PQ subspace codes (4 planes per subspace);
+    // 52..67: randomProjection's JL sketch matrix
+    (0 until 68).map { p =>
       (0 until EmbDim).map { i =>
         val h = XxHash64(Seq(Literal(p), Literal(i)), 42L)
           .eval(null).asInstanceOf[Long]
@@ -511,6 +512,50 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  private val JlDim = 16
+  private val JlPlaneBase = 52
+
+  /** Johnson–Lindenstrauss sketch: reduce 64-dim embeddings to 16 dims
+    * with a ±1 sign-matrix projection y_j = (1/√16) · Σ_i x_i·s_ij —
+    * Achlioptas' database-friendly projection (signs, no Gaussians),
+    * the standard cheap shrink step BEFORE an ANN index or a pairwise
+    * pass (4× less shuffle weight per vector at 100 TB; distances are
+    * preserved to 1±ε in expectation). Deterministic planes 52..67 of
+    * the shared [[signMatrix]], so the oracle inlines them like every
+    * other LSH-family query; the 1/√16 = 0.25 scale is a power of two —
+    * one exact float multiply, so sequential-fold bit-parity survives
+    * scaling. Map-side only: no shuffle, no collect; the final orderBy
+    * is presentation. SimilaritySpec measures the distortion the JL
+    * bound promises on the corpus. */
+  val randomProjection: Q = Q(
+    "sim_random_projection",
+    s"""SELECT vec_id, pos, y FROM (
+       |  SELECT vec_id, UNNEST(RANGE(0, $JlDim)) AS pos,
+       |    UNNEST([${(0 until JlDim).map(j =>
+              s"${duckProj(JlPlaneBase + j)} * 0.25::DOUBLE")
+              .mkString(", ")}]) AS y
+       |  FROM embeddings)
+       |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(array((0 until JlDim).map(j =>
+          planeProjOver(JlPlaneBase + j, col("embedding"), EmbDim) * 0.25): _*))
+          .as(Seq("pos", "y")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("y"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Projected vector for one input vector, host-side (spec support). */
+  private[graft] def jlProject(v: IndexedSeq[Float]): IndexedSeq[Double] =
+    (0 until JlDim).map { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        acc += v(i).toDouble * signMatrix(JlPlaneBase + j)(i); i += 1
+      }
+      acc * 0.25
+    }
+
   val all: Seq[Q] = Seq(topkBruteForce, annLsh, annIvf, normalizeVectors,
-    embStats, quantizeSq8, labelCentroids, matryoshka)
+    embStats, quantizeSq8, labelCentroids, matryoshka, randomProjection)
 }

@@ -49,4 +49,31 @@ class SimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annLsh.run(spark, TestSpark.tiny)
     assert(ann.count() > 0)
   }
+
+  test("JL random projection preserves pairwise distances (distortion " +
+    "within the 16-dim sketch's expected band)") {
+    // the operator's USEFULNESS claim, beyond the oracle's exactness
+    // claim: ‖proj(x)−proj(y)‖ ≈ ‖x−y‖ after the 1/√16 scale. With
+    // k = 16 sign components the JL bound is loose; measured median
+    // distortion on this corpus ≈ 1.0 with spread well inside [0.5, 2].
+    val rows = TestSpark.spark.read
+      .parquet(s"${TestSpark.tiny}/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(40)
+    val ratios = for (Seq((_, a), (_, b)) <- rows.toSeq.grouped(2).toSeq
+        if a.nonEmpty) yield {
+      val dOrig = math.sqrt(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum)
+      val pa = Similarity.jlProject(a.toIndexedSeq)
+      val pb = Similarity.jlProject(b.toIndexedSeq)
+      val dProj = math.sqrt(pa.zip(pb).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      dProj / dOrig
+    }
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.7 && median < 1.4, s"median distortion $median")
+    assert(sorted.head > 0.4 && sorted.last < 2.5,
+      s"distortion range [${sorted.head}, ${sorted.last}]")
+  }
 }
