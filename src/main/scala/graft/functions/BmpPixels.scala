@@ -182,9 +182,12 @@ object BmpPixels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = BmpPixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // freshName: stacked BmpSum/BmpResample columns share one projection
+      // class — a hard-coded local collides and kills codegen for the row.
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, c => s"""
-        |long r = $cls.$method($c, $channel);
-        |if (r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+        |long $r = $cls.$method($c, $channel);
+        |if ($r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """.stripMargin)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -204,9 +207,10 @@ object BmpPixels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = BmpPixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, c => s"""
-        |long r = $cls.bmpResampleSum($c, $rw, $rh, $channel, $weighted);
-        |if (r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+        |long $r = $cls.bmpResampleSum($c, $rw, $rh, $channel, $weighted);
+        |if ($r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """.stripMargin)
     }
     override protected def withNewChildInternal(c: Expression): Expression =

@@ -72,6 +72,7 @@ object GifFrames {
     * Returns -1 on any malformed structure (bad magic, truncated
     * block, unknown tag, missing trailer). */
   def gifWalk(b: Array[Byte], mode: Int, k: Int): Long = {
+    if (k <= 0) return -1L // decimation step must be positive (pcmWalk's contract)
     if (b == null || b.length < 14 ||
       b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != '8' || b(4) != '9' || b(5) != 'a') return -1L
@@ -160,9 +161,11 @@ object GifFrames {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = GifFrames.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // freshName: two GifStats in one projection must not collide.
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, c => s"""
-        |long r = $cls.gifWalk($c, $mode, $k);
-        |if (r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+        |long $r = $cls.gifWalk($c, $mode, $k);
+        |if ($r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """.stripMargin)
     }
     override protected def withNewChildInternal(c: Expression): Expression =

@@ -108,9 +108,13 @@ object MediaHeaders {
     protected def call(b: Array[Byte]): Int
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = MediaHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // freshName: two HeaderExprs in one projection must not collide on a
+      // hard-coded local, or Janino rejects the class and the whole
+      // projection silently falls back to interpreted mode.
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, c => s"""
-        |int r = $cls.$method($c);
-        |if (r == -1) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+        |int $r = $cls.$method($c);
+        |if ($r == -1) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """.stripMargin)
     }
   }

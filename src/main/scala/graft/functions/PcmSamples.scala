@@ -181,9 +181,11 @@ object PcmSamples {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = PcmSamples.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // freshName: stacked PcmStats in one projection must not collide.
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, c => s"""
-        |long r = $cls.pcmWalk($c, $mode, $k);
-        |if (r == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+        |long $r = $cls.pcmWalk($c, $mode, $k);
+        |if ($r == java.lang.Long.MIN_VALUE) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """.stripMargin)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
