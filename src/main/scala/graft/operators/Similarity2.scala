@@ -47,6 +47,9 @@ object Similarity2 {
   private val PqBits = 4
   /** Fixed-point scale for order-independent centroid sums. */
   private val PqFp = 1048576.0 // 2^20
+  /** ADC shortlist depth — shared by [[pqTopk]]'s default AND the oracle
+    * SQL, so they cannot silently diverge (r06 advice). */
+  private val Shortlist = 150
 
   private def sub = EmbDim / PqM // 16 dims per subspace
 
@@ -69,7 +72,7 @@ object Similarity2 {
   /** PQ encode + ADC shortlist + exact re-rank.
     * Output: (q_id, n_id, rank, sim). */
   def pqTopk(emb: DataFrame, numQueries: Int, k: Int,
-      shortlist: Int = 150): DataFrame = {
+      shortlist: Int = Shortlist): DataFrame = {
     // (vec_id, j, code): m rows/vector, codes map-side
     val enc = emb.select(
       Seq(col("vec_id"), col("embedding")) ++
@@ -194,7 +197,7 @@ object Similarity2 {
        |    SELECT q_id, n_id,
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srank
        |    FROM adc)
-       |  WHERE srank <= 150)
+       |  WHERE srank <= $Shortlist)
        |SELECT q_id, n_id, rank, sim FROM (
        |  SELECT s.q_id, s.n_id,
        |    ${duckCosine("q.embedding", "c.embedding", EmbDim)} AS sim,

@@ -196,11 +196,6 @@ object TextAnalysis3 {
     // (idempotent; works on any caller's session, including the driver's)
     graft.GraftExtensions.register(s)
     val docs = documents(s, d)
-    // collision-proof view tag: sanitized for readability, md5-suffixed
-    // so distinct dirs that sanitize alike never share views
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val sh = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 5)).as("s"))
     // holdout materialized ONCE (localCheckpoint): the sizing count, the
@@ -216,36 +211,38 @@ object TextAnalysis3 {
     // operator exists for
     val nHold = math.max(1L, hold.count())
     val nBits = math.max(64L, (nHold * 9.6).toLong)
-    hold.createOrReplaceTempView(s"graft_decon_hold_$tag")
-    sh.filter(col("doc_id") % 50 =!= 0)
-      .createOrReplaceTempView(s"graft_decon_train_$tag")
-    // bloom_filter_agg silently CLAMPS its sizing args to these session
+    // bloom_filter_agg silently CLAMPS its sizing args to session
     // ceilings (defaults: 4e6 items / 2^26 bits ≈ 8 MB) — at the
     // 10⁸-shingle holdout this operator targets, a clamped filter
-    // saturates (FP → 1) and prunes nothing. Raise the ceilings for the
-    // analysis of this one query (the expression captures its bounds at
-    // construction), then restore, so the 1%-FP sizing is what ships.
+    // saturates (FP → 1) and prunes nothing. The clamp is a per-instance
+    // lazy val read from SQLConf at FIRST ACCESS, and Catalyst copies
+    // expressions during optimization, so the raised ceilings must stay
+    // in force until the aggregate has EXECUTED, not just until the plan
+    // is built (the r06 advice finding). Hence the filter itself is
+    // evaluated EAGERLY inside the try — a holdout-sized job (the
+    // corpus-side scan stays lazy), yielding the serialized filter bytes
+    // (nBits/8 ≈ 1.2 B/item; it must fit one executor to be probed
+    // anyway, and ships once per stage via the broadcast task binary).
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val (oldItems, oldBits) = (s.conf.get(itemsKey), s.conf.get(bitsKey))
-    val cand =
+    val filterBytes =
       try {
         if (nHold > oldItems.toLong) s.conf.set(itemsKey, nHold)
         if (nBits > oldBits.toLong) s.conf.set(bitsKey, nBits)
-        s.sql(
-          s"""SELECT doc_id, s FROM graft_decon_train_$tag t
-             |WHERE might_contain(
-             |  (SELECT bloom_filter_agg(xxhash64(s), ${nHold}L, ${nBits}L)
-             |   FROM graft_decon_hold_$tag),
-             |  xxhash64(t.s))""".stripMargin)
+        hold.agg(call_function("bloom_filter_agg", xxhash64(col("s")),
+          lit(nHold), lit(nBits)).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
       } finally {
         s.conf.set(itemsKey, oldItems)
         s.conf.set(bitsKey, oldBits)
       }
-    // s.sql analyzed eagerly — the resolved plan no longer references
-    // the views, so the session is left clean
-    s.catalog.dropTempView(s"graft_decon_hold_$tag")
-    s.catalog.dropTempView(s"graft_decon_train_$tag")
+    // lazy bloom prefilter over the train shingles: the sized filter is a
+    // constant, so the corpus scan streams through might_contain with no
+    // materialization of the candidate relation
+    val cand = sh.filter(col("doc_id") % 50 =!= 0)
+      .filter(call_function("might_contain", lit(filterBytes),
+        xxhash64(col("s"))))
     val shared = cand.join(hold, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")

@@ -33,6 +33,10 @@ class GifFramesSpec extends AnyFunSuite {
       assert(GifFrames.gifWalk(b, 2, 2) === ss, s"sampled seed=$seed n=$n")
       // k=1 samples every frame; k>n samples only frame 0
       assert(GifFrames.gifWalk(b, 2, 1) >= GifFrames.gifWalk(b, 2, 2))
+      // k <= 0 is the -1 sentinel (pcmWalk's contract), not an
+      // ArithmeticException inside the codegen'd expression
+      assert(GifFrames.gifWalk(b, 2, 0) === -1L)
+      assert(GifFrames.gifWalk(b, 2, -3) === -1L)
     }
   }
 
