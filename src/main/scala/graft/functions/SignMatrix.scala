@@ -37,7 +37,7 @@ object SignMatrix {
   val MaxDim = 64
 
   /** Flat [plane × MaxDim] sign matrix from the parity of
-    * xxhash64(p, i) — identical derivation to the Catalyst signBit
+    * xxhash64(p, i) — identical derivation to the interpreted signBit
     * expression it replaces, evaluated once per JVM instead of per
     * row per element. */
   lazy val signs: Array[Double] = {

@@ -28,31 +28,15 @@ object Similarity {
   val K = 5
   private val NumQueries = 10
 
-  /** Deterministic pseudo-random hyperplanes: component (p, i) has sign
-    * from the parity of xxhash64(p, i) — reproducible across engines and
-    * runs without any RNG state. */
-  private def signBit(p: Int, i: Column): Column =
-    when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** Raw hyperplane projection for plane p over the first `len`
-    * components of a vector column, indexed locally 0..len-1
-    * (sequential double fold in array order — the cross-engine
-    * determinism contract). */
-  private[operators] def planeProjOver(p: Int, vec: Column, len: Int): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), lit(len - 1)),
-        (x, i) => x.cast("double") * signBit(p, i)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** ±1-hyperplane dot sign for plane p, first `len` components. */
-  private[operators] def planeSignOver(p: Int, vec: Column, len: Int): Column =
-    when(planeProjOver(p, vec, len) >= 0, lit(1L)).otherwise(lit(0L))
-
   /** 16-bit sign signature packed as a long — one codegen'd single-pass
-    * walk ([[graft.functions.SignMatrix.PackBits]]); bit-parity with the
-    * foldLeft-of-[[planeSignOver]] shape it replaces (the r06 `weak`:
-    * 32 planes × 64 dims of interpreted HOF lambdas per row). */
+    * walk ([[graft.functions.SignMatrix.PackBits]]). Deterministic
+    * pseudo-random hyperplanes: component (p, i) has sign from the
+    * parity of xxhash64(p, i), reproducible across engines and runs
+    * without any RNG state. Bit-parity with the interpreted
+    * foldLeft-of-HOF shape it replaces (the r06 `weak`: 32 planes ×
+    * 64 dims of interpreted lambda evals per row) is proven on real
+    * data in SignMatrixSpec, which keeps an independent copy of the
+    * original fold. */
   def lshSignature(emb: Column, bits: Int = 16): Column =
     graft.functions.SignMatrix.bitsCol(emb, 0, bits)
 
@@ -87,7 +71,7 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** The ±1 sign matrix behind [[signBit]] — canonical copy lives in
+  /** The ±1 sign matrix behind [[lshSignature]] — canonical copy lives in
     * [[graft.functions.SignMatrix]] (same xxhash64 parity derivation,
     * materialized once per JVM; planes 0..31: annLsh signature; 32..35:
     * IVF coarse quantizer; 36..51: PQ subspace codes; 52..67: JL sketch).
@@ -99,7 +83,7 @@ object Similarity {
     (0 until EmbDim).map(i => graft.functions.SignMatrix.sign(p, i))
 
   /** Plane-p projection over `expr`'s first `len` components in DuckDB:
-    * the identical sequential fold as [[planeSignOver]] (0.0 seed, index
+    * the identical sequential fold as [[graft.functions.SignMatrix.Project]] (0.0 seed, index
     * order, float→double per element), with the plane's sign row inlined
     * as a literal list — DuckDB never computes xxhash64; the hyperplanes
     * are corpus-independent constants. */

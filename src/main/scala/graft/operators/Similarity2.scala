@@ -56,7 +56,8 @@ object Similarity2 {
   /** 4-bit LSH code of subspace j: sign bits of planes
     * PqPlaneBase+4j..+3 over the 16-dim subvector (locally indexed) —
     * one codegen'd single-pass walk ([[graft.functions.SignMatrix]]),
-    * bit-parity with the foldLeft-of-planeSignOver shape it replaces. */
+    * bit-parity with the interpreted foldLeft shape it replaces
+    * (proven in SignMatrixSpec). */
   private def codeCol(j: Int): Column =
     graft.functions.SignMatrix.bitsCol(
       slice(col("embedding"), j * sub + 1, sub), PqPlaneBase + j * PqBits,
