@@ -24,15 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long and convert ns → µs exactly (the
-    * generated data is µs-aligned, and DuckDB's own ns → µs conversion
-    * truncates identically, so oracle parity holds).
+  /** events.ts has shipped in two physical layouts across driver data
+    * drops: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as long via nanosAsLong, then ns → µs exactly) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). Normalize both to session-UTC TimestampType so every
+    * downstream query and oracle sees identical µs wall-clock values
+    * (DuckDB truncates ns → µs and reads µs natively, so parity holds in
+    * both layouts).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   *     pairs quadratically. A flip of ~4/11 of the energy moves cosine
   *     vs the original to ≈0.27. Patterns are distinct per replica
   *     (11 prime > factor), so no two replicas share a vector.
-  *   - `events.ts` is kept as raw int64 nanoseconds (the loader
-  *     contract — Tables.events converts ns → µs itself).
+  *   - `events.ts` is passed through in its source physical layout
+  *     (int64-ns or µs — Tables.events normalizes either on read).
   */
 object ScaleUp {
 
@@ -45,7 +45,7 @@ object ScaleUp {
 
   def run(spark: org.apache.spark.sql.SparkSession, src: String, out: String,
       factor: Int): Unit = {
-    // keep events.ts as int64 ns end-to-end (see class doc)
+    // pass events.ts through in its source layout (see class doc)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(name: String): DataFrame =
