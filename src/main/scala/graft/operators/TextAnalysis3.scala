@@ -94,7 +94,7 @@ object TextAnalysis3 {
 
   /** DuckDB n-gram shingles WITH duplicates (mirror of
     * [[graft.functions.WordShingles]] semantics for arbitrary n). */
-  private def duckRawShingles(n: Int, w: String = "w"): String = {
+  private[operators] def duckRawShingles(n: Int, w: String = "w"): String = {
     val cat = (0 until n).map(k => s"$w[i + $k]").mkString(" || ' ' || ")
     s"""CASE WHEN LEN($w) < $n THEN []::VARCHAR[]
        |  ELSE LIST_TRANSFORM(RANGE(1, LEN($w) - ${n - 2}), i -> $cat) END""".stripMargin
@@ -258,7 +258,7 @@ object TextAnalysis3 {
     * both engines → identical BIGINT), and BIGINT sums are
     * order-independent, so the aggregation is deterministic without any
     * decimal-cast tie risk. */
-  private val FixScale = 1099511627776.0
+  private[operators] val FixScale = 1099511627776.0
 
   /** Token-distribution Shannon entropy per document,
     * H = ln(n) − (Σ c·ln c)/n — a scalar quality/diversity signal (low
