@@ -19,7 +19,8 @@ object SparkEntry {
       Relational7.all ++ Relational8.all ++ EventAnalytics.all ++
       EventAnalytics2.all ++ Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
-      TextAnalysis4.all ++ TextAnalysis5.all ++ Dedup.all ++ Curation.all ++
+      TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
+      Dedup.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -79,5 +79,99 @@ object Similarity3 {
       .orderBy("q_id")
   }
 
-  val all: Seq[Q] = Seq(knnClassify)
+  /** number of fixed centroids for [[clusterAssign]] */
+  private val NumCentroids = 8
+
+  /** Fixed-centroid cluster assignment — the deterministic core of a
+    * k-means / semdedup-style partitioning pass: the first
+    * [[NumCentroids]] vectors are the centroids (a deterministic seed
+    * choice the oracle can mirror; a trained codebook would arrive as a
+    * small artifact table the same way), every vector is assigned to
+    * its max-cosine centroid (ties: centroid id asc), and the report is
+    * per-cluster membership count and mean assigned similarity.
+    *
+    * 100 TB shape: the centroid table broadcasts (bounded constants),
+    * the corpus is scanned once and never shuffled before the per-row
+    * argmax — the rank window partitions by vec_id over exactly
+    * [[NumCentroids]] rows per vector; the only full shuffle is the
+    * final [[NumCentroids]]-row stats agg (map-combined). Mean
+    * similarity goes through fixed-point 2^40 BIGINT sums, so
+    * accumulation order cannot shift a bit.
+    */
+  val clusterAssign: Q = Q(
+    "sim_cluster_assign",
+    s"""WITH cen AS (
+       |  SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |a AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${duckCosine("e.embedding", "c.ce", EmbDim)} AS sim
+       |  FROM embeddings e CROSS JOIN cen c),
+       |r AS (
+       |  SELECT vec_id, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM a),
+       |t AS (
+       |  SELECT cid,
+       |    CAST(FLOOR(sim * ${TextAnalysis3.FixScale}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q
+       |  FROM r WHERE rn = 1)
+       |SELECT cid, COUNT(*)::BIGINT AS n_members,
+       |  (CAST(SUM(q) AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE) / COUNT(*) AS mean_sim
+       |FROM t GROUP BY cid
+       |ORDER BY cid""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val cen = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cid"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cen))
+      .withColumn("sim", cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"),
+        floor(col("sim") * lit(TextAnalysis3.FixScale) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("q").as("st"))
+      .select(col("cid"), col("n_members"),
+        ((col("st").cast("double") / lit(TextAnalysis3.FixScale))
+          / col("n_members")).as("mean_sim"))
+      .orderBy("cid")
+  }
+
+  /** Recall@k of the LSH ANN tier against the exact brute-force top-k —
+    * the standing index-quality gate every ANN deployment monitors.
+    * Both sides are the engine's own registered, fully-oracled queries
+    * (`sim_ann_lsh`, `sim_topk_cosine`); this op joins them per query
+    * and reports matched-neighbor counts, so the oracle is the same
+    * composition of the two oracle SQL bodies as CTEs.
+    *
+    * 100 TB shape: both inputs are query-slice-bounded (k·|Q| rows);
+    * the join and agg are driver-trivial. The cost is the two
+    * underlying pipelines, each already shaped for scale.
+    */
+  val annRecall: Q = Q(
+    "sim_ann_recall",
+    s"""WITH exact AS (${Similarity.topkBruteForce.oracle.get}),
+       |annq AS (${Similarity.annLsh.oracle.get})
+       |SELECT e.q_id, CAST(COUNT(a.n_id) AS BIGINT) AS n_matched,
+       |  CAST(COUNT(a.n_id) AS DOUBLE) / ${Similarity.K} AS recall
+       |FROM exact e LEFT JOIN annq a
+       |  ON a.q_id = e.q_id AND a.n_id = e.n_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin) { (s, d) =>
+    val exact = Similarity.topkBruteForce.run(s, d).select("q_id", "n_id")
+    val ann = Similarity.annLsh.run(s, d)
+      .select(col("q_id").as("aq"), col("n_id").as("an"), lit(1).as("m"))
+    exact.join(ann,
+        exact("q_id") === ann("aq") && exact("n_id") === ann("an"), "left")
+      .groupBy("q_id")
+      .agg(count(col("m")).as("n_matched"))
+      .select(col("q_id"), col("n_matched"),
+        (col("n_matched").cast("double") / Similarity.K).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val all: Seq[Q] = Seq(knnClassify, clusterAssign, annRecall)
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+import graft.operators.TextAnalysis3.FixScale
+
+/** Sixth text-curation batch: corpus-health reports a pretraining-data
+  * pipeline runs continuously over its sources —
+  *
+  *   - [[klDrift]]: per-source unigram KL divergence against the whole
+  *     corpus over the head vocabulary — the standing "did source X
+  *     drift away from the mixture" monitor.
+  *   - [[qualityLogit]]: a fixed-weight logistic-regression quality
+  *     filter (fasttext-style linear model over the heuristic feature
+  *     battery) — the model-based complement of `text_quality`'s
+  *     hand-threshold rule. Weights are model artifacts (constants
+  *     here); training is out of engine scope.
+  *   - [[ngramNovelty]]: per-document novelty attribution — the
+  *     fraction of a doc's 8-gram shingles whose corpus-wide FIRST
+  *     occurrence is that doc, i.e. how much genuinely new text each
+  *     document contributes in doc_id order.
+  *
+  * All three reuse the established parity machinery:
+  * [[graft.functions.PortableLn]] for bit-identical ln, fixed-point
+  * 2^40 BIGINT sums for cross-row accumulation, and exact-integer
+  * count arithmetic everywhere else.
+  */
+object TextAnalysis6 {
+
+  /** head-vocabulary size for the drift model */
+  private val HeadV = 256
+
+  /** Per-source KL(P_source ‖ P_corpus) over the top-[[HeadV]] corpus
+    * words (count desc, word asc — deterministic head selection), with
+    * add-one smoothing so zero counts are defined:
+    * p_s(w) = (c_s(w)+1)/(n_s+V), q(w) = (c(w)+1)/(n+V),
+    * KL = Σ_w p_s(w)·ln(p_s(w)/q(w)).
+    *
+    * 100 TB shape: ONE map-combined hash agg over the token stream
+    * builds (source, word) counts; everything after is bounded by
+    * sources × [[HeadV]] — the head is a TakeOrdered 256-row relation
+    * that broadcasts into every join, the zero-filled grid is a
+    * broadcast cross join, and the interpreted [[graft.functions.PortableLn]] ladder runs
+    * on grid-bounded rows only, never the corpus stream. Per-term
+    * contributions round to fixed-point 2^40 BIGINTs before the
+    * per-source sum, so accumulation order cannot shift a bit.
+    */
+  val klDrift: Q = Q(
+    "text_kl_drift",
+    s"""WITH tok AS (
+       |  SELECT source, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w FROM documents),
+       |wc AS (SELECT source, w, COUNT(*)::BIGINT AS c FROM tok GROUP BY source, w),
+       |corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM wc GROUP BY w),
+       |head AS (SELECT w, cw FROM corpus ORDER BY cw DESC, w LIMIT $HeadV),
+       |srctot AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+       |  FROM wc JOIN head USING (w) GROUP BY source),
+       |ntot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM head),
+       |grid AS (SELECT s.source, s.ns, h.w, h.cw FROM srctot s CROSS JOIN head h),
+       |cell AS (
+       |  SELECT g.source, g.ns, g.w, g.cw, COALESCE(wc.c, 0)::BIGINT AS c
+       |  FROM grid g LEFT JOIN wc ON wc.source = g.source AND wc.w = g.w),
+       |pq AS (
+       |  SELECT source, ns,
+       |    (CAST(c + 1 AS DOUBLE) / CAST(ns + $HeadV AS DOUBLE)) AS p,
+       |    ((CAST(c + 1 AS DOUBLE) / CAST(ns + $HeadV AS DOUBLE))
+       |      / (CAST(cw + 1 AS DOUBLE) / CAST(n + $HeadV AS DOUBLE))) AS x
+       |  FROM cell CROSS JOIN ntot),
+       |lnr AS (${graft.functions.PortableLn.sqlStages("pq", Seq("source", "ns", "p"), "x", "lnx")}),
+       |terms AS (
+       |  SELECT source, ns,
+       |    CAST(FLOOR(p * lnx * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t
+       |  FROM lnr)
+       |SELECT source, ns AS n_tokens,
+       |  CAST(SUM(t) AS DOUBLE) / $FixScale::DOUBLE AS kl
+       |FROM terms GROUP BY source, ns
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = documents(s, d).select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    // the ONE corpus-sized agg; everything downstream is sources × HeadV
+    val wc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val corpus = wc.groupBy("w").agg(sum("c").cast("bigint").as("cw"))
+    val head = corpus.orderBy(col("cw").desc, col("w")).limit(HeadV)
+    val srctot = wc.join(broadcast(head.select("w")), "w")
+      .groupBy("source").agg(sum("c").cast("bigint").as("ns"))
+    val ntot = head.agg(sum("cw").cast("bigint").as("n"))
+    val grid = srctot.crossJoin(broadcast(head))
+    val cell = grid.join(
+        wc.select(col("source"), col("w"), col("c")), Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+    val p = (col("c") + 1).cast("double") / (col("ns") + HeadV).cast("double")
+    val q = (col("cw") + 1).cast("double") / (col("n") + HeadV).cast("double")
+    val pq = cell.crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), p.as("p"), (p / q).as("x"))
+    val lnr = graft.functions.PortableLn.withLn(pq, "x", "lnx")
+    lnr
+      .select(col("source"), col("ns"),
+        floor(col("p") * col("lnx") * lit(FixScale) + lit(0.5))
+          .cast("long").as("t"))
+      .groupBy("source", "ns").agg(sum("t").as("st"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        (col("st").cast("double") / lit(FixScale)).as("kl"))
+      .orderBy("source")
+  }
+
+  /** Fixed logistic-regression weights: (bias, n_words, ttr,
+    * avg_word_len, stop_ratio). Stand-ins for trained model weights —
+    * the engine's job is the distributed feature extraction + scoring
+    * pass, not training. */
+  private val W0 = -1.5
+  private val Wn = 0.012
+  private val Wt = 2.0
+  private val Wa = -0.15
+  private val Ws = 0.8
+
+  /** Model-based quality filter: a linear logit over the heuristic
+    * feature battery (word count, type-token ratio, mean word length,
+    * stopword ratio), keep = logit > 0 — the fasttext-classifier
+    * pipeline stage as one codegen'd projection.
+    *
+    * 100 TB shape: map-only — every feature is a per-row array fold
+    * over the split token array, no shuffle anywhere except the
+    * presentation sort (which the oracle comparison needs; at scale
+    * the consumer drops it). Determinism: features are exact-integer
+    * ratios evaluated as single double divisions; the logit is one
+    * fixed-association chain of double mul/add mirrored token-for-token
+    * in the oracle SQL (constants spelled ::DOUBLE so DuckDB does not
+    * parse them as DECIMAL).
+    */
+  val qualityLogit: Q = Q(
+    "text_quality_logreg",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS nw,
+       |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr,
+       |    CAST(LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+       |        LIST_TRANSFORM(STRING_SPLIT(TRIM(text), ' '), w -> LENGTH(w)::BIGINT)),
+       |      (a, b) -> a + b) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS awl,
+       |    CAST(LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+       |        w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS stop
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $W0::DOUBLE + $Wn::DOUBLE * CAST(nw AS DOUBLE) + $Wt::DOUBLE * ttr
+       |    + $Wa::DOUBLE * awl + $Ws::DOUBLE * stop AS score,
+       |  ($W0::DOUBLE + $Wn::DOUBLE * CAST(nw AS DOUBLE) + $Wt::DOUBLE * ttr
+       |    + $Wa::DOUBLE * awl + $Ws::DOUBLE * stop) > 0.0::DOUBLE AS keep
+       |FROM f
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = TextAnalysis.words(col("text"))
+    val nw = size(ws).cast("bigint")
+    val ttr = size(array_distinct(ws)).cast("double") / size(ws)
+    val awl = aggregate(transform(ws, w => length(w).cast("bigint")), lit(0L),
+      (a, b) => a + b).cast("double") / size(ws)
+    val stop = TextAnalysis.profileHits(ws, Seq("the", "a", "of", "and"))
+      .cast("double") / size(ws)
+    val logit = lit(W0) + lit(Wn) * nw.cast("double") + lit(Wt) * ttr +
+      lit(Wa) * awl + lit(Ws) * stop
+    documents(s, d)
+      .select(col("doc_id"), logit.as("score"), (logit > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** shingle width for novelty attribution */
+  private val NovK = 8
+
+  /** Per-document novelty: of the doc's positional 8-gram shingles, how
+    * many have their corpus-wide first occurrence (min doc_id) in THIS
+    * doc — the "new text contributed" curve a crawl-snapshot pipeline
+    * tracks across dumps. Documents shorter than 8 words have no
+    * shingles and are absent (same convention as the near-dup family).
+    *
+    * 100 TB shape: min(doc_id) per gram is ONE map-combined hash agg
+    * over the shingle stream; attribution is a gram-keyed shuffle join
+    * of the stream against that (vocabulary-bounded) table; per-doc
+    * stats are one hash agg on doc_id. All-integer arithmetic; the
+    * only double is the final per-row ratio.
+    */
+  val ngramNovelty: Q = Q(
+    "text_ngram_novelty",
+    s"""WITH ws AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, UNNEST(${TextAnalysis3.duckRawShingles(NovK)}) AS g FROM ws),
+       |first AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+       |hits AS (
+       |  SELECT sh.doc_id,
+       |    COUNT(*)::BIGINT AS n_grams,
+       |    CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM sh JOIN first f USING (g) GROUP BY sh.doc_id)
+       |SELECT doc_id, n_grams, n_novel,
+       |  CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+       |FROM hits
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(Dedup.shinglesFromWords(
+        TextAnalysis.words(col("text")), NovK)).as("g"))
+    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty)
+}
