@@ -569,6 +569,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** CHUNK-level PNG integrity audit — the bit-rot-detection slice of
+    * the multimodal story: build a structurally valid multi-chunk PNG
+    * per doc (real CRC-32 on every chunk; docs with doc_id % 5 == 0 get
+    * one flipped CRC bit simulating storage corruption), then re-walk
+    * the chunk grammar with the codegen'd walker
+    * ([[graft.functions.PngChunks]]) counting chunks, summing IDAT
+    * payload bytes WITHOUT inflating them, and recomputing each CRC-32
+    * against the stored value. The oracle derives all three from the
+    * generating formulas — independent of builder and walker, so a
+    * length-field, skip, or CRC slip on either side hash-mismatches.
+    * One map-side scan, no shuffle, no codec: integrity-auditing a
+    * 100 TB media lake is exactly this plan. */
+  val pngChunks: Q = Q(
+    "mm_png_chunks",
+    """SELECT doc_id,
+      |  CAST((doc_id % 3 + 1) + (doc_id % 4 + 1) + 2 AS BIGINT) AS n_chunks,
+      |  CAST(LIST_REDUCE(
+      |    LIST_TRANSFORM(RANGE(0, doc_id % 4 + 1), i -> (doc_id + 7 * i) % 13 + 1),
+      |    (a, b) -> a + b) AS BIGINT) AS idat_bytes,
+      |  CAST((doc_id % 3 + 1) + (doc_id % 4 + 1) + 2
+      |    - CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS crc_ok_chunks,
+      |  doc_id % 5 <> 0 AS intact
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.PngChunks
+    documents(s, d)
+      .select(col("doc_id"), PngChunks.build(col("doc_id")).as("media"))
+      .select(col("doc_id"),
+        PngChunks.chunkCount(col("media")).as("n_chunks"),
+        PngChunks.idatBytes(col("media")).as("idat_bytes"),
+        PngChunks.crcValidCount(col("media")).as("crc_ok_chunks"))
+      .withColumn("intact", col("crc_ok_chunks") === col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, featureExtract, mediaHeaders, bmpPixels,
-    wavStats, mixedHeaders, resize, gifFrames, pcmFeatures)
+    wavStats, mixedHeaders, resize, gifFrames, pcmFeatures, pngChunks)
 }
