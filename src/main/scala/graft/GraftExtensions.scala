@@ -130,9 +130,34 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
 
+  val pngBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_build"),
+    info("png_build",
+      "png_build(seed) - structurally valid multi-chunk PNG bytes with real per-chunk CRC-32"),
+    (exprs: Seq[Expression]) => graft.functions.PngChunks.PngBuild(exprs(0)))
+
+  val pngChunkCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_chunk_count"),
+    info("png_chunk_count",
+      "png_chunk_count(bin) - chunk count through IEND, or NULL on malformed structure"),
+    (exprs: Seq[Expression]) => graft.functions.PngChunks.PngStat(exprs(0), 0))
+
+  val pngIdatBytes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_idat_bytes"),
+    info("png_idat_bytes",
+      "png_idat_bytes(bin) - total IDAT payload bytes without inflating, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.PngChunks.PngStat(exprs(0), 1))
+
+  val pngCrcValid: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("png_crc_valid_chunks"),
+    info("png_crc_valid_chunks",
+      "png_crc_valid_chunks(bin) - count of chunks whose stored CRC-32 matches recomputation, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.PngChunks.PngStat(exprs(0), 2))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(dotProduct, avroDecode, wordShingles, mediaFormat, imageWidth,
-      imageHeight, bmpBuild, bmpChannelSum, bloomFilterAgg, mightContain)
+      imageHeight, bmpBuild, bmpChannelSum, bloomFilterAgg, mightContain,
+      pngBuild, pngChunkCount, pngIdatBytes, pngCrcValid)
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =

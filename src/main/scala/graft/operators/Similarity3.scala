@@ -16,6 +16,10 @@ object Similarity3 {
 
   private val EmbDim = 64
   private val K = 5
+  /** eval-slice cap: keeps the brute-force eval set FIXED-size as the
+    * corpus scales (doesn't bind at the driver SFs, whose vec_ids stay
+    * far below it) */
+  private val EvalCap = 10000
 
   /** k-NN label classification: every 20th vector is a held-out query;
     * its label is predicted by majority vote over its [[K]] nearest
@@ -23,23 +27,27 @@ object Similarity3 {
     * label asc) — fully deterministic, so the oracle mirrors it row
     * for row.
     *
-    * 100 TB shape: the query slice broadcasts (bounded by the eval-set
-    * size), the corpus is scanned once and never shuffled before the
-    * rank window, and the per-query window is WindowGroupLimit-bounded
-    * to [[K]] rows before the vote agg — the same plan skeleton as
-    * `sim_topk_cosine`, whose scale path (bucketed ANN probes) applies
-    * unchanged when the eval set outgrows broadcast. Scores are
-    * sequential-fold doubles (codegen'd [[graft.functions.DotProduct]])
-    * → bit-identical to DuckDB's list_reduce fold.
+    * 100 TB shape: the eval slice is DOUBLY bounded — every 20th vector
+    * AND vec_id < [[EvalCap]] — so the query side stays a fixed-size
+    * broadcast as the corpus grows (an uncapped every-k-th slice makes
+    * brute-force eval quadratic in corpus size: the sf2 sweep measured
+    * 3.3× time for 2× data before the cap). The corpus is scanned once
+    * and never shuffled before the rank window, and the per-query
+    * window is WindowGroupLimit-bounded to [[K]] rows before the vote
+    * agg — the same plan skeleton as `sim_topk_cosine`, whose scale
+    * path (bucketed ANN probes) applies unchanged if the capped eval
+    * set still outgrows broadcast. Scores are sequential-fold doubles
+    * (codegen'd [[graft.functions.DotProduct]]) → bit-identical to
+    * DuckDB's list_reduce fold.
     */
   val knnClassify: Q = Q(
     "sim_knn_classify",
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, embedding AS qe, label AS true_label
-       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < $EvalCap),
        |c AS (
        |  SELECT vec_id AS n_id, embedding AS ce, label AS n_label
-       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |  FROM embeddings WHERE NOT (vec_id % 20 = 0 AND vec_id < $EvalCap)),
        |nn AS (
        |  SELECT q_id, true_label, n_label,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
@@ -56,10 +64,11 @@ object Similarity3 {
        |FROM pred WHERE rn = 1
        |ORDER BY q_id""".stripMargin) { (s, d) =>
     val e = embeddings(s, d)
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val isEval = col("vec_id") % 20 === 0 && col("vec_id") < EvalCap
+    val q = e.filter(isEval)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("label").as("true_label"))
-    val c = e.filter(col("vec_id") % 20 =!= 0)
+    val c = e.filter(!isEval)
       .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
         col("label").as("n_label"))
     val w = Window.partitionBy("q_id")

@@ -39,27 +39,19 @@ object TextAnalysis {
     s"LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), w -> w IN (${profile.map("'" + _ + "'").mkString(", ")})))"
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) over the character
-    * codes of `text` — sequential integer fold, engine-independent. */
+    * codes of `text` — sequential integer fold, engine-independent.
+    * Codegen'd single-pass expression ([[graft.functions.PolyHash]]);
+    * bit-identical to the interpreted HOF fold it replaced (the
+    * PolyHashSpec keeps an independent copy of the original shape). */
   def polyHash(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)),
-        i => ascii(text.substr(i, lit(1))).cast("bigint")),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    graft.functions.PolyHash.full(text)
 
   /** Winnowing-style fingerprint: minimum polynomial hash over all 8-char
-    * windows — robust to edits outside the matching window. Short-text
-    * guard: for texts under `win` chars Spark's `sequence(1, len-7)`
-    * would DESCEND (step −1) and hash clamped substr positions while the
-    * oracle's RANGE is empty and yields NULL — return NULL to match. */
+    * windows — robust to edits outside the matching window. Texts under
+    * `win` chars return NULL (the oracle's empty RANGE also yields NULL).
+    * Codegen'd one-pass walk ([[graft.functions.PolyHash.MinWindow]]). */
   def minWindowHash(text: Column, win: Int = 8): Column =
-    when(length(text) < win, lit(null).cast("long"))
-      .otherwise(array_min(transform(
-        sequence(lit(1), length(text) - (win - 1)),
-        i => aggregate(
-          sequence(lit(0), lit(win - 1)),
-          lit(0L),
-          (acc, k) => (acc * 31 + ascii(text.substr(i + k, lit(1)))) % 1000000007L))))
+    graft.functions.PolyHash.minWindowCol(text, win)
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens (letter
     * runs / digit runs / single punctuation). */

@@ -44,4 +44,21 @@ class ExtensionsSpec2 extends AnyFunSuite {
     assert(row.getLong(2) === s)
     assert(row.getLong(3) === ws)
   }
+
+  test("png_build / png chunk walkers callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT png_chunk_count(b) AS n, png_idat_bytes(b) AS ib,
+        |       png_crc_valid_chunks(b) AS ok,
+        |       png_chunk_count(unhex('DEADBEEF')) AS bad
+        |FROM (SELECT png_build(10L) AS b)""".stripMargin)
+      .collect()(0)
+    // seed 10: 2 tEXt + 3 IDAT + IHDR + IEND = 7 chunks; 10 % 5 == 0
+    // → one bit-rotted IDAT CRC
+    assert(row.getLong(0) === 7L)
+    assert(row.getLong(1) ===
+      (0L until 3L).map(i => (10 + 7 * i) % 13 + 1).sum)
+    assert(row.getLong(2) === 6L)
+    assert(row.isNullAt(3))
+  }
 }

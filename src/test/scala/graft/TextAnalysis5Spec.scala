@@ -85,7 +85,9 @@ class TextAnalysis5Spec extends AnyFunSuite {
         acc + a(i).toDouble * b(i).toDouble)
     def cos(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val (qs, cs) = e.partition(_._1 % 20 == 0)
+    // mirror the registered eval-slice rule (every 20th AND below the
+    // scale cap — the cap doesn't bind at sf0.001)
+    val (qs, cs) = e.partition(v => v._1 % 20 == 0 && v._1 < 10000)
     val expected = qs.sortBy(_._1).map { case (qid, qe, ql) =>
       val top = cs.map { case (nid, ce, nl) => (nid, nl, cos(qe, ce)) }
         .sortBy { case (nid, _, s) => (-s, nid) }.take(5)
