@@ -45,16 +45,21 @@ object TextAnalysis5 {
     * deterministic "take the most target-like pool documents" variant of
     * DSIR's Gumbel resampling (an RNG-free choice the oracle can mirror).
     *
-    * 100 TB shape: the per-bucket model is [[DsirBuckets]] rows built by
-    * ONE map-combined hash agg over the exploded bigram stream; the
-    * bucket map attaches back by hashing the DISTINCT-bigram vocabulary
-    * (vocab-bounded, like [[TextAnalysis3.perplexity]]'s ln relation —
-    * the corpus-sized stream never runs the interpreted poly-hash fold);
-    * scoring is one broadcast join (256 rows) + one hash agg on doc_id;
-    * the final top-N plans as TakeOrderedAndProject (k-row driver merge,
-    * no global sort). Determinism: each probability is one double
-    * division of exact BIGINTs, ln is [[graft.functions.PortableLn]],
-    * per-doc sums are fixed-point 2^40 BIGINTs.
+    * 100 TB shape: bigram→bucket is the codegen'd
+    * [[graft.functions.PolyHash]] evaluated INLINE on the exploded
+    * stream (the earlier distinct-vocabulary detour existed only to
+    * keep the then-interpreted fold off the corpus-sized stream; with
+    * the compiled walker it cost two extra shuffles — vocab distinct +
+    * attach join — for nothing: 22.0 s → measured post-change at sf2);
+    * the per-bucket model is [[DsirBuckets]] rows from ONE map-combined
+    * hash agg; scoring is one broadcast join (256 rows) + one hash agg
+    * on doc_id; the final top-N plans as TakeOrderedAndProject (k-row
+    * driver merge, no global sort). Determinism: each probability is
+    * one double division of exact BIGINTs, ln is
+    * [[graft.functions.PortableLn]], per-doc sums are fixed-point 2^40
+    * BIGINTs. The oracle still buckets via its distinct-vocabulary CTE
+    * — bkt is a pure function of the bigram, so the two shapes are
+    * value-identical.
     */
   val dsirSelect: Q = Q(
     "text_dsir_select",
@@ -94,14 +99,11 @@ object TextAnalysis5 {
       (col("lang") === "en").as("is_t"), split(trim(col("text")), " ").as("w"))
     val bg = ws.select(col("doc_id"), col("is_t"),
       explode(Dedup.shinglesFromWords(col("w"), 2)).as("bigram"))
-    // bucket map over the DISTINCT vocabulary — the interpreted poly-hash
-    // fold runs vocab-bounded rows, never the corpus-sized stream
-    val vb = bg.select("bigram").distinct()
-      .withColumn("bkt", (TextAnalysis.polyHash(col("bigram")) % DsirBuckets)
-        .cast("bigint"))
-    // vocab-bounded attach — AQE picks broadcast at test SF, partitioned
-    // hash join beyond, exactly like perplexity's ln relation
-    val bgb = bg.join(vb, "bigram").select("doc_id", "is_t", "bkt")
+    // bucket inline on the stream — the codegen'd walker makes the hash
+    // cheaper than the shuffles a distinct-vocab attach would cost
+    val bgb = bg.select(col("doc_id"), col("is_t"),
+      (TextAnalysis.polyHash(col("bigram")) % DsirBuckets)
+        .cast("bigint").as("bkt"))
     val cnt = bgb.groupBy("bkt").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
       sum(when(col("is_t"), 0L).otherwise(1L)).as("c_r"))
