@@ -107,9 +107,10 @@ object Similarity3 {
     * similarity goes through fixed-point 2^40 BIGINT sums, so
     * accumulation order cannot shift a bit.
     */
-  val clusterAssign: Q = Q(
-    "sim_cluster_assign",
-    s"""WITH cen AS (
+  /** shared DuckDB CTE prefix: per-vector argmax-cosine assignment to
+    * the first [[NumCentroids]] centroids (`r ... WHERE rn = 1`) */
+  private def duckAssignCtes: String =
+    s"""cen AS (
        |  SELECT vec_id AS cid, embedding AS ce
        |  FROM embeddings WHERE vec_id < $NumCentroids),
        |a AS (
@@ -119,15 +120,13 @@ object Similarity3 {
        |r AS (
        |  SELECT vec_id, cid, sim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-       |  FROM a),
-       |t AS (
-       |  SELECT cid,
-       |    CAST(FLOOR(sim * ${TextAnalysis3.FixScale}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q
-       |  FROM r WHERE rn = 1)
-       |SELECT cid, COUNT(*)::BIGINT AS n_members,
-       |  (CAST(SUM(q) AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE) / COUNT(*) AS mean_sim
-       |FROM t GROUP BY cid
-       |ORDER BY cid""".stripMargin) { (s, d) =>
+       |  FROM a)""".stripMargin
+
+  /** Spark mirror of [[duckAssignCtes]]: (vec_id, embedding, cid, sim)
+    * — one broadcast of the centroid table, corpus scanned once, the
+    * argmax window bounded to [[NumCentroids]] rows per vector. */
+  private def assignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val e = embeddings(s, d)
     val cen = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -138,6 +137,21 @@ object Similarity3 {
       .withColumn("sim", cosine(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "cid", "sim")
+  }
+
+  val clusterAssign: Q = Q(
+    "sim_cluster_assign",
+    s"""WITH $duckAssignCtes,
+       |t AS (
+       |  SELECT cid,
+       |    CAST(FLOOR(sim * ${TextAnalysis3.FixScale}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q
+       |  FROM r WHERE rn = 1)
+       |SELECT cid, COUNT(*)::BIGINT AS n_members,
+       |  (CAST(SUM(q) AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE) / COUNT(*) AS mean_sim
+       |FROM t GROUP BY cid
+       |ORDER BY cid""".stripMargin) { (s, d) =>
+    assignments(s, d)
       .select(col("cid"),
         floor(col("sim") * lit(TextAnalysis3.FixScale) + lit(0.5))
           .cast("long").as("q"))
@@ -147,6 +161,48 @@ object Similarity3 {
         ((col("st").cast("double") / lit(TextAnalysis3.FixScale))
           / col("n_members")).as("mean_sim"))
       .orderBy("cid")
+  }
+
+  /** One Lloyd iteration's centroid UPDATE step over the
+    * [[clusterAssign]] partition: per (cluster, dimension), the mean of
+    * the members' embedding components — the distributed half of
+    * k-means (the iteration driver just feeds updated centroids back
+    * in; each step is this same query shape).
+    *
+    * 100 TB shape: the assignment plan is [[assignments]] (broadcast
+    * centroids, corpus scanned once); the update explodes each member
+    * row to [[EmbDim]] (cid, dim, component) tuples and hash-aggregates
+    * — only [[NumCentroids]]·[[EmbDim]] groups exist, so map-side
+    * partial aggregation collapses the shuffle to a few hundred rows
+    * per partition regardless of corpus size. Components quantize to
+    * fixed-point 2^40 BIGINTs before the sum (order-free), and the mean
+    * is one double division per output row.
+    */
+  val centroidUpdate: Q = Q(
+    "sim_centroid_update",
+    s"""WITH $duckAssignCtes,
+       |m AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |ex AS (
+       |  SELECT m.cid, i.i AS dim,
+       |    CAST(FLOOR(e.embedding[i.i]::DOUBLE * ${TextAnalysis3.FixScale}::DOUBLE
+       |      + 0.5::DOUBLE) AS BIGINT) AS qv
+       |  FROM m JOIN embeddings e USING (vec_id),
+       |    UNNEST(RANGE(1, ${EmbDim + 1})) i(i))
+       |SELECT cid, CAST(dim AS BIGINT) AS dim,
+       |  (CAST(SUM(qv) AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE) / COUNT(*) AS mean_val
+       |FROM ex GROUP BY cid, dim
+       |ORDER BY cid, dim""".stripMargin) { (s, d) =>
+    assignments(s, d)
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), (col("pos") + 1).cast("bigint").as("dim"),
+        floor(col("col").cast("double") * lit(TextAnalysis3.FixScale)
+          + lit(0.5)).cast("long").as("qv"))
+      .groupBy("cid", "dim")
+      .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+      .select(col("cid"), col("dim"),
+        ((col("sq").cast("double") / lit(TextAnalysis3.FixScale))
+          / col("n")).as("mean_val"))
+      .orderBy("cid", "dim")
   }
 
   /** Recall@k of the LSH ANN tier against the exact brute-force top-k —
@@ -182,5 +238,5 @@ object Similarity3 {
       .orderBy("q_id")
   }
 
-  val all: Seq[Q] = Seq(knnClassify, clusterAssign, annRecall)
+  val all: Seq[Q] = Seq(knnClassify, clusterAssign, centroidUpdate, annRecall)
 }

@@ -43,6 +43,30 @@ class SimilarityEvalSpec extends AnyFunSuite {
       assert(math.abs(g - x) < 1e-12)
   }
 
+  test("sim_centroid_update matches a plain-Scala Lloyd step") {
+    val e = embs()
+    val cen = e.filter(_._1 < 8)
+    val members = e.map { case (id, v) =>
+      val best = cen.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+      (best, v)
+    }
+    val expected = members.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (cid, vs) =>
+        (0 until 64).map { d =>
+          val qs = vs.map(v => math.floor(
+            v._2(d).toDouble * 1099511627776.0 + 0.5).toLong)
+          (cid, (d + 1).toLong,
+            (qs.sum.toDouble / 1099511627776.0) / qs.size)
+        }
+    }
+    val got = Similarity3.centroidUpdate.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => (g._1, g._2)) === expected.map(x => (x._1, x._2)))
+    for (((_, _, g), (_, _, x)) <- got.zip(expected))
+      assert(math.abs(g - x) < 1e-12)
+  }
+
   test("sim_ann_recall agrees with a direct join of the two registered queries") {
     val exact = Similarity.topkBruteForce.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
