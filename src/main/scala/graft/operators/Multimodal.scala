@@ -604,6 +604,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** IFD-level TIFF/EXIF metadata walk — the dual-endianness slice of
+    * the multimodal story: build a structurally valid single-IFD TIFF
+    * per doc (even doc_ids little-endian `II`, odd doc_ids big-endian
+    * `MM` — so ONE walker code path must read every 16/32-bit field in
+    * either byte order), then re-parse the directory with the codegen'd
+    * walker ([[graft.functions.TiffTags]]) for entry count, ImageWidth,
+    * ImageLength, and a Σ tag·value checksum over the inline values.
+    * The oracle computes all four from the generating formulas — and is
+    * byte-order-blind, so an endianness slip on either side
+    * hash-mismatches half the corpus. One map-side scan, no shuffle,
+    * no codec: EXIF inventory over a 100 TB media lake is this plan. */
+  val tiffTags: Q = Q(
+    "mm_tiff_tags",
+    """SELECT doc_id,
+      |  CAST(3 + doc_id % 3 AS BIGINT) AS n_tags,
+      |  CAST(doc_id % 977 + 1 AS BIGINT) AS width,
+      |  CAST(doc_id % 433 + 1 AS BIGINT) AS height,
+      |  CAST(256 * (doc_id % 977 + 1) + 257 * (doc_id % 433 + 1) + 259
+      |    + LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+      |        LIST_TRANSFORM(RANGE(0, doc_id % 3),
+      |          i -> (32768 + i) * ((doc_id * 31 + i) % 65536))),
+      |      (a, b) -> a + b) AS BIGINT) AS tag_checksum
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TiffTags
+    documents(s, d)
+      .select(col("doc_id"), TiffTags.build(col("doc_id")).as("media"))
+      .select(col("doc_id"),
+        TiffTags.entryCount(col("media")).as("n_tags"),
+        TiffTags.width(col("media")).as("width"),
+        TiffTags.height(col("media")).as("height"),
+        TiffTags.tagChecksum(col("media")).as("tag_checksum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(binaryMeta, featureExtract, mediaHeaders, bmpPixels,
-    wavStats, mixedHeaders, resize, gifFrames, pcmFeatures, pngChunks)
+    wavStats, mixedHeaders, resize, gifFrames, pcmFeatures, pngChunks,
+    tiffTags)
 }

@@ -209,5 +209,88 @@ object TextAnalysis6 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty)
+  /** Zipf-law fit over the head vocabulary: OLS of ln(count) on
+    * ln(rank) for the top-[[HeadV]] corpus words — the standing
+    * "does this corpus look like natural language" diagnostic (natural
+    * text slopes ≈ −1; templated/spammy corpora flatten or steepen).
+    * Output is one row: head size, fitted slope and intercept.
+    *
+    * 100 TB shape: ONE map-combined hash agg over the token stream,
+    * then everything is bounded by [[HeadV]] — the rank window runs
+    * over the 256-row head (whitelisted bounded global window, the
+    * `text_frequent_tokens` precedent), the [[graft.functions.PortableLn]] ladder runs 2·256
+    * rows, and the OLS moments are fixed-point 2^40 BIGINT sums of
+    * per-row quantized terms, so accumulation order cannot shift a
+    * bit; the final slope/intercept are a fixed chain of double ops
+    * over those exact sums, mirrored token-for-token in the oracle.
+    */
+  val zipfFit: Q = Q(
+    "text_zipf_fit",
+    s"""WITH tok AS (
+       |  SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*)::BIGINT AS c FROM tok GROUP BY w),
+       |head AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $HeadV),
+       |ranked AS (
+       |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM head),
+       |lnr AS (${graft.functions.PortableLn.sqlStages(
+             "(SELECT c, CAST(r AS DOUBLE) AS x FROM ranked)",
+             Seq("c"), "x", "lnrank")}),
+       |lnc AS (${graft.functions.PortableLn.sqlStages(
+             "(SELECT lnrank, CAST(c AS DOUBLE) AS x FROM lnr)",
+             Seq("lnrank"), "x", "lncount")}),
+       |q AS (
+       |  SELECT
+       |    CAST(FLOOR(lnrank * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qx,
+       |    CAST(FLOOR(lncount * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qy,
+       |    CAST(FLOOR(lnrank * lncount * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qxy,
+       |    CAST(FLOOR(lnrank * lnrank * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS qxx
+       |  FROM lnc),
+       |s AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+       |    CAST(SUM(qxy) AS BIGINT) AS sxy, CAST(SUM(qxx) AS BIGINT) AS sxx
+       |  FROM q)
+       |SELECT n AS n_head,
+       |  (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / $FixScale::DOUBLE)
+       |    - (CAST(sx AS DOUBLE) / $FixScale::DOUBLE) * (CAST(sy AS DOUBLE) / $FixScale::DOUBLE))
+       |  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / $FixScale::DOUBLE)
+       |    - (CAST(sx AS DOUBLE) / $FixScale::DOUBLE) * (CAST(sx AS DOUBLE) / $FixScale::DOUBLE)) AS slope,
+       |  (CAST(sy AS DOUBLE) / $FixScale::DOUBLE) / CAST(n AS DOUBLE)
+       |  - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / $FixScale::DOUBLE)
+       |    - (CAST(sx AS DOUBLE) / $FixScale::DOUBLE) * (CAST(sy AS DOUBLE) / $FixScale::DOUBLE))
+       |  / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / $FixScale::DOUBLE)
+       |    - (CAST(sx AS DOUBLE) / $FixScale::DOUBLE) * (CAST(sx AS DOUBLE) / $FixScale::DOUBLE)))
+       |    * ((CAST(sx AS DOUBLE) / $FixScale::DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+       |FROM s""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+    val wc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val head = wc.orderBy(col("c").desc, col("w")).limit(HeadV)
+    val ranked = head.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .select(col("c"), col("r").cast("double").as("x"))
+    val lnr = graft.functions.PortableLn.withLn(ranked, "x", "lnrank")
+      .select(col("lnrank"), col("c").cast("double").as("x"))
+    val lnc = graft.functions.PortableLn.withLn(lnr, "x", "lncount")
+    val q = lnc.select(
+      floor(col("lnrank") * lit(FixScale) + lit(0.5)).cast("long").as("qx"),
+      floor(col("lncount") * lit(FixScale) + lit(0.5)).cast("long").as("qy"),
+      floor(col("lnrank") * col("lncount") * lit(FixScale) + lit(0.5))
+        .cast("long").as("qxy"),
+      floor(col("lnrank") * col("lnrank") * lit(FixScale) + lit(0.5))
+        .cast("long").as("qxx"))
+    val sums = q.agg(count(lit(1)).as("n"), sum("qx").as("sx"),
+      sum("qy").as("sy"), sum("qxy").as("sxy"), sum("qxx").as("sxx"))
+    val nD = col("n").cast("double")
+    val xs = col("sx").cast("double") / lit(FixScale)
+    val ys = col("sy").cast("double") / lit(FixScale)
+    val xys = col("sxy").cast("double") / lit(FixScale)
+    val xxs = col("sxx").cast("double") / lit(FixScale)
+    val slope = (nD * xys - xs * ys) / (nD * xxs - xs * xs)
+    sums.select(col("n").as("n_head"), slope.as("slope"),
+      (ys / nD - slope * (xs / nD)).as("intercept"))
+  }
+
+  val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty, zipfFit)
 }

@@ -167,7 +167,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q81_cumulative_distinct" -> "per-day rows (~366/yr)",
       "q86_period_over_period" -> "per-month rows (~12/yr)",
       "text_mixture_report" -> "per-(source,lang) cells (bounded)",
-      "text_frequent_tokens" -> "Misra-Gries sketch output (≤ capacity 4096 rows)")
+      "text_frequent_tokens" -> "Misra-Gries sketch output (≤ capacity 4096 rows)",
+      "text_zipf_fit" -> "head-vocabulary rows (≤ 256 after limit)")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)

@@ -63,6 +63,27 @@ class TextAnalysis6Spec extends AnyFunSuite {
       assert(math.abs(g - e) < 1e-12)
   }
 
+  test("text_zipf_fit matches a plain-Scala OLS") {
+    val wc = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, t, _) <- docs(); w <- words(t)) wc(w) += 1
+    val head = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(256)
+    val pts = head.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = sy / n - slope * (sx / n)
+    val got = TextAnalysis6.zipfFit.run(spark, sf).collect()(0)
+    assert(got.getLong(0) === pts.size.toLong)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-9)
+    assert(math.abs(got.getDouble(2) - intercept) < 1e-9)
+    // a word-frequency corpus should actually be Zipf-ish: negative slope
+    assert(got.getDouble(1) < -0.1)
+  }
+
   test("text_ngram_novelty matches a plain-Scala reference") {
     val d = docs()
     def grams(t: String): Seq[String] = {
