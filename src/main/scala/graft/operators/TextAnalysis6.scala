@@ -47,6 +47,37 @@ object TextAnalysis6 {
     * contributions round to fixed-point 2^40 BIGINTs before the
     * per-source sum, so accumulation order cannot shift a bit.
     */
+  /** KL drift from a (source, w, c) count relation — shared by the
+    * registered one-shot query and the incremental streaming monitor
+    * ([[graft.streaming.Streams.klDriftIncrementalBatch]]), so the
+    * monitor's output after batch N is definitionally the one-shot
+    * answer over the union of batches 1..N. */
+  private[graft] def klFromCounts(
+      wc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = wc.groupBy("w").agg(sum("c").cast("bigint").as("cw"))
+    val head = corpus.orderBy(col("cw").desc, col("w")).limit(HeadV)
+    val srctot = wc.join(broadcast(head.select("w")), "w")
+      .groupBy("source").agg(sum("c").cast("bigint").as("ns"))
+    val ntot = head.agg(sum("cw").cast("bigint").as("n"))
+    val grid = srctot.crossJoin(broadcast(head))
+    val cell = grid.join(
+        wc.select(col("source"), col("w"), col("c")), Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+    val p = (col("c") + 1).cast("double") / (col("ns") + HeadV).cast("double")
+    val q = (col("cw") + 1).cast("double") / (col("n") + HeadV).cast("double")
+    val pq = cell.crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), p.as("p"), (p / q).as("x"))
+    val lnr = graft.functions.PortableLn.withLn(pq, "x", "lnx")
+    lnr
+      .select(col("source"), col("ns"),
+        floor(col("p") * col("lnx") * lit(FixScale) + lit(0.5))
+          .cast("long").as("t"))
+      .groupBy("source", "ns").agg(sum("t").as("st"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        (col("st").cast("double") / lit(FixScale)).as("kl"))
+      .orderBy("source")
+  }
+
   val klDrift: Q = Q(
     "text_kl_drift",
     s"""WITH tok AS (
@@ -80,29 +111,7 @@ object TextAnalysis6 {
     val tok = documents(s, d).select(col("source"),
       explode(TextAnalysis.words(col("text"))).as("w"))
     // the ONE corpus-sized agg; everything downstream is sources × HeadV
-    val wc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
-    val corpus = wc.groupBy("w").agg(sum("c").cast("bigint").as("cw"))
-    val head = corpus.orderBy(col("cw").desc, col("w")).limit(HeadV)
-    val srctot = wc.join(broadcast(head.select("w")), "w")
-      .groupBy("source").agg(sum("c").cast("bigint").as("ns"))
-    val ntot = head.agg(sum("cw").cast("bigint").as("n"))
-    val grid = srctot.crossJoin(broadcast(head))
-    val cell = grid.join(
-        wc.select(col("source"), col("w"), col("c")), Seq("source", "w"), "left")
-      .na.fill(0L, Seq("c"))
-    val p = (col("c") + 1).cast("double") / (col("ns") + HeadV).cast("double")
-    val q = (col("cw") + 1).cast("double") / (col("n") + HeadV).cast("double")
-    val pq = cell.crossJoin(broadcast(ntot))
-      .select(col("source"), col("ns"), p.as("p"), (p / q).as("x"))
-    val lnr = graft.functions.PortableLn.withLn(pq, "x", "lnx")
-    lnr
-      .select(col("source"), col("ns"),
-        floor(col("p") * col("lnx") * lit(FixScale) + lit(0.5))
-          .cast("long").as("t"))
-      .groupBy("source", "ns").agg(sum("t").as("st"))
-      .select(col("source"), col("ns").as("n_tokens"),
-        (col("st").cast("double") / lit(FixScale)).as("kl"))
-      .orderBy("source")
+    klFromCounts(tok.groupBy("source", "w").agg(count(lit(1)).as("c")))
   }
 
   /** Fixed logistic-regression weights: (bias, n_words, ttr,
@@ -292,5 +301,44 @@ object TextAnalysis6 {
       (ys / nD - slope * (xs / nD)).as("intercept"))
   }
 
-  val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty, zipfFit)
+  /** Per-source document-length histogram on power-of-two buckets —
+    * the curation dashboard's length-distribution panel (truncation
+    * incidents and boilerplate floods both show up as bucket-share
+    * shifts long before they move a mean). Bucket = number of binary
+    * digits of the word count (exact integer both engines: Spark
+    * `length(bin(n))`, DuckDB `LENGTH(PRINTF('%b', n))`), so bucket k
+    * holds docs with 2^(k-1) ≤ n_words < 2^k — no float log anywhere.
+    *
+    * 100 TB shape: map-only feature extraction, ONE map-combined hash
+    * agg on (source, bucket) — a few dozen groups — and a broadcast
+    * join against the per-source totals. The only double is the final
+    * share division.
+    */
+  val lengthHistogram: Q = Q(
+    "text_length_histogram",
+    """WITH f AS (
+      |  SELECT source,
+      |    LENGTH(PRINTF('%b', LEN(STRING_SPLIT(TRIM(text), ' ')))) AS n_bits
+      |  FROM documents),
+      |g AS (SELECT source, n_bits, COUNT(*)::BIGINT AS n_docs
+      |      FROM f GROUP BY source, n_bits),
+      |t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot
+      |      FROM g GROUP BY source)
+      |SELECT g.source, CAST(n_bits AS BIGINT) AS n_bits, n_docs,
+      |  CAST(n_docs AS DOUBLE) / tot AS share
+      |FROM g JOIN t USING (source)
+      |ORDER BY source, n_bits""".stripMargin) { (s, d) =>
+    val f = documents(s, d).select(col("source"),
+      length(bin(size(TextAnalysis.words(col("text"))))).as("n_bits"))
+    val g = f.groupBy("source", "n_bits").agg(count(lit(1)).as("n_docs"))
+    val t = g.groupBy("source").agg(sum("n_docs").cast("bigint").as("tot"))
+    g.join(broadcast(t), "source")
+      .select(col("source"), col("n_bits").cast("bigint").as("n_bits"),
+        col("n_docs"),
+        (col("n_docs").cast("double") / col("tot")).as("share"))
+      .orderBy("source", "n_bits")
+  }
+
+  val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty, zipfFit,
+    lengthHistogram)
 }

@@ -602,6 +602,47 @@ object Streams {
     emitted.select("doc_id", "reason", "kept")
   }
 
+  /** Incremental corpus-drift monitor — the streaming face of
+    * `text_kl_drift`: each micro-batch folds its (source, word) counts
+    * into a batchId-partitioned count table and re-emits the per-source
+    * KL divergence over the CUMULATIVE corpus so far. After batch N the
+    * output is definitionally the one-shot `text_kl_drift` answer over
+    * the union of batches 1..N (same [[graft.operators.TextAnalysis6.klFromCounts]] plan on
+    * the summed counts — the spec proves it in sorted AND shuffled
+    * arrival order).
+    *
+    * State: `counts/batch_id=N` holds batch N's (source, w, c) rows;
+    * a retry overwrites ONLY its own partition and reads priors
+    * (batch_id < current) plus its own recomputed counts → idempotent
+    * under foreachBatch's at-least-once contract.
+    *
+    * 100 TB shape: the per-batch count agg is batch-sized and
+    * map-combined; the cumulative re-aggregation is vocabulary-bounded
+    * (counts, not tokens — rereading N batch partitions of
+    * per-batch-vocab rows, not N batches of raw text); everything
+    * after is sources × 256 exactly like the batch query. A long-lived
+    * deployment compacts `counts/` periodically the same way the
+    * near-dup index compacts its postings. */
+  def klDriftIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    import graft.operators.{TextAnalysis, TextAnalysis6}
+    val spark = batch.sparkSession
+    val counts = oneRowPerKey(batch, "doc_id")
+      .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    counts.write.mode("overwrite")
+      .parquet(s"$stateDir/counts/batch_id=$batchId")
+    val prior = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/counts")
+      spark.read.parquet(p.toString)
+        .filter(col("batch_id") < batchId)
+        .select("source", "w", "c")
+    }
+    val cumulative = prior.unionByName(counts)
+      .groupBy("source", "w").agg(sum("c").as("c"))
+    TextAnalysis6.klFromCounts(cumulative)
+  }
+
   /** ST1+ST2+ST3: an idempotent upsert sink for foreachBatch. Maintains
     * keyed state (here an in-memory map; in production the same merge
     * runs as a MERGE INTO / ReplacingMergeTree insert) by replaying each

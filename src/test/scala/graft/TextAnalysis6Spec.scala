@@ -84,6 +84,24 @@ class TextAnalysis6Spec extends AnyFunSuite {
     assert(got.getDouble(1) < -0.1)
   }
 
+  test("text_length_histogram matches a plain-Scala reference") {
+    val counts = collection.mutable.Map.empty[(String, Long), Long]
+      .withDefaultValue(0L)
+    for ((_, t, src) <- docs()) {
+      val bits = java.lang.Long.toBinaryString(words(t).length.toLong).length
+      counts((src, bits.toLong)) += 1
+    }
+    val totals = counts.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.values.sum }
+    val expected = counts.toSeq.sortBy(_._1).map { case ((s, b), n) =>
+      (s, b, n, n.toDouble / totals(s))
+    }
+    val got = TextAnalysis6.lengthHistogram.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("text_ngram_novelty matches a plain-Scala reference") {
     val d = docs()
     def grams(t: String): Seq[String] = {
