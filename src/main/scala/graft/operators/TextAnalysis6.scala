@@ -339,6 +339,63 @@ object TextAnalysis6 {
       .orderBy("source", "n_bits")
   }
 
+  /** ROUGE-1 overlap report for the near-dup candidate pairs: for each
+    * pair the exact-Jaccard tier emits (`dedup_ngram_jaccard`), the
+    * distinct-unigram intersection size and precision / recall / F1 —
+    * the human-readable "how much text do these two actually share"
+    * companion to the shingle-level similarity score (review queues
+    * and threshold tuning read ROUGE, not Jaccard).
+    *
+    * 100 TB shape: the pair set is the near-dup output (orders of
+    * magnitude below corpus size) and broadcasts into both token-side
+    * joins, so the corpus token stream is filtered to pair members
+    * before the unigram-intersection join; per-doc distinct-token
+    * sizes come from one hash agg. The oracle reuses the registered
+    * pair query's own SQL as a CTE, then recomputes the overlap
+    * independently.
+    */
+  val rougePairs: Q = Q(
+    "text_rouge_pairs",
+    s"""WITH pairs0 AS (${Dedup.duckJaccardPairs}),
+       |tok AS (
+       |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+       |i AS (
+       |  SELECT p.a_id, p.b_id, COUNT(*)::BIGINT AS inter
+       |  FROM pairs0 p
+       |  JOIN tok ta ON ta.doc_id = p.a_id
+       |  JOIN tok tb ON tb.doc_id = p.b_id AND tb.w = ta.w
+       |  GROUP BY p.a_id, p.b_id)
+       |SELECT i.a_id, i.b_id, i.inter,
+       |  CAST(inter AS DOUBLE) / na.n AS p,
+       |  CAST(inter AS DOUBLE) / nb.n AS r,
+       |  (2.0::DOUBLE * (CAST(inter AS DOUBLE) / na.n) * (CAST(inter AS DOUBLE) / nb.n))
+       |    / ((CAST(inter AS DOUBLE) / na.n) + (CAST(inter AS DOUBLE) / nb.n)) AS f1
+       |FROM i
+       |JOIN n na ON na.doc_id = i.a_id
+       |JOIN n nb ON nb.doc_id = i.b_id
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.jaccardPairs(documents(s, d)).select("a_id", "b_id")
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.words(col("text")))).as("w"))
+    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("doc_id").as("a_id"), col("w"))
+      .join(broadcast(pairs), "a_id")
+      .join(tok.select(col("doc_id").as("b_id"), col("w")),
+        Seq("b_id", "w"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val pCol = col("inter").cast("double") / col("na")
+    val rCol = col("inter").cast("double") / col("nb")
+    inter
+      .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        pCol.as("p"), rCol.as("r"),
+        ((lit(2.0) * pCol * rCol) / (pCol + rCol)).as("f1"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty, zipfFit,
-    lengthHistogram)
+    lengthHistogram, rougePairs)
 }

@@ -102,6 +102,33 @@ class TextAnalysis6Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("text_rouge_pairs matches a plain-Scala reference") {
+    val d = docs()
+    val byId = d.map(x => x._1 -> x._2).toMap
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(Tables.documents(spark, sf))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def uni(id: Long): Set[String] = words(byId(id)).toSet
+    val expected = pairs.sorted.map { case (a, b) =>
+      val (ua, ub) = (uni(a), uni(b))
+      val inter = (ua & ub).size.toLong
+      val p = inter.toDouble / ua.size
+      val r = inter.toDouble / ub.size
+      (a, b, inter, p, r, 2.0 * p * r / (p + r))
+    }
+    val got = TextAnalysis6.rougePairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ===
+      expected.map(e => (e._1, e._2, e._3)))
+    for ((g, e) <- got.zip(expected)) {
+      assert(math.abs(g._4 - e._4) < 1e-12)
+      assert(math.abs(g._5 - e._5) < 1e-12)
+      assert(math.abs(g._6 - e._6) < 1e-12)
+    }
+  }
+
   test("text_ngram_novelty matches a plain-Scala reference") {
     val d = docs()
     def grams(t: String): Seq[String] = {
