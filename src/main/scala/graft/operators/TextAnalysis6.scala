@@ -376,14 +376,23 @@ object TextAnalysis6 {
        |JOIN n na ON na.doc_id = i.a_id
        |JOIN n nb ON nb.doc_id = i.b_id
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    // materialize the pair set once (three consumers would otherwise
+    // re-run the whole PPJoin pipeline each), then cut the corpus to
+    // pair MEMBERS with one broadcast filter join BEFORE any explode —
+    // everything downstream of the near-dup tier is pair-bounded, so
+    // the only corpus-sized work in this query is the pair tier itself
     val pairs = Dedup.jaccardPairs(documents(s, d)).select("a_id", "b_id")
-    val tok = documents(s, d).select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.words(col("text")))).as("w"))
-    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val memberIds = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val members = documents(s, d).join(broadcast(memberIds), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.words(col("text"))).as("ws"))
+    val n = members.select(col("doc_id"), size(col("ws")).cast("bigint").as("n"))
+    val tok = members.select(col("doc_id"), explode(col("ws")).as("w"))
     val inter = tok.select(col("doc_id").as("a_id"), col("w"))
       .join(broadcast(pairs), "a_id")
-      .join(tok.select(col("doc_id").as("b_id"), col("w")),
-        Seq("b_id", "w"))
+      .join(tok.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     val pCol = col("inter").cast("double") / col("na")
     val rCol = col("inter").cast("double") / col("nb")
