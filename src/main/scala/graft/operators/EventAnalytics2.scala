@@ -133,6 +133,127 @@ object EventAnalytics2 {
       .orderBy("user_id")
   }
 
+  /** ClickHouse-`sequenceMatch` analogue (the reference's provisioned
+    * sink is ClickHouse — this is its signature behavioral-analytics
+    * function): per user, does the event stream contain
+    * view → click → purchase as a time-ordered subsequence? Existence
+    * is decided by the greedy-earliest chain (t1 = first view,
+    * t2 = first click after t1, t3 = first purchase after t2) — greedy
+    * is complete for subsequence existence — and the span between t1
+    * and t3 comes out alongside.
+    *
+    * 100 TB shape: three chained min-aggregations, each a hash agg on
+    * user_id over a type-filtered scan plus a user-keyed join — the
+    * q66 funnel skeleton generalized one step; no windows, no per-user
+    * arrays, at most one shuffle per stage on the natural key. Time
+    * math stays in exact µs BIGINTs; the only double is the span.
+    */
+  val q87SequenceMatch: Q = Q(
+    "q87_sequence_match",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT v.user_id, MIN(e.ts) AS t2
+      |  FROM v JOIN events e ON e.user_id = v.user_id
+      |    AND e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT c.user_id, MIN(e.ts) AS t3
+      |  FROM c JOIN events e ON e.user_id = c.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > c.t2
+      |  GROUP BY 1)
+      |SELECT v.user_id, v.t1, c.t2, p.t3,
+      |  p.t3 IS NOT NULL AS matched,
+      |  CAST(EPOCH_US(p.t3) - EPOCH_US(v.t1) AS DOUBLE)
+      |    / 3600000000.0 AS span_hours
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = v.join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = c.join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        col("t3").isNotNull.as("matched"),
+        ((unix_micros(col("t3")) - unix_micros(col("t1"))).cast("double")
+          / 3600000000.0).as("span_hours"))
+      .orderBy("user_id")
+  }
+
+  /** ClickHouse-`sequenceCount` analogue: the number of
+    * NON-OVERLAPPING view → click → purchase occurrences per user,
+    * counted by one greedy left-to-right scan of the time-ordered
+    * stream (greedy maximizes the disjoint-occurrence count). The scan
+    * state packs into ONE BIGINT — stage = st mod 4, completed count =
+    * st div 4 — so the per-user fold is pure integer arithmetic that
+    * both engines evaluate identically over the identically-ordered
+    * array (ts, then event_id as the tie-break).
+    *
+    * 100 TB shape: one hash agg on user_id builds the per-user ordered
+    * event array (bounded by per-user activity, the same boundedness
+    * q34's fold relies on), then the fold is per-row map work. Users
+    * with pathological event counts would route to the q79 session
+    * splitter first; the fold itself is O(events-per-user).
+    *
+    * Oracle-engine note: DuckDB 1.0.0's LIST_REDUCE over GROUPED lists
+    * returns a wrong fold for some groups (verified minimal repro: the
+    * same list and the same lambda give st=25 when the query filters to
+    * one user and st=23 inside the full GROUP BY — batch-boundary state
+    * corruption; single-user, 20× repeated grouped runs, and a Python
+    * replay of the extracted list all agree on 25). The oracle therefore
+    * restates the scan as a recursive CTE over ROW_NUMBER-indexed
+    * events — the same arithmetic with no lambdas anywhere.
+    */
+  val q88SequenceCount: Q = Q(
+    "q88_sequence_count",
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM events GROUP BY 1),
+      |scan AS (
+      |  SELECT user_id, 0::BIGINT AS i, 0::BIGINT AS stage, 0::BIGINT AS cnt FROM n
+      |  UNION ALL
+      |  SELECT s.user_id, s.i + 1,
+      |    CASE WHEN s.stage = 0 AND e.event_type = 'view' THEN 1::BIGINT
+      |         WHEN s.stage = 1 AND e.event_type = 'click' THEN 2::BIGINT
+      |         WHEN s.stage = 2 AND e.event_type = 'purchase' THEN 0::BIGINT
+      |         ELSE s.stage END,
+      |    s.cnt + CASE WHEN s.stage = 2 AND e.event_type = 'purchase'
+      |                 THEN 1::BIGINT ELSE 0::BIGINT END
+      |  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i + 1)
+      |SELECT n.user_id AS user_id, n.n_events, s.cnt AS seq_count
+      |FROM n JOIN scan s ON s.user_id = n.user_id AND s.i = n.n_events
+      |ORDER BY n.user_id""".stripMargin) { (s, d) =>
+    val arr = events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("ord"))
+      .select(col("user_id"),
+        transform(col("ord"), e => e.getField("event_type")).as("types"))
+    arr.select(col("user_id"),
+        size(col("types")).cast("bigint").as("n_events"),
+        aggregate(col("types"), lit(0L), (st, t) =>
+          when(st % 4 === 0 && t === "view", st + 1)
+            .when(st % 4 === 1 && t === "click", st + 1)
+            .when(st % 4 === 2 && t === "purchase", st + 2)
+            .otherwise(st)).as("st"))
+      .select(col("user_id"), col("n_events"),
+        expr("st DIV 4").as("seq_count")) // integer div, exact both engines
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q79GapsIslands, q80RatioToReport,
-    q81CumulativeDistinct, q82ModePerGroup)
+    q81CumulativeDistinct, q82ModePerGroup, q87SequenceMatch,
+    q88SequenceCount)
 }
