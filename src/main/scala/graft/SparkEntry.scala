@@ -17,11 +17,12 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
       Relational7.all ++ Relational8.all ++ EventAnalytics.all ++
-      EventAnalytics2.all ++ Cdc.all ++ Scd.all ++
+      EventAnalytics2.all ++ EventAnalytics3.all ++ Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
-      Dedup.all ++ Curation.all ++
-      Similarity.all ++ Similarity2.all ++ Similarity3.all ++ Multimodal.all
+      Dedup.all ++ Dedup2.all ++ Curation.all ++
+      Similarity.all ++ Similarity2.all ++ Similarity3.all ++
+      Multimodal.all ++ Multimodal2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -151,6 +151,50 @@ object BmpPixels {
     s
   }
 
+  /** 64-bit average-hash (aHash) perceptual signature: NEAREST-NEIGHBOR
+    * resample to rw×rh (same all-integer index math as
+    * [[bmpResampleSum]]), then one bit per sample — set iff the sample
+    * exceeds the grid mean, compared in exact integers (v·n > Σv). Bit
+    * index yy·rw+xx, LSB-first. aHash is THE standard cheap image
+    * near-dup signature (brightness-shift tolerant, byte-local); at
+    * 100 TB it is one pass over rw·rh sampled bytes per image, no
+    * shuffle — banding the 64 bits then drives an LSH pair join exactly
+    * like SimHash's.
+    *
+    * -1 (all 64 bits set) is PROVABLY unreachable for rw·rh ≤ 64: if
+    * every sample had v·n > Σv, summing the n inequalities gives
+    * n·Σv > n·Σv — so -1 is a safe invalid-input sentinel, the same
+    * contract the sum walkers use. */
+  def bmpAHash(b: Array[Byte], rw: Int, rh: Int, channel: Int): Long = {
+    if (!headerOk(b) || rw <= 0 || rh <= 0 || rw * rh > 64) return -1L
+    val off = le32(b, 10); val w = le32(b, 18); val h = le32(b, 22)
+    val strideL = ((3L * w + 3) / 4) * 4
+    if (off < 54 || off > b.length || (b.length - off) / h < strideL)
+      return -1L
+    val stride = strideL.toInt
+    val n = rw * rh
+    val vs = new Array[Int](n)
+    var sum = 0L; var yy = 0
+    while (yy < rh) {
+      val sy = (yy.toLong * h / rh).toInt
+      val base = off + (h - 1 - sy) * stride
+      var xx = 0
+      while (xx < rw) {
+        val sx = (xx.toLong * w / rw).toInt
+        val v = b(base + 3 * sx + channel) & 0xFF
+        vs(yy * rw + xx) = v; sum += v
+        xx += 1
+      }
+      yy += 1
+    }
+    var hash = 0L; var i = 0
+    while (i < n) {
+      if (vs(i).toLong * n > sum) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   /** seed/w/h → BMP bytes (generator side of the round trip). */
   case class BmpBuild(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression {
@@ -217,6 +261,28 @@ object BmpPixels {
       copy(child = c)
   }
 
+  /** aHash pixel walk; -1 sentinel (unreachable for valid input) → NULL. */
+  case class BmpAHashExpr(child: Expression, rw: Int, rh: Int, channel: Int)
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bmp_ahash"
+    override def nullSafeEval(v: Any): Any = {
+      val r = bmpAHash(v.asInstanceOf[Array[Byte]], rw, rh, channel)
+      if (r == -1L) null else r
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = BmpPixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |long $r = $cls.bmpAHash($c, $rw, $rh, $channel);
+        |if ($r == -1L) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def build(seed: Column, w: Column, h: Column): Column =
     ColumnBridge.column(BmpBuild(ColumnBridge.expression(seed),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
@@ -230,4 +296,9 @@ object BmpPixels {
       weighted: Boolean = false): Column =
     ColumnBridge.column(BmpResample(ColumnBridge.expression(media), rw, rh,
       channel, weighted))
+  def aHash(media: Column, rw: Int, rh: Int, channel: Int): Column = {
+    require(rw > 0 && rh > 0 && rw * rh <= 64, "aHash grid must fit 64 bits")
+    ColumnBridge.column(BmpAHashExpr(ColumnBridge.expression(media), rw, rh,
+      channel))
+  }
 }

@@ -79,7 +79,7 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(shingles(col("text"))).as("shingle"))
 
-  private val duckShingles =
+  private[operators] val duckShingles =
     """CASE WHEN LEN(STRING_SPLIT(TRIM(text), ' ')) < 3 THEN []::VARCHAR[]
       |  ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(TRIM(text), ' ')) - 1),
       |    i -> STRING_SPLIT(TRIM(text), ' ')[i] || ' ' || STRING_SPLIT(TRIM(text), ' ')[i+1] || ' ' || STRING_SPLIT(TRIM(text), ' ')[i+2])) END""".stripMargin
@@ -188,7 +188,7 @@ object Dedup {
     * own hard cap is 8 GB), and measured necessary: a 32 MB budget
     * rejects the sf1 edit-distance signature table (~25-30 MB payload)
     * and costs the query +5 s in sort-merge joins. */
-  private def sizeGatedBroadcast(sets: DataFrame, sigCol: String = "s"): DataFrame = {
+  private[operators] def sizeGatedBroadcast(sets: DataFrame, sigCol: String = "s"): DataFrame = {
     val m = sets.localCheckpoint(true)
     val bytes = m.agg(
         coalesce(sum(size(col(sigCol)) * 8L + 64L), lit(0L)).cast("long"))

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** Asymmetric near-dup: Jaccard CONTAINMENT C(A,B) = |A∩B| / min(|A|,|B|).
+  * Containment catches what Jaccard structurally cannot — a short document
+  * quoted wholesale inside a long one has J ≈ |A|/|B| (tiny) but C = 1 —
+  * which is the dominant real-world shape of training-set contamination
+  * and boilerplate inclusion. Same shingle vocabulary, DF cap, and exact
+  * sorted-signature verification as [[Dedup.jaccardPairs]]; only the
+  * prefix-filter geometry changes (the overlap bound anchors on the
+  * SMALLER set alone). */
+object Dedup2 {
+
+  /** C ≥ 4/5: a qualifying pair shares ≥ ⌈0.8·|A|⌉ shingles of the
+    * smaller set A. */
+  private val ContainmentThreshold = 0.8
+
+  /** ⌈4n/5⌉ = ⌊(4n+4)/5⌋ — exact in IEEE doubles for realistic n (the
+    * [[Dedup.jaccardAlpha]] argument: a correctly-rounded /5 of an exact
+    * long can't cross an integer boundary). */
+  private def containOMin(n: Column): Column =
+    floor((n * 4 + lit(4)) / lit(5)).cast("long")
+
+  /** Candidate generation, prefix-filtered on the SMALLER side only: if
+    * C(A,B) ≥ t with |A| ≤ |B|, then |A∩B| ≥ ⌈t·|A|⌉, so the first
+    * common shingle in the global rarity order sits within A's
+    * (|A| − ⌈t·|A|⌉ + 1)-prefix — B contributes FULL postings (no
+    * bound on B exists: B may be arbitrarily larger). The positional
+    * filter reuses the same matched-rank reach argument with the
+    * smaller side's requirement as α. Verification runs on full sets,
+    * so the pruning is exact — output ≡ the unfiltered index join the
+    * oracle states. */
+  private[graft] def containmentCandidatePlan(
+      docs: DataFrame, cap: Int = Dedup.ShingleDfCap): DataFrame =
+    containmentCandidatesFrom(Dedup.rankedShingleRows(docs, cap))
+
+  private def containmentCandidatesFrom(ranked: DataFrame): DataFrame = {
+    val prefix = Dedup.prefixRows(ranked, containOMin)
+    prefix.as("a").join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          Dedup.positionalFilter((na, _) => containOMin(na)))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** Exact-containment verification — the [[Dedup]] sorted-signature
+    * pattern: sets collected only for candidate docs, intersections via
+    * the codegen'd two-pointer merge, one double division per pair. */
+  private def verifyContainment(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val candM = cand.localCheckpoint(true)
+    val candDocs = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val candSets = Dedup.sizeGatedBroadcast(sh
+      .join(broadcast(candDocs), "doc_id")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("s")))
+    candM
+      .join(candSets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(candSets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sa.s"), col("sb.s")))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sa.s")), size(col("sb.s"))))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("a_id", "b_id", "containment")
+  }
+
+  /** Containment pairs at t = 0.8 over the capped shingle vocabulary.
+    * The oracle is the UNFILTERED inverted-index join (the prefix +
+    * positional pruning is Spark-side-only and exact), with the DF cap
+    * mirrored in its QUALIFY exactly as [[Dedup.duckJaccardPairsCap]]
+    * mirrors it. */
+  val containment: Q = Q(
+    "dedup_containment",
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
+       |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |ex AS (SELECT doc_id, shingle FROM exr
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= ${Dedup.ShingleDfCap}),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+       |  FROM pairs
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, containment FROM cs
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val ranked = Dedup.rankedShingleRows(documents(s, d), Dedup.ShingleDfCap)
+      .localCheckpoint(true)
+    verifyContainment(ranked.select("doc_id", "shingle"),
+        containmentCandidatesFrom(ranked))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(containment)
+}

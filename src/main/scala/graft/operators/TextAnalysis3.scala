@@ -441,6 +441,13 @@ object TextAnalysis3 {
        |  -((CAST(st AS DOUBLE) / $FixScale::DOUBLE) / n) AS nll
        |FROM sums
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    nllPerDoc(s, d).orderBy("doc_id")
+  }
+
+  /** The [[perplexity]] pipeline without the presentation sort —
+    * (doc_id, n_bigrams, nll), shared with the CCNet-style bucket
+    * consumer in [[TextAnalysis6]]. */
+  private[operators] def nllPerDoc(s: SparkSession, d: String): DataFrame = {
     val ws = documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
     val toks = ws.select(col("doc_id"), explode(col("w")).as("tok"))
@@ -466,7 +473,6 @@ object TextAnalysis3 {
       .agg(sum("t").as("st"), count(lit(1)).as("n"))
       .select(col("doc_id"), col("n").as("n_bigrams"),
         (-((col("st").cast("double") / lit(FixScale)) / col("n"))).as("nll"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate,

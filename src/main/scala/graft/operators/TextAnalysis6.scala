@@ -405,6 +405,68 @@ object TextAnalysis6 {
       .orderBy("a_id", "b_id")
   }
 
+  /** CCNet-style perplexity terciles: per language, documents split into
+    * head / middle / tail thirds by LM surprisal (reusing
+    * [[TextAnalysis3.nllPerDoc]] — the registered `text_perplexity`
+    * pipeline), with per-bucket volume and nll profile. This is the
+    * data-selection step CCNet runs before sampling: keep head, mix
+    * middle, drop tail.
+    *
+    * The tercile is the explicit rank-fraction rule
+    * bucket = ⌊(rn−1)·3 / n_lang⌋ + 1 over the (nll, doc_id) total
+    * order — spelled out instead of NTILE so both engines compute the
+    * identical boundary (NTILE's remainder placement is engine-defined
+    * lore; this formula is integer arithmetic). The per-language rank
+    * comes from ONE [[ScalableWindows.globalRowNumber]] pass over
+    * (lang, nll, doc_id) minus a broadcast per-language offset — no
+    * coarse-partition window anywhere, so a language holding half the
+    * corpus still sorts in parallel range partitions. Cross-row nll
+    * accumulation is the house ×2⁴⁰ fixed-point BIGINT sum. */
+  val pplBuckets: Q = Q(
+    "text_ppl_buckets",
+    s"""WITH ppl AS (${TextAnalysis3.perplexity.oracle.get}),
+       |j AS (
+       |  SELECT d.lang, d.n_chars, p.doc_id, p.nll
+       |  FROM ppl p JOIN documents d ON d.doc_id = p.doc_id),
+       |r AS (
+       |  SELECT lang, n_chars, nll,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS nl
+       |  FROM j),
+       |b AS (
+       |  SELECT lang, n_chars, nll,
+       |    ((rn - 1) * 3) // nl + 1 AS bucket
+       |  FROM r)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(nll) AS min_nll, MAX(nll) AS max_nll,
+       |  (CAST(SUM(CAST(FLOOR(nll * $FixScale::DOUBLE + 0.5::DOUBLE) AS BIGINT))
+       |     AS DOUBLE) / $FixScale::DOUBLE) / COUNT(*) AS avg_nll
+       |FROM b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val j = TextAnalysis3.nllPerDoc(s, d)
+      .join(documents(s, d).select("doc_id", "lang", "n_chars"), "doc_id")
+    val ranked = ScalableWindows.globalRowNumber(j,
+      Seq(col("lang"), col("nll"), col("doc_id")), "grn")
+    val offs = ranked.groupBy("lang")
+      .agg(min("grn").as("lang0"), count(lit(1)).as("nl"))
+    ranked.join(broadcast(offs), "lang")
+      .withColumn("rn", col("grn") - col("lang0") + 1)
+      .withColumn("bucket", expr("((rn - 1) * 3) div nl + 1"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("total_chars"),
+        min("nll").as("min_nll"), max("nll").as("max_nll"),
+        ((sum(floor(col("nll") * lit(FixScale) + lit(0.5)).cast("long"))
+          .cast("double") / lit(FixScale)) / count(lit(1))).as("avg_nll"))
+      .select(col("lang"), col("bucket").cast("bigint").as("bucket"),
+        col("n_docs"), col("total_chars"), col("min_nll"), col("max_nll"),
+        col("avg_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Seq[Q] = Seq(klDrift, qualityLogit, ngramNovelty, zipfFit,
-    lengthHistogram, rougePairs)
+    lengthHistogram, rougePairs, pplBuckets)
 }

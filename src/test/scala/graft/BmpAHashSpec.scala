@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BmpPixels
+import graft.operators.Multimodal2
+
+class BmpAHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** expected aHash straight from the generating formula (the oracle's
+    * derivation): sample (⌊xx·w/8⌋, ⌊yy·h/8⌋), red = (sx·sy+seed)%256 */
+  private def formulaHash(seed: Long, w: Int, h: Int): Long = {
+    val vs = for (yy <- 0 until 8; xx <- 0 until 8) yield {
+      val sx = xx * w / 8; val sy = yy * h / 8
+      ((sx.toLong * sy + seed) % 256).toInt
+    }
+    val sum = vs.map(_.toLong).sum
+    vs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v.toLong * 64 > sum) acc | (1L << i) else acc
+    }
+  }
+
+  test("aHash over built BMPs ≡ the generating-formula hash " +
+    "(walker honors offset/stride/bottom-up order)") {
+    for (seed <- Seq(0L, 7L, 123L, 4095L); (w, h) <- Seq((8, 8), (36, 24), (9, 17))) {
+      val got = BmpPixels.bmpAHash(BmpPixels.buildBmp(seed, w, h), 8, 8, 2)
+      assert(got === formulaHash(seed, w, h), s"seed=$seed w=$w h=$h")
+    }
+  }
+
+  test("-1 sentinel: invalid input → NULL; valid hashes never collide " +
+    "with the sentinel (all-ones is provably unreachable)") {
+    assert(BmpPixels.bmpAHash(Array[Byte](1, 2, 3), 8, 8, 2) === -1L)
+    assert(BmpPixels.bmpAHash(null, 8, 8, 2) === -1L)
+    val df = Seq(Array[Byte](0, 1, 2)).toDF("media")
+      .select(BmpPixels.aHash(col("media"), 8, 8, 2).as("h"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("near-identical seeds (mod-256 wrap noise) land within Hamming 3; " +
+    "phash query returns exactly the banded-verified pair set") {
+    // quartet neighbours differ only where (sx·sy+seed) wraps 256
+    val base = 1000L
+    val h0 = formulaHash(base, 20, 15)
+    val h1 = formulaHash(base + 1, 20, 15)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3)
+
+    val pairs = Multimodal2.phashDedup.run(spark, TestSpark.tiny)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // brute-force reference: all pairs at hamming ≤ 3 that share ≥1 band
+    val docs = Tables.documents(spark, TestSpark.tiny)
+      .select("doc_id").as[Long].collect().sorted
+    val hashes = docs.map { id =>
+      val q = id / 4
+      id -> formulaHash(id, (q % 29 + 8).toInt, (q % 17 + 8).toInt)
+    }.toMap
+    def bands(x: Long): Seq[Long] = (0 until 4).map(k => (x >> (16 * k)) & 0xFFFFL)
+    val brute = (for {
+      a <- docs; b <- docs if a < b
+      ha = hashes(a); hb = hashes(b)
+      if bands(ha).zip(bands(hb)).exists { case (x, y) => x == y }
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs.toSet === brute)
+  }
+}
