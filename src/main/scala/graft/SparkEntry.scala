@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
       Relational7.all ++ Relational8.all ++ EventAnalytics.all ++
-      EventAnalytics2.all ++ EventAnalytics3.all ++ Cdc.all ++ Scd.all ++
+      EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
+      Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
       Dedup.all ++ Dedup2.all ++ Curation.all ++

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** Fourth batch of event-stream analytics — ClickHouse-signature
+  * aggregate combinators the provisioned sink exposes to its users
+  * (`/root/reference/all.json:17-27` lands the CDC stream in ClickHouse;
+  * these are the aggregations that sink's users run on it):
+  * `uniqUpTo(N)`, `deltaSum`, `sumMap`, and `maxIntersections`.
+  *
+  * All four stay on bounded-state shapes: capped distincts collapse via
+  * ordinary partial aggregation, the delta scan and the interval sweep
+  * ride per-user windows (one shuffle + sort on the natural key), and
+  * the map aggregation is two hash aggs. All state arithmetic is exact
+  * BIGINT / DECIMAL, so every DuckDB oracle is a bit-exact restatement.
+  */
+object EventAnalytics4 {
+
+  /** uniqUpTo caps: exact distinct counts saturate at N+1 — the
+    * ClickHouse contract ("use when you only care whether the count
+    * clears a threshold"; state is ≤ N+1 keys per group, so partial
+    * aggregation stays bounded no matter the corpus). */
+  private val UserCap = 50
+  private val KCap    = 10
+
+  /** ClickHouse-`uniqUpTo(N)(x)` analogue: per event type, the exact
+    * distinct user count capped at N+1 and the distinct props.k count
+    * capped at its own N+1. Declaratively this is
+    * `LEAST(COUNT(DISTINCT x), N+1)` — Catalyst plans the standard
+    * two-phase distinct aggregate (partial distinct on the map side, so
+    * the shuffle carries ≤ |distinct| rows per group, and the cap is a
+    * free scalar on top). The cap semantics — not the plan — are the
+    * contract: a 1000-executor rollup can drop any distinct state past
+    * N+1 keys and still answer exactly. */
+  val q91UniqUpTo: Q = Q(
+    "q91_uniq_up_to",
+    s"""SELECT event_type,
+       |  LEAST(COUNT(DISTINCT user_id), ${UserCap + 1})::BIGINT AS uniq_users_upto,
+       |  LEAST(COUNT(DISTINCT CAST(JSON_EXTRACT_STRING(props, '$$.k') AS BIGINT)), ${KCap + 1})::BIGINT AS uniq_k_upto,
+       |  COUNT(*) AS n_events
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(
+        least(countDistinct(col("user_id")), lit(UserCap + 1L)).cast("bigint")
+          .as("uniq_users_upto"),
+        least(countDistinct(col("k")), lit(KCap + 1L)).cast("bigint")
+          .as("uniq_k_upto"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** ClickHouse-`deltaSum` analogue: per user, the sum of POSITIVE
+    * steps between consecutive readings in (ts, event_id) order — the
+    * counter-reset-tolerant "total increase" aggregate (a monotone
+    * counter that resets to 0 contributes each ramp once; dips are
+    * ignored). Values fold as ×10⁴ fixed-point BIGINTs (the q72/q90
+    * convention) so both engines sum identical integers; the one double
+    * division happens per user at the end. One shuffle + sort on
+    * user_id; lag and the final agg share it. */
+  val q92DeltaSum: Q = Q(
+    "q92_delta_sum",
+    """WITH v AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    LAG(CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv4
+      |  FROM events)
+      |SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN pv4 IS NOT NULL AND v4 > pv4
+      |                THEN v4 - pv4 ELSE 0 END) AS DOUBLE) / 10000.0::DOUBLE
+      |    AS delta_sum
+      |FROM v
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .withColumn("pv4", lag(col("v4"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(when(col("pv4").isNotNull && col("v4") > col("pv4"),
+          col("v4") - col("pv4")).otherwise(0L)).cast("double") / 10000.0)
+          .as("delta_sum"))
+      .orderBy("user_id")
+  }
+
+  /** ClickHouse-`sumMap` analogue: per user, the event_type-keyed map
+    * of (occurrence count, exact value sum), emitted as the
+    * key-sorted parallel arrays ClickHouse returns. Two hash aggs —
+    * the first collapses to |users|·|types| rows with exact DECIMAL
+    * sums (partial map-side combine does the heavy lifting), the
+    * second packs each user's ≤ |types| entries into arrays. Per-user
+    * state is bounded by the event-type vocabulary, never by event
+    * count. */
+  val q93SumMap: Q = Q(
+    "q93_sum_map",
+    """WITH per AS (
+      |  SELECT user_id, event_type,
+      |    COUNT(*)::BIGINT AS cnt,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vs
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  ARRAY_AGG(event_type ORDER BY event_type) AS keys,
+      |  ARRAY_AGG(cnt ORDER BY event_type) AS counts,
+      |  ARRAY_AGG(vs ORDER BY event_type) AS sums
+      |FROM per
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val per = events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"), dsum(val4(col("value"))).as("vs"))
+    per
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"), col("vs")))).as("es"))
+      .select(col("user_id"),
+        transform(col("es"), e => e.getField("event_type")).as("keys"),
+        transform(col("es"), e => e.getField("cnt")).as("counts"),
+        transform(col("es"), e => e.getField("vs")).as("sums"))
+      .orderBy("user_id")
+  }
+
+  /** maxIntersections sweep: each event opens a half-open usage
+    * interval [ts, ts + (1 + props.k mod 60) h) — a deterministic
+    * duration from the payload (hour-scale so overlap actually occurs
+    * at every SF's event cadence), so both engines derive identical
+    * intervals. */
+  private val DurBaseUs = 3600L * 1000000L
+
+  /** ClickHouse-`maxIntersections(start, end)` analogue: per user, the
+    * peak number of concurrently open intervals. The classic sweep —
+    * +1 at each start, −1 at each end, peak running sum — expressed as
+    * one generator + two aggregations + one per-user window:
+    * endpoint deltas collapse by (user, pos, delta) first (the running
+    * sum over the collapsed rows is order-deterministic because the
+    * remaining sort key is unique per user), ends sort before starts at
+    * equal positions (delta −1 < +1), which is exactly the half-open
+    * [s, e) contract — touching intervals do not overlap. All passes
+    * share the user_id shuffle; per-user state is activity-bounded, the
+    * same boundedness q89/q90 rely on. */
+  val q94MaxIntersections: Q = Q(
+    "q94_max_intersections",
+    s"""WITH iv AS (
+       |  SELECT user_id, EPOCH_US(ts) AS st,
+       |    EPOCH_US(ts) + $DurBaseUs *
+       |      (1 + CAST(JSON_EXTRACT_STRING(props, '$$.k') AS BIGINT) % 60) AS en
+       |  FROM events),
+       |pts AS (
+       |  SELECT user_id, st AS pos, 1::BIGINT AS delta FROM iv
+       |  UNION ALL
+       |  SELECT user_id, en AS pos, -1::BIGINT AS delta FROM iv),
+       |g AS (
+       |  SELECT user_id, pos, delta, SUM(delta) AS d
+       |  FROM pts GROUP BY 1, 2, 3),
+       |run AS (
+       |  SELECT user_id, d,
+       |    SUM(d) OVER (PARTITION BY user_id ORDER BY pos, delta
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+       |  FROM g)
+       |SELECT user_id,
+       |  CAST(MAX(r) AS BIGINT) AS max_concurrent,
+       |  CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS n_intervals
+       |FROM run
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val iv = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(DurBaseUs) *
+          (lit(1L) + get_json_object(col("props"), "$.k").cast("bigint") % 60))
+          .as("en"))
+    val pts = iv.select(col("user_id"),
+      explode(array(
+        struct(col("st").as("pos"), lit(1L).as("delta")),
+        struct(col("en").as("pos"), lit(-1L).as("delta")))).as("p"))
+      .select(col("user_id"), col("p.pos"), col("p.delta"))
+    val g = pts.groupBy("user_id", "pos", "delta")
+      .agg(sum(col("delta")).as("d"))
+    val w = Window.partitionBy("user_id").orderBy(col("pos"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("r", sum(col("d")).over(w))
+      .groupBy("user_id")
+      .agg(
+        max(col("r")).as("max_concurrent"),
+        sum(when(col("d") > 0, col("d")).otherwise(0L)).cast("bigint")
+          .as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q91UniqUpTo, q92DeltaSum, q93SumMap,
+    q94MaxIntersections)
+}

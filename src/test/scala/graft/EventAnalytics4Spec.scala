@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics4
+
+class EventAnalytics4Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q91 uniqUpTo saturates at N+1 and is exact below the cap") {
+    val got = EventAnalytics4.q91UniqUpTo.run(spark, TestSpark.tiny)
+      .select("event_type", "uniq_users_upto", "uniq_k_upto")
+      .as[(String, Long, Long)].collect()
+    val exact = Tables.events(spark, TestSpark.tiny)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(rs =>
+        (rs.map(_._2).distinct.size.toLong, rs.map(_._3).distinct.size.toLong))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, uu, uk) =>
+      val (eu, ek) = exact(t)
+      assert(uu === math.min(eu, 51L), s"users for $t")
+      assert(uk === math.min(ek, 11L), s"k for $t")
+    }
+    // fixture discriminates: at least one group saturates the k cap and
+    // at least one count sits below its cap somewhere in either column
+    assert(got.exists(_._3 == 11L), "no group saturates the k cap")
+  }
+
+  test("q92 deltaSum ≡ driver-side positive-step fold") {
+    val byUser = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4)).toMap
+    val want = byUser.view.mapValues { vs =>
+      vs.zip(vs.tail).map { case (a, b) => math.max(0L, b - a) }.sum
+    }.toMap
+    val got = EventAnalytics4.q92DeltaSum.run(spark, TestSpark.tiny)
+      .select(col("user_id"),
+        floor(col("delta_sum") * 10000.0 + 0.5).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.values.exists(_ > 0L), "degenerate fixture: all-zero deltas")
+  }
+
+  test("q93 sumMap arrays are key-sorted and parallel") {
+    val rows = EventAnalytics4.q93SumMap.run(spark, TestSpark.tiny)
+      .select("user_id", "keys", "counts", "sums")
+      .as[(Long, Seq[String], Seq[Long], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, keys, counts, sums) =>
+      assert(keys == keys.sorted, s"user $u keys unsorted")
+      assert(keys.distinct == keys, s"user $u duplicate keys")
+      assert(keys.size == counts.size && keys.size == sums.size)
+    }
+    // cross-check one flattened total against the plain groupBy
+    val total = rows.flatMap(_._3).sum
+    val n = Tables.events(spark, TestSpark.tiny).count()
+    assert(total === n)
+  }
+
+  test("q94 maxIntersections ≡ brute-force per-user interval overlap peak") {
+    val iv = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(3600L * 1000000L) *
+          (lit(1L) + get_json_object(col("props"), "$.k").cast("bigint") % 60))
+          .as("en"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    // peak concurrency = max over all starts of the count of intervals
+    // containing that start (half-open [s, e))
+    val want = iv.view.mapValues { ivs =>
+      ivs.map { case (s0, _) =>
+        ivs.count { case (s, e) => s <= s0 && s0 < e }.toLong
+      }.max
+    }.toMap
+    val got = EventAnalytics4.q94MaxIntersections.run(spark, TestSpark.tiny)
+      .select("user_id", "max_concurrent").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.values.exists(_ > 1L), "degenerate fixture: no overlaps")
+  }
+}
