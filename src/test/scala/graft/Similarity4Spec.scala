@@ -45,4 +45,52 @@ class Similarity4Spec extends AnyFunSuite {
       assert(bySim.zip(bySim.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("sim_mmr_select ≡ plain-Scala greedy MMR over the exact shortlist") {
+    val embs = Tables.embeddings(spark, TestSpark.tiny)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // same sequential-fold shape as the engine's DotProduct
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 10L).flatMap { q =>
+      val rel = embs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(embs(q), embs(n))))
+        .sortBy { case (n, r) => (-r, n) }.take(20)
+      val relMap = rel.toMap
+      var picked = Vector(rel.head._1)
+      while (picked.size < 5) {
+        val next = rel.filterNot(c => picked.contains(c._1))
+          .map { case (n, r) =>
+            val maxdiv = picked.map(p => cos(embs(n), embs(p))).max
+            (n, 0.7 * r - 0.3 * maxdiv)
+          }
+          .minBy { case (n, sc) => (-sc, n) }._1
+        picked :+= next
+      }
+      picked.zipWithIndex.map { case (n, i) =>
+        (q, i + 1L, n, relMap(n)) }
+    }.toSet
+    val got = Similarity4.mmrSelect.run(spark, TestSpark.tiny)
+      .select("q_id", "pick", "n_id", "rel")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // diversity must bind: at least one query's picks differ from its
+    // plain top-5 by relevance
+    val top5 = (0L until 10L).map { q =>
+      q -> embs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(embs(q), embs(n))))
+        .sortBy { case (n, r) => (-r, n) }.take(5).map(_._1).toSet
+    }.toMap
+    assert(got.groupBy(_._1).exists { case (q, rs) =>
+      rs.map(_._3) != top5(q) })
+  }
 }
