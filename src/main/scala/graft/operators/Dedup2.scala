@@ -105,5 +105,86 @@ object Dedup2 {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(containment)
+  /** Estimator-quality report parameters: K affine min-hash components
+    * over the base-31 poly hash (a_j = 2j+3 is nonzero mod the prime, so
+    * each h ↦ a_j·h + b_j mod P is a permutation — the standard
+    * universal-hash MinHash family). */
+  private val EstHashes = 16
+  private val EstMod = 1000000007L
+
+  /** MinHash estimator audit: for every verified exact-Jaccard pair,
+    * the 16-component MinHash similarity estimate next to the true
+    * Jaccard — the operator a pipeline owner runs to decide whether the
+    * sketch tier's component count is adequate before trusting it at a
+    * threshold. Unlike the production [[Dedup.withMinhash]] signatures
+    * (xxhash64 — not restatable in DuckDB), these components are affine
+    * transforms of the portable base-31 poly hash, so the WHOLE
+    * estimator — not just the verified output — is oracle-checked
+    * bit-for-bit.
+    *
+    * 100 TB shape: one codegen'd poly-hash pass over the capped shingle
+    * relation, ONE hash agg building all 16 min-components map-side, and
+    * a pair-bounded join against the verified pair set. The estimate is
+    * a single division of exact BIGINTs. */
+  val minhashEstimate: Q = Q(
+    "dedup_minhash_estimate",
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
+       |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |ex AS (SELECT doc_id, shingle FROM exr
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= ${Dedup.ShingleDfCap}),
+       |ph AS (SELECT doc_id,
+       |  LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+       |    LIST_TRANSFORM(RANGE(1, LENGTH(shingle) + 1), i -> ASCII(shingle[i])::BIGINT)),
+       |    (acc, c) -> (acc * 31 + c) % $EstMod) AS h FROM ex),
+       |m AS (SELECT doc_id, j,
+       |  MIN(((2 * j + 3) * h + (5 * j + 7)) % $EstMod) AS mh
+       |  FROM ph CROSS JOIN (SELECT UNNEST(RANGE(0, $EstHashes)) AS j) r
+       |  GROUP BY doc_id, j),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |js AS (
+       |  SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS sim
+       |  FROM pairs
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id),
+       |keep AS (SELECT a_id, b_id, sim FROM js WHERE sim >= 0.5),
+       |nm AS (
+       |  SELECT k.a_id, k.b_id, k.sim,
+       |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM keep k
+       |  JOIN m ma ON ma.doc_id = k.a_id
+       |  JOIN m mb ON mb.doc_id = k.b_id AND mb.j = ma.j
+       |  GROUP BY 1, 2, 3)
+       |SELECT a_id, b_id, sim, n_match,
+       |  CAST(n_match AS DOUBLE) / ${EstHashes}.0::DOUBLE AS est
+       |FROM nm
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val ex = Dedup.filteredShingleRows(docs).select("doc_id", "shingle")
+    val ph = ex.select(col("doc_id"),
+      graft.functions.PolyHash.full(col("shingle")).as("h"))
+    val sig = ph.groupBy("doc_id")
+      .agg(
+        min((col("h") * lit(3L) + lit(7L)) % EstMod).as("m0"),
+        (1 until EstHashes).map(j =>
+          min((col("h") * lit(2L * j + 3) + lit(5L * j + 7)) % EstMod)
+            .as(s"m$j")): _*)
+    val pairs = Dedup.jaccardPairs(docs) // (a_id, b_id, sim) — verified
+    val joined = pairs
+      .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+    val nMatch = (0 until EstHashes)
+      .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    joined
+      .withColumn("n_match", nMatch)
+      .withColumn("est", col("n_match").cast("double") / EstHashes.toDouble)
+      .select("a_id", "b_id", "sim", "n_match", "est")
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(containment, minhashEstimate)
 }

@@ -46,4 +46,25 @@ class Dedup2Spec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("minhash estimator: identical docs match on all 16 components and " +
+    "the estimate tracks true Jaccard") {
+    import spark.implicits._
+    val rows = Dedup2.minhashEstimate
+      .run(spark, TestSpark.tiny)
+      .select("a_id", "b_id", "sim", "n_match", "est")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, sim, n, est) =>
+      assert(n >= 0L && n <= 16L, s"($a,$b)")
+      assert(est === n.toDouble / 16.0)
+      // identical shingle sets must agree on every min component
+      if (sim == 1.0) assert(n === 16L, s"exact dup ($a,$b) mismatched")
+    }
+    // unbiasedness in aggregate: mean |est − sim| over the verified
+    // pairs stays under the 16-component binomial noise envelope
+    val mae = rows.map { case (_, _, sim, _, est) =>
+      math.abs(est - sim) }.sum / rows.length
+    assert(mae <= 0.35, s"estimator MAE $mae")
+  }
 }
