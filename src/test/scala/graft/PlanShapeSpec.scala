@@ -41,7 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // text_mixture_sample cross-attaches the one-row (Σk, target)
       // aggregate — the same bounded scalar-attach exemption
       graft.operators.TextAnalysis4.all.filterNot(q =>
-        Set("text_length_filter", "text_mixture_sample")(q.name))
+        Set("text_length_filter", "text_mixture_sample")(q.name)) ++
+      graft.operators.EventAnalytics3.all ++
+      graft.operators.EventAnalytics4.all ++
+      // kneser_ney/burstiness attach one-row aggregates (bigram type
+      // count T / corpus doc count N) — the documented exemption
+      graft.operators.TextAnalysis7.all.filterNot(q =>
+        Set("text_kneser_ney", "text_burstiness")(q.name)) ++
+      graft.operators.Multimodal3.all
 
   test("no relational query plans a cartesian product or BNL") {
     for (q <- allRelational) {
@@ -151,6 +158,39 @@ class PlanShapeSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.isEmpty, s"bpe_merges still plans a window:\n$plan")
+  }
+
+  test("sim_hamming_rerank bounds both stages with WindowGroupLimit") {
+    // the shortlist and the rerank are both rank-filtered windows; if
+    // either loses the WindowGroupLimit rewrite, a corpus-sized window
+    // buffer materializes per query partition
+    val plan = graft.operators.Similarity4.hammingRerank
+      .run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("mm_jpeg_segments / mm_mp4_boxes are pure map-side walks (no " +
+    "join, no hash shuffle — only the presentation sort's exchange)") {
+    for (q <- graft.operators.Multimodal3.all) {
+      val plan = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"${q.name} plans a join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"${q.name} plans a hash shuffle:\n$plan")
+    }
+  }
+
+  test("q94 maxIntersections shuffles on user_id only (sweep + final agg " +
+    "share the partitioning)") {
+    val plan = graft.operators.EventAnalytics4.q94MaxIntersections
+      .run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    // one shuffle to (user_id, pos, delta) for the collapse feeds the
+    // user_id window and final agg; AQE may add at most one more for the
+    // user_id regroup — anything beyond that means the sweep re-shuffles
+    assert(hashExchanges <= 2, s"q94 plans $hashExchanges hash shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("unpartitioned windows appear only in documented bounded queries") {
