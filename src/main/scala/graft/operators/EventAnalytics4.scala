@@ -198,6 +198,111 @@ object EventAnalytics4 {
       .orderBy("user_id")
   }
 
+  /** ClickHouse-`boundingRatio` analogue: per user, the end-to-end rate
+    * of change — (last value − first value) / (last ts − first ts) in
+    * value-units per hour, endpoints taken in the engine's (ts,
+    * event_id) total order. The rate is ONE double division of exact
+    * BIGINTs: Δv4 · 360 000 / Δt_µs (= (Δv4/10⁴) / (Δt/3.6·10⁹)), so
+    * both engines emit the identical double; single-reading users get
+    * NULL. One hash agg on user_id — min_by/max_by keep the endpoint
+    * state per user at two structs. */
+  val q95BoundingRatio: Q = Q(
+    "q95_bounding_ratio",
+    """WITH v AS (
+      |  SELECT user_id, EPOCH_US(ts) AS t, event_id,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |f AS (SELECT user_id, t AS t0, v4 AS v0, n FROM v WHERE rn = 1),
+      |l AS (SELECT user_id, t AS t1, v4 AS v1 FROM v WHERE rn = n)
+      |SELECT f.user_id, CAST(f.n AS BIGINT) AS n_events,
+      |  CASE WHEN l.t1 > f.t0 THEN
+      |    CAST((l.v1 - f.v0) * 360000 AS DOUBLE) / CAST(l.t1 - f.t0 AS DOUBLE)
+      |  END AS rate_per_hour
+      |FROM f JOIN l ON l.user_id = f.user_id
+      |ORDER BY f.user_id""".stripMargin) { (s, d) =>
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("v4"), struct(col("t"), col("event_id"))).as("v0"),
+        max_by(col("v4"), struct(col("t"), col("event_id"))).as("v1"),
+        min(col("t")).as("t0"),
+        max(col("t")).as("t1"))
+      .select(col("user_id"), col("n_events"),
+        when(col("t1") > col("t0"),
+          ((col("v1") - col("v0")) * 360000L).cast("double") /
+            (col("t1") - col("t0")).cast("double")).as("rate_per_hour"))
+      .orderBy("user_id")
+  }
+
+  /** ClickHouse-`intervalLengthSum` analogue: per user, the length of
+    * the UNION of the q94 usage intervals (overlaps counted once) —
+    * computed from the same collapsed ±1 endpoint sweep: a segment
+    * [pos, next_pos) is covered iff the running sum is positive at its
+    * left edge, so covered time = Σ (next_pos − pos) over positive-count
+    * segments. Shares q94's single user_id shuffle; all arithmetic is
+    * exact µs BIGINTs. */
+  val q96IntervalLengthSum: Q = Q(
+    "q96_interval_length_sum",
+    s"""WITH iv AS (
+       |  SELECT user_id, EPOCH_US(ts) AS st,
+       |    EPOCH_US(ts) + $DurBaseUs *
+       |      (1 + CAST(JSON_EXTRACT_STRING(props, '$$.k') AS BIGINT) % 60) AS en
+       |  FROM events),
+       |pts AS (
+       |  SELECT user_id, st AS pos, 1::BIGINT AS delta FROM iv
+       |  UNION ALL
+       |  SELECT user_id, en AS pos, -1::BIGINT AS delta FROM iv),
+       |g AS (
+       |  SELECT user_id, pos, SUM(delta) AS d,
+       |    SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS starts
+       |  FROM pts GROUP BY 1, 2),
+       |run AS (
+       |  SELECT user_id, pos, d, starts,
+       |    SUM(d) OVER (PARTITION BY user_id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+       |    LEAD(pos) OVER (PARTITION BY user_id ORDER BY pos) AS next_pos
+       |  FROM g)
+       |SELECT user_id,
+       |  CAST(SUM(CASE WHEN r > 0 AND next_pos IS NOT NULL
+       |                THEN next_pos - pos ELSE 0 END) AS BIGINT) AS covered_us,
+       |  CAST(SUM(starts) AS BIGINT) AS n_intervals
+       |FROM run
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val iv = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(DurBaseUs) *
+          (lit(1L) + get_json_object(col("props"), "$.k").cast("bigint") % 60))
+          .as("en"))
+    val pts = iv.select(col("user_id"),
+      explode(array(
+        struct(col("st").as("pos"), lit(1L).as("delta")),
+        struct(col("en").as("pos"), lit(-1L).as("delta")))).as("p"))
+      .select(col("user_id"), col("p.pos"), col("p.delta"))
+    // collapse to one row per (user, pos): net delta for the sweep plus
+    // raw start count (the interval census) — the remaining sort key is
+    // unique per user, so the running sum is deterministic
+    val g = pts.groupBy("user_id", "pos").agg(
+      sum(col("delta")).as("d"),
+      sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("starts"))
+    val w = Window.partitionBy("user_id").orderBy(col("pos"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("r", sum(col("d")).over(frame))
+      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("r") > 0 && col("next_pos").isNotNull,
+          col("next_pos") - col("pos")).otherwise(0L)).cast("bigint")
+          .as("covered_us"),
+        sum(col("starts")).cast("bigint").as("n_intervals"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q91UniqUpTo, q92DeltaSum, q93SumMap,
-    q94MaxIntersections)
+    q94MaxIntersections, q95BoundingRatio, q96IntervalLengthSum)
 }

@@ -623,6 +623,58 @@ object Streams {
     * after is sources × 256 exactly like the batch query. A long-lived
     * deployment compacts `counts/` periodically the same way the
     * near-dup index compacts its postings. */
+  /** ST6 incremental twin of
+    * [[graft.operators.EventAnalytics4.q92DeltaSum]]: per-user deltaSum
+    * maintained across micro-batches with bounded per-batch state — one
+    * stored row per (user, batch): reading count, internal
+    * positive-step sum, and the first/last ×10⁴ fixed-point readings in
+    * (ts, event_id) order. Contract: batches arrive time-ordered per
+    * user (the CDC-replay / monotone-source case — the same
+    * sorted-arrival contract the curation twin documents for its
+    * golden). The cumulative answer folds the stored aggregates per
+    * user in batch_id order: Σ internal sums + Σ cross-boundary
+    * positive steps (lag over ≤|batches| rows per user).
+    *
+    * Idempotence: a retry overwrites ONLY its own `agg/batch_id=`
+    * partition and reads priors (batch_id < current) → re-running a
+    * failed batch cannot double-count. 100 TB shape: the per-batch agg
+    * is one window + hash agg on user_id (batch-sized); the fold reads
+    * |users|·|batches| aggregate rows, never raw events. */
+  def deltaSumIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val wB = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val agg = batch
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .withColumn("pv4", lag(col("v4"), 1).over(wB))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("bn"),
+        sum(when(col("pv4").isNotNull && col("v4") > col("pv4"),
+          col("v4") - col("pv4")).otherwise(0L)).as("bacc"),
+        min_by(col("v4"), struct(col("t"), col("event_id"))).as("first_v4"),
+        max_by(col("v4"), struct(col("t"), col("event_id"))).as("last_v4"))
+    agg.write.mode("overwrite").parquet(s"$stateDir/agg/batch_id=$batchId")
+    val aggPath = new org.apache.hadoop.fs.Path(s"$stateDir/agg")
+    val all = spark.read.parquet(aggPath.toString)
+      .filter(col("batch_id") < batchId)
+      .select("user_id", "batch_id", "bn", "bacc", "first_v4", "last_v4")
+      .unionByName(agg.withColumn("batch_id", lit(batchId))
+        .select("user_id", "batch_id", "bn", "bacc", "first_v4", "last_v4"))
+    val wF = Window.partitionBy("user_id").orderBy(col("batch_id"))
+    all
+      .withColumn("prev_last", lag(col("last_v4"), 1).over(wF))
+      .groupBy("user_id")
+      .agg(
+        sum(col("bn")).as("n_events"),
+        ((sum(col("bacc")) +
+          sum(when(col("prev_last").isNotNull &&
+            col("first_v4") > col("prev_last"),
+            col("first_v4") - col("prev_last")).otherwise(0L)))
+          .cast("double") / 10000.0).as("delta_sum"))
+  }
+
   def klDriftIncrementalBatch(batch: DataFrame, stateDir: String,
       batchId: Long): DataFrame = {
     import graft.operators.{TextAnalysis, TextAnalysis6}

@@ -87,4 +87,51 @@ class EventAnalytics4Spec extends AnyFunSuite {
     assert(got === want)
     assert(want.values.exists(_ > 1L), "degenerate fixture: no overlaps")
   }
+
+  test("q95 boundingRatio ≡ driver-side endpoint rate (µs-exact)") {
+    val byUser = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    val want = byUser.view.mapValues { es =>
+      val (t0, _, v0) = (es.head._2, es.head._3, es.head._4)
+      val (t1, _, v1) = (es.last._2, es.last._3, es.last._4)
+      if (t1 > t0) Some(((v1 - v0) * 360000L).toDouble / (t1 - t0).toDouble)
+      else None
+    }.toMap
+    val got = EventAnalytics4.q95BoundingRatio.run(spark, TestSpark.tiny)
+      .select("user_id", "rate_per_hour").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === want)
+    assert(want.values.flatten.exists(_ != 0.0))
+  }
+
+  test("q96 intervalLengthSum ≡ brute-force union length per user") {
+    val iv = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(3600L * 1000000L) *
+          (lit(1L) + get_json_object(col("props"), "$.k").cast("bigint") % 60))
+          .as("en"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    // brute force: merge sorted intervals, sum merged lengths
+    val want = iv.view.mapValues { ivs =>
+      val sorted = ivs.sortBy(_._1)
+      var covered = 0L; var curS = sorted.head._1; var curE = sorted.head._2
+      sorted.tail.foreach { case (s0, e0) =>
+        if (s0 > curE) { covered += curE - curS; curS = s0; curE = e0 }
+        else if (e0 > curE) curE = e0
+      }
+      covered + (curE - curS)
+    }.toMap
+    val got = EventAnalytics4.q96IntervalLengthSum.run(spark, TestSpark.tiny)
+      .select("user_id", "covered_us").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // union length must be < sum of raw lengths somewhere (overlap binds)
+    val raw = iv.view.mapValues(_.map(p => p._2 - p._1).sum).toMap
+    assert(want.exists { case (u, c) => c < raw(u) })
+  }
 }
