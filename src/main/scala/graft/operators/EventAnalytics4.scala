@@ -303,6 +303,88 @@ object EventAnalytics4 {
       .orderBy("user_id")
   }
 
+  /** Hour index anchor: 2024-01-01T00:00Z in hours-since-epoch, so the
+    * regression x values stay small integers (|x| ≤ a few thousand on
+    * any test window) and every power/cross sum is exactly
+    * representable. */
+  private val AnchorHours = 473352L
+
+  /** ClickHouse-`simpleLinearRegression` (+ Pearson r) analogue: per
+    * event type, the OLS fit of value against event time (value-units
+    * per hour) with the correlation coefficient — trend detection over
+    * the stream, the standard "is this metric drifting" query.
+    *
+    * Exactness: x = whole hours since a FIXED anchor (small integers),
+    * y = ×10⁴ fixed-point BIGINT. The five power sums are exact
+    * (BIGINT; Σy² as a 128-bit-class sum — Spark DECIMAL(38,0) ≡
+    * DuckDB HUGEINT, both exact integer arithmetic), the normal-
+    * equation terms n·Σxy − Σx·Σy and n·Σx² − (Σx)² are formed in the
+    * same 128-bit-class arithmetic, and only then do doubles appear —
+    * identical expression trees on both sides, so slope/intercept/r
+    * are bit-identical. One hash agg; nothing shuffles twice. */
+  val q97LinearRegression: Q = Q(
+    "q97_linear_regression",
+    s"""WITH v AS (
+       |  SELECT event_type,
+       |    EPOCH_US(ts) // 3600000000 - $AnchorHours AS x,
+       |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS y
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n,
+       |    SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+       |    SUM(x * x)::HUGEINT AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+       |  FROM v GROUP BY event_type),
+       |t AS (
+       |  SELECT event_type, n, sx, sy,
+       |    n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS denx,
+       |    n * syy - sy * sy AS deny
+       |  FROM s)
+       |SELECT event_type, n,
+       |  CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) / 10000.0::DOUBLE
+       |    AS slope_per_hour,
+       |  (CAST(sy AS DOUBLE) / 10000.0::DOUBLE
+       |    - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) / 10000.0::DOUBLE)
+       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       |  CAST(num AS DOUBLE) / SQRT(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+       |    AS corr
+       |FROM t
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = events(s, d)
+      .withColumn("x",
+        expr("unix_micros(ts) div 3600000000") - AnchorHours)
+      .select(col("event_type"), col("x"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("y"))
+    val agg = v.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum(col("x") * col("x")).cast(dec).as("sxx"),
+      // y-bearing squares/cross terms go 128-bit-class BEFORE the sum —
+      // Σy² alone passes 2^63 within the tested scale range
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val t = agg.select(col("event_type"), col("n"), col("sx"), col("sy"),
+      (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("denx"),
+      (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("deny"))
+    t.select(col("event_type"), col("n"),
+        (col("num").cast("double") / col("denx").cast("double") / 10000.0)
+          .as("slope_per_hour"),
+        ((col("sy").cast("double") / 10000.0 -
+          (col("num").cast("double") / col("denx").cast("double") / 10000.0) *
+            col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"),
+        (col("num").cast("double") /
+          sqrt(col("denx").cast("double") * col("deny").cast("double")))
+          .as("corr"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q91UniqUpTo, q92DeltaSum, q93SumMap,
-    q94MaxIntersections, q95BoundingRatio, q96IntervalLengthSum)
+    q94MaxIntersections, q95BoundingRatio, q96IntervalLengthSum,
+    q97LinearRegression)
 }

@@ -134,4 +134,39 @@ class EventAnalytics4Spec extends AnyFunSuite {
     val raw = iv.view.mapValues(_.map(p => p._2 - p._1).sum).toMap
     assert(want.exists { case (u, c) => c < raw(u) })
   }
+
+  test("q97 linear regression ≡ driver-side exact normal equations") {
+    val pts = Tables.events(spark, TestSpark.tiny)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") - 473352L).as("x"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(r => (BigInt(r._2), BigInt(r._3)))).toMap
+    val got = EventAnalytics4.q97LinearRegression.run(spark, TestSpark.tiny)
+      .select("event_type", "n", "slope_per_hour", "intercept", "corr")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, slope, intercept, corr) =>
+      val ps = pts(t)
+      assert(n === ps.size)
+      val bn = BigInt(ps.size)
+      val sx = ps.map(_._1).sum; val sy = ps.map(_._2).sum
+      val sxx = ps.map(p => p._1 * p._1).sum
+      val sxy = ps.map(p => p._1 * p._2).sum
+      val syy = ps.map(p => p._2 * p._2).sum
+      val num = bn * sxy - sx * sy
+      val denx = bn * sxx - sx * sx
+      val deny = bn * syy - sy * sy
+      val wSlope = num.toDouble / denx.toDouble / 10000.0
+      assert(slope === wSlope, s"slope for $t")
+      assert(intercept ===
+        (sy.toDouble / 10000.0 - wSlope * sx.toDouble) / n.toDouble,
+        s"intercept for $t")
+      assert(corr ===
+        num.toDouble / math.sqrt(denx.toDouble * deny.toDouble),
+        s"corr for $t")
+      assert(corr >= -1.0000001 && corr <= 1.0000001)
+    }
+  }
 }
