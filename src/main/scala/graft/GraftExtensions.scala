@@ -154,10 +154,41 @@ object GraftExtensions {
       "png_crc_valid_chunks(bin) - count of chunks whose stored CRC-32 matches recomputation, or NULL"),
     (exprs: Seq[Expression]) => graft.functions.PngChunks.PngStat(exprs(0), 2))
 
+  val jpegBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_build"),
+    info("jpeg_build",
+      "jpeg_build(seed) - structurally valid JFIF marker stream (APP0/COM/DQT/SOF0/DHT/SOS/EOI)"),
+    (exprs: Seq[Expression]) => graft.functions.JpegSegments.JpegBuild(exprs(0)))
+
+  val jpegWidth: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_width"),
+    info("jpeg_width",
+      "jpeg_width(bin) - image width from the SOF0 segment, or NULL on malformed structure"),
+    (exprs: Seq[Expression]) => graft.functions.JpegSegments.JpegStat(exprs(0), 1))
+
+  val jpegHeight: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jpeg_height"),
+    info("jpeg_height",
+      "jpeg_height(bin) - image height from the SOF0 segment, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.JpegSegments.JpegStat(exprs(0), 2))
+
+  val mp4BoxCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mp4_box_count"),
+    info("mp4_box_count",
+      "mp4_box_count(bin) - top-level ISO-BMFF box count (sizes must tile the file), or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.Mp4Boxes.Mp4Stat(exprs(0), 0))
+
+  val mp4MdatBytes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mp4_mdat_bytes"),
+    info("mp4_mdat_bytes",
+      "mp4_mdat_bytes(bin) - total mdat payload bytes, or NULL"),
+    (exprs: Seq[Expression]) => graft.functions.Mp4Boxes.Mp4Stat(exprs(0), 1))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(dotProduct, avroDecode, wordShingles, mediaFormat, imageWidth,
       imageHeight, bmpBuild, bmpChannelSum, bloomFilterAgg, mightContain,
-      pngBuild, pngChunkCount, pngIdatBytes, pngCrcValid)
+      pngBuild, pngChunkCount, pngIdatBytes, pngCrcValid,
+      jpegBuild, jpegWidth, jpegHeight, mp4BoxCount, mp4MdatBytes)
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =

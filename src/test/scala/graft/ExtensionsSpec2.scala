@@ -61,4 +61,27 @@ class ExtensionsSpec2 extends AnyFunSuite {
     assert(row.getLong(2) === 6L)
     assert(row.isNullAt(3))
   }
+
+  test("jpeg / mp4 walkers callable from SQL") {
+    GraftExtensions.register(spark)
+    // mp4_build is intentionally not a SQL function (the walkers are the
+    // public surface); feed bytes from the Scala builder instead
+    import spark.implicits._
+    val mp4 = Seq(graft.functions.Mp4Boxes.buildMp4(42L)).toDF("m")
+    mp4.createOrReplaceTempView("mp4v")
+    val jrow = spark.sql(
+      """SELECT jpeg_width(jpeg_build(42L)) AS w,
+        |       jpeg_height(jpeg_build(42L)) AS h,
+        |       jpeg_width(unhex('DEADBEEF')) AS bad""".stripMargin)
+      .collect()(0)
+    assert(jrow.getLong(0) === 42L % 997 + 1)
+    assert(jrow.getLong(1) === 42L % 499 + 1)
+    assert(jrow.isNullAt(2))
+    val mrow = spark.sql(
+      "SELECT mp4_box_count(m) AS nb, mp4_mdat_bytes(m) AS mb FROM mp4v")
+      .collect()(0)
+    assert(mrow.getLong(0) === 3L + 42L % 3 + 1)
+    assert(mrow.getLong(1) ===
+      (0L until (42L % 3 + 1)).map(i => (42L + 13 * i) % 4093 + 1).sum)
+  }
 }
