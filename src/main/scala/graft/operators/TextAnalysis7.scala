@@ -141,5 +141,52 @@ object TextAnalysis7 {
       .limit(30)
   }
 
-  val all: Seq[Q] = Seq(kneserNey, burstiness)
+  /** Out-of-vocabulary TRIGRAM rate of the holdout split against the
+    * train split's trigram inventory — the n-gram-coverage health
+    * metric an LM data pipeline charts before freezing a corpus
+    * (rising holdout-trigram OOV on fresh batches means the train
+    * distribution is stale; word-level OOV is inert on a closed
+    * vocabulary, which is exactly why coverage is tracked at n-gram
+    * granularity). Split rule is the house holdout predicate
+    * (doc_id % 50 = 0, shared with the decontamination family).
+    * Counts are exact BIGINTs with ONE double division per doc.
+    *
+    * 100 TB shape: the train trigram inventory is one distinct hash
+    * agg over the codegen'd [[graft.functions.WordShingles]] explode
+    * (n-gram-vocabulary-bounded); the 2% holdout side left-joins it
+    * per trigram instance (null ⇒ OOV) and re-aggregates per doc. */
+  val oovRate: Q = Q(
+    "text_oov_rate",
+    """WITH ws AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+      |tg AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM ws),
+      |vocab AS (SELECT DISTINCT g FROM tg WHERE doc_id % 50 <> 0),
+      |ho AS (SELECT doc_id, g FROM tg WHERE doc_id % 50 = 0)
+      |SELECT ho.doc_id,
+      |  COUNT(*)::BIGINT AS n_trigrams,
+      |  CAST(SUM(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM ho LEFT JOIN vocab v ON v.g = ho.g
+      |GROUP BY ho.doc_id
+      |ORDER BY ho.doc_id""".stripMargin) { (s, d) =>
+    val tg = documents(s, d).select(col("doc_id"),
+      explode(graft.functions.WordShingles(
+        split(trim(col("text")), " "), 3)).as("g"))
+    val vocab = tg.filter(col("doc_id") % 50 =!= 0)
+      .select("g").distinct().withColumn("known", lit(1))
+    tg.filter(col("doc_id") % 50 === 0)
+      .join(vocab, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_trigrams")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(kneserNey, burstiness, oovRate)
 }

@@ -93,4 +93,29 @@ class Similarity4Spec extends AnyFunSuite {
     assert(got.groupBy(_._1).exists { case (q, rs) =>
       rs.map(_._3) != top5(q) })
   }
+
+  test("sim_recall_matrix agrees with per-tier set intersections") {
+    val exact = Similarity.topkBruteForce.run(spark, TestSpark.tiny)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tiers = Map(
+      "lsh" -> Similarity.annLsh.run(spark, TestSpark.tiny),
+      "ivf" -> Similarity.annIvf.run(spark, TestSpark.tiny),
+      "pq" -> graft.operators.Similarity2.annPq.run(spark, TestSpark.tiny),
+      "hamming" -> Similarity4.hammingRerank.run(spark, TestSpark.tiny))
+      .view.mapValues(_.select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap).toMap
+    val got = Similarity4.recallMatrix.run(spark, TestSpark.tiny)
+      .select("tier", "q_id", "n_matched").as[(String, Long, Long)]
+      .collect()
+    assert(got.length === 4 * exact.size)
+    got.foreach { case (tier, q, n) =>
+      val want = exact(q)
+        .intersect(tiers(tier).getOrElse(q, Set.empty)).size.toLong
+      assert(n === want, s"$tier/$q")
+    }
+    // every tier must find something somewhere, or the matrix is inert
+    val byTier = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byTier.values.forall(_ > 0L), byTier.toString)
+  }
 }

@@ -70,4 +70,26 @@ class TextAnalysis7Spec extends AnyFunSuite {
     // the fixture discriminates: top words are not all Poisson-flat
     assert(got.exists(_._4 > 1.0))
   }
+
+  test("text_oov_rate ≡ plain-Scala split trigram-OOV computation") {
+    def trigrams(ws: Seq[String]): Seq[String] =
+      if (ws.size < 3) Seq.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSeq
+    val all = Tables.documents(spark, TestSpark.tiny)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, trigrams(t.trim.split(" ").toSeq)) }
+    val vocab = all.filter(_._1 % 50 != 0).flatMap(_._2).toSet
+    val want = all.filter(_._1 % 50 == 0).map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => !vocab.contains(g)).toLong))
+    }.toMap
+    val got = TextAnalysis7.oovRate.run(spark, TestSpark.tiny)
+      .select("doc_id", "n_trigrams", "n_oov")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+    assert(want.nonEmpty)
+    // the fixture discriminates: some OOV exists, but not everything
+    assert(want.values.exists(_._2 > 0L))
+    assert(want.values.exists(v => v._2 < v._1))
+  }
 }
