@@ -142,5 +142,77 @@ object EventAnalytics5 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q98WeightedQuantile, q99WelchTtest)
+  /** ClickHouse-`cramersV` analogue: association strength between the
+    * event type and the payload bucket (props.k mod 10) — the
+    * "is this dimension independent of that one" check run on landed
+    * streams before trusting a segmentation.
+    *
+    * χ² = Σ_cells (o·N − rt·ct)² / (N·rt·ct): each term is ONE double
+    * division of exact integers ((o·N − rt·ct)² in 128-bit-class
+    * arithmetic), and the cell sum — the one place addition order
+    * could diverge — runs as a SEQUENTIAL FOLD over the
+    * (type, bucket)-sorted cell array on both engines (the PortableLn
+    * battery convention), so χ² and V are bit-identical. The cell
+    * matrix is |types|·10, so the fold array is trivially bounded.
+    *
+    * 100 TB shape: one hash agg to the contingency cells (map-side
+    * combined — the only corpus-sized work); margins re-aggregate the
+    * 50-cell relation. */
+  val q100CramersV: Q = Q(
+    "q100_cramers_v",
+    """WITH cells AS (
+      |  SELECT event_type AS t,
+      |    CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS b,
+      |    COUNT(*)::BIGINT AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT t, SUM(o)::BIGINT AS rtot FROM cells GROUP BY t),
+      |ct AS (SELECT b, SUM(o)::BIGINT AS ctot FROM cells GROUP BY b),
+      |n AS (SELECT SUM(o)::BIGINT AS nn, COUNT(DISTINCT t)::BIGINT AS r,
+      |             COUNT(DISTINCT b)::BIGINT AS c FROM cells),
+      |terms AS (
+      |  SELECT cells.t, cells.b,
+      |    CAST((CAST(cells.o AS HUGEINT) * nn - CAST(rtot AS HUGEINT) * ctot)
+      |         * (CAST(cells.o AS HUGEINT) * nn - CAST(rtot AS HUGEINT) * ctot)
+      |      AS DOUBLE)
+      |      / CAST(nn * rtot * ctot AS DOUBLE) AS term
+      |  FROM cells JOIN rt ON rt.t = cells.t JOIN ct ON ct.b = cells.b
+      |  CROSS JOIN n),
+      |chi AS (
+      |  SELECT LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+      |    ARRAY_AGG(term ORDER BY t, b)), (a, x) -> a + x) AS chi2
+      |  FROM terms)
+      |SELECT n.nn AS n, n.r AS n_types, n.c AS n_buckets, chi.chi2,
+      |  SQRT(chi.chi2 / CAST(n.nn * (LEAST(n.r, n.c) - 1) AS DOUBLE))
+      |    AS cramers_v
+      |FROM chi CROSS JOIN n""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = events(s, d)
+      .select(col("event_type").as("t"),
+        (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
+      .groupBy("t", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("t").agg(sum(col("o")).as("rtot"))
+    val ct = cells.groupBy("b").agg(sum(col("o")).as("ctot"))
+    val n = broadcast(cells.agg(sum(col("o")).as("nn"),
+      countDistinct(col("t")).as("r"), countDistinct(col("b")).as("c")))
+    val dev = col("o").cast(dec) * col("nn").cast(dec) -
+      col("rtot").cast(dec) * col("ctot").cast(dec)
+    val terms = cells.join(rt, "t").join(ct, "b").crossJoin(n)
+      .select(col("t"), col("b"), col("nn"), col("r"), col("c"),
+        ((dev * dev).cast("double") /
+          (col("nn") * col("rtot") * col("ctot")).cast("double")).as("term"))
+    val chi = terms
+      .groupBy("nn", "r", "c")
+      .agg(sort_array(collect_list(struct(col("t"), col("b"),
+        col("term")))).as("cells"))
+      .select(col("nn"), col("r"), col("c"),
+        aggregate(transform(col("cells"), e => e.getField("term")),
+          lit(0.0), (a, x) => a + x).as("chi2"))
+    chi.select(col("nn").as("n"), col("r").as("n_types"),
+      col("c").as("n_buckets"), col("chi2"),
+      sqrt(col("chi2") /
+        (col("nn") * (least(col("r"), col("c")) - 1)).cast("double"))
+        .as("cramers_v"))
+  }
+
+  val all: Seq[Q] = Seq(q98WeightedQuantile, q99WelchTtest, q100CramersV)
 }

@@ -79,4 +79,31 @@ class EventAnalytics5Spec extends AnyFunSuite {
       assert(df <= (n + bn).toDouble - 2 + 1e-9)
     }
   }
+
+  test("q100 Cramér's V ≡ driver-side exact-contingency chi-square") {
+    val cells = Tables.events(spark, TestSpark.tiny)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = cells.values.sum
+    val terms = cells.toSeq.sortBy(_._1).map { case ((t, b), o) =>
+      val dev = BigInt(o) * BigInt(nn) - BigInt(rt(t)) * BigInt(ct(b))
+      (dev * dev).toDouble / (nn * rt(t) * ct(b)).toDouble
+    }
+    val chi2 = terms.foldLeft(0.0)(_ + _)
+    val v = math.sqrt(chi2 /
+      (nn * (math.min(rt.size, ct.size) - 1)).toDouble)
+    val row = EventAnalytics5.q100CramersV.run(spark, TestSpark.tiny)
+      .select("n", "n_types", "n_buckets", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(row.length === 1)
+    assert(row(0)._1 === nn)
+    assert(row(0)._2 === rt.size.toLong && row(0)._3 === ct.size.toLong)
+    assert(row(0)._4 === chi2)
+    assert(row(0)._5 === v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }
