@@ -363,12 +363,18 @@ object Dedup {
     // materialized once: candidate generation AND the signature build
     // both consume the window-annotated postings; left lazy, the verify
     // job recomputes the two window passes (~3.5 s at sf1)
-    val ranked = rankedShingleRows(docs, cap).localCheckpoint(true)
+    jaccardPairsFrom(rankedShingleRows(docs, cap).localCheckpoint(true))
+  }
+
+  /** [[jaccardPairs]] from an already-materialized ranked-postings
+    * relation — consumers that ALSO need the shingle relation (the
+    * MinHash estimator audit) share one materialization instead of
+    * rebuilding the two window passes. */
+  private[graft] def jaccardPairsFrom(ranked: DataFrame): DataFrame =
     // exact verification on FULL sets — output identical to the
     // unfiltered self-join, so the shared oracle is unchanged
     verifyJaccard(ranked.select("doc_id", "shingle"),
       jaccardCandidatesFrom(ranked))
-  }
 
   private val NumHashes = 32
   private val NumBands = 16 // × 2 rows/band: P(miss | j=0.5) = (1-0.25)^16 ≈ 1%

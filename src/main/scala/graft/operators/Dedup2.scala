@@ -163,7 +163,12 @@ object Dedup2 {
        |FROM nm
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    val ex = Dedup.filteredShingleRows(docs).select("doc_id", "shingle")
+    // ONE ranked-postings materialization feeds both the signature
+    // build and the verified-pair pipeline (each would otherwise pay
+    // the two DF-cap window passes separately)
+    val ranked = Dedup.rankedShingleRows(docs, Dedup.ShingleDfCap)
+      .localCheckpoint(true)
+    val ex = ranked.select("doc_id", "shingle")
     val ph = ex.select(col("doc_id"),
       graft.functions.PolyHash.full(col("shingle")).as("h"))
     val sig = ph.groupBy("doc_id")
@@ -172,7 +177,7 @@ object Dedup2 {
         (1 until EstHashes).map(j =>
           min((col("h") * lit(2L * j + 3) + lit(5L * j + 7)) % EstMod)
             .as(s"m$j")): _*)
-    val pairs = Dedup.jaccardPairs(docs) // (a_id, b_id, sim) — verified
+    val pairs = Dedup.jaccardPairsFrom(ranked) // (a_id, b_id, sim) — verified
     val joined = pairs
       .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
