@@ -71,5 +71,41 @@ object Multimodal3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(jpegSegments, mp4Boxes)
+  /** ID3v2.3 audio-metadata inventory: frame census, payload bytes,
+    * title length, parsed track number, declared syncsafe tag size —
+    * with end-to-end structure validation (frames + padding must tile
+    * the declared size). The oracle restates everything from the
+    * generating formulas, including the ASCII-digit length of the
+    * track number. */
+  val id3Tags: Q = Q(
+    "mm_id3_tags",
+    """SELECT doc_id,
+      |  CAST(3 + doc_id % 3 AS BIGINT) AS n_frames,
+      |  CAST((1 + doc_id % 23 + 1) + (1 + doc_id % 17 + 1)
+      |    + (1 + LENGTH(CAST(doc_id % 99 + 1 AS VARCHAR)))
+      |    + LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(RANGE(0, doc_id % 3),
+      |        i -> (doc_id + 5 * i) % 29 + 5)), (a, b) -> a + b)
+      |    AS BIGINT) AS payload_bytes,
+      |  CAST(doc_id % 23 + 1 AS BIGINT) AS title_len,
+      |  CAST(doc_id % 99 + 1 AS BIGINT) AS track,
+      |  CAST((1 + doc_id % 23 + 1) + (1 + doc_id % 17 + 1)
+      |    + (1 + LENGTH(CAST(doc_id % 99 + 1 AS VARCHAR)))
+      |    + LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(RANGE(0, doc_id % 3),
+      |        i -> (doc_id + 5 * i) % 29 + 5)), (a, b) -> a + b)
+      |    + 10 * (3 + doc_id % 3) + doc_id % 33 AS BIGINT) AS tag_size
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.Id3Tags
+    documents(s, d)
+      .select(col("doc_id"), Id3Tags.build(col("doc_id")).as("media"))
+      .select(col("doc_id"),
+        Id3Tags.frameCount(col("media")).as("n_frames"),
+        Id3Tags.payloadBytes(col("media")).as("payload_bytes"),
+        Id3Tags.titleLength(col("media")).as("title_len"),
+        Id3Tags.trackNumber(col("media")).as("track"),
+        Id3Tags.tagSize(col("media")).as("tag_size"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(jpegSegments, mp4Boxes, id3Tags)
 }

@@ -47,6 +47,40 @@ class JpegMp4Spec extends AnyFunSuite {
     }
   }
 
+  test("id3Walk round-trips every generating formula across seeds") {
+    import graft.functions.Id3Tags
+    (0L until 600L).foreach { seed =>
+      val b = Id3Tags.buildId3(seed)
+      assert(Id3Tags.id3Walk(b, 0) === 3 + seed % 3, s"frames @ $seed")
+      val comm = (0L until seed % 3).map(i => (seed + 5 * i) % 29 + 5).sum
+      val payload = (1 + seed % 23 + 1) + (1 + seed % 17 + 1) +
+        (1 + (seed % 99 + 1).toString.length) + comm
+      assert(Id3Tags.id3Walk(b, 1) === payload, s"payload @ $seed")
+      assert(Id3Tags.id3Walk(b, 2) === seed % 23 + 1, s"title @ $seed")
+      assert(Id3Tags.id3Walk(b, 3) === seed % 99 + 1, s"track @ $seed")
+      assert(Id3Tags.id3Walk(b, 4) ===
+        payload + 10 * (3 + seed % 3) + seed % 33, s"size @ $seed")
+    }
+  }
+
+  test("id3Walk rejects malformed streams with the -1 sentinel") {
+    import graft.functions.Id3Tags
+    assert(Id3Tags.id3Walk(null, 0) === -1L)
+    assert(Id3Tags.id3Walk(Array[Byte](1, 2, 3), 0) === -1L)
+    val ok = Id3Tags.buildId3(77L) // 77 % 33 = 11 → real padding present
+    // truncation below the declared size
+    assert(Id3Tags.id3Walk(ok.dropRight(1), 0) === -1L)
+    // nonzero byte inside the padding
+    val bad = ok.clone(); bad(bad.length - 1) = 1
+    assert(Id3Tags.id3Walk(bad, 0) === -1L)
+    // non-digit in TRCK (first TRCK digit is at a fixed offset:
+    // header 10 + TIT2 frame + TPE1 frame + TRCK header + encoding)
+    val titleLen = (77L % 23 + 1).toInt; val artistLen = (77L % 17 + 1).toInt
+    val trckDigit = 10 + (10 + 1 + titleLen) + (10 + 1 + artistLen) + 10 + 1
+    val bad2 = ok.clone(); bad2(trckDigit) = 'x'.toByte
+    assert(Id3Tags.id3Walk(bad2, 0) === -1L)
+  }
+
   test("mp4Walk rejects malformed streams with the -1 sentinel") {
     assert(Mp4Boxes.mp4Walk(null, 0) === -1L)
     assert(Mp4Boxes.mp4Walk(Array.fill[Byte](7)(0), 0) === -1L)
