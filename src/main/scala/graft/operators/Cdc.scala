@@ -158,7 +158,60 @@ object Cdc {
       .orderBy("event_id")
   }
 
+  /** Delivery-order audit: per key, how often the append order
+    * (event_id — the WAL/offset order the reference consumer reads in)
+    * runs BACKWARDS in event time, and by how much. The "can downstream
+    * treat append order as time order" monitoring row: version-gated
+    * upserts (cdc_upsert_latest, the JDBC MERGE sink) are safe under
+    * inversions, while naive last-write-wins is not — this query is how
+    * a deployment measures that risk.
+    *
+    * The driver fixture's append order IS time-ordered, so (the
+    * [[dedupRedelivery]] convention) the audited stream synthesizes the
+    * failure in-query: every 97th event is re-delivered late (offset
+    * +10⁹ — a connector retry landing after newer rows), creating real
+    * inversions for the audit to find. One window + one agg on the
+    * same user_id shuffle; all arithmetic exact µs BIGINTs. */
+  val orderInversions: Q = Q(
+    "cdc_order_inversions",
+    """WITH st AS (
+      |  SELECT user_id, EPOCH_US(ts) AS t, event_id FROM events
+      |  UNION ALL
+      |  SELECT user_id, EPOCH_US(ts), event_id + 1000000000
+      |  FROM events WHERE event_id % 97 = 0),
+      |v AS (
+      |  SELECT user_id, t,
+      |    LAG(t) OVER (PARTITION BY user_id ORDER BY event_id) AS pt
+      |  FROM st)
+      |SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN pt IS NOT NULL AND t < pt THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_inversions,
+      |  CAST(MAX(CASE WHEN pt IS NOT NULL AND t < pt THEN pt - t
+      |           ELSE 0 END) AS BIGINT) AS max_backstep_us
+      |FROM v
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val base = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val st = base.unionAll(
+      base.filter(col("event_id") % 97 === 0)
+        .select(col("user_id"), col("t"),
+          (col("event_id") + 1000000000L).as("event_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+    st.withColumn("pt", lag(col("t"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("pt").isNotNull && col("t") < col("pt"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_inversions"),
+        max(when(col("pt").isNotNull && col("t") < col("pt"),
+          col("pt") - col("t")).otherwise(0L)).cast("bigint")
+          .as("max_backstep_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     upsertLatest, tombstoneState, dedupRedelivery, envelopeUnwrap,
-    microTsRoundtrip)
+    microTsRoundtrip, orderInversions)
 }

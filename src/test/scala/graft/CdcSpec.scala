@@ -84,4 +84,25 @@ class CdcSpec extends AnyFunSuite {
       .select(Cdc.microsToTs(col("us"))).collect()(0)
     assert(got.isNullAt(0))
   }
+
+  test("cdc_order_inversions ≡ driver-side scan of the late-replay stream") {
+    val base = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val stream = base ++ base.filter(_._3 % 97 == 0)
+      .map { case (u, t, id) => (u, t, id + 1000000000L) }
+    val want = stream.groupBy(_._1).view.mapValues { es =>
+      val ord = es.sortBy(_._3).map(_._2)
+      val inv = ord.zip(ord.tail).filter { case (a, b) => b < a }
+      (es.size.toLong, inv.size.toLong,
+        if (inv.isEmpty) 0L else inv.map { case (a, b) => a - b }.max)
+    }.toMap
+    val got = Cdc.orderInversions.run(spark, TestSpark.tiny)
+      .select("user_id", "n_events", "n_inversions", "max_backstep_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+    // the synthesized late replays must produce real inversions
+    assert(want.values.exists(_._2 > 0L))
+  }
 }
