@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.Tables._
+
+/** Sixth batch of event-stream analytics — the rank-statistics and
+  * series-downsampling corner of the ClickHouse function surface
+  * (`mannWhitneyUTest`, `rankCorr`, `largestTriangleThreeBuckets`):
+  * the nonparametric tests a monitoring deployment runs when the
+  * metric distribution is too skewed to trust [[EventAnalytics5]]'s
+  * t-test, plus the bounded-output series sketch a dashboard pulls
+  * instead of the raw stream.
+  *
+  * Exactness contracts as everywhere in this battery: every rank is an
+  * INTEGER (mid-ranks carried ×2 so .5 ties stay exact), every power
+  * sum is BIGINT/DECIMAL(38,0) ≡ HUGEINT, and doubles appear only in
+  * final expression trees that are op-for-op identical in the Spark
+  * plan and the DuckDB oracle.
+  */
+object EventAnalytics6 {
+
+  private val dec = DecimalType(38, 0)
+
+  /** ClickHouse-`mannWhitneyUTest` analogue: Mann–Whitney U and the
+    * tie-corrected normal z approximation for each event type's value
+    * distribution against the 'view' baseline — the distribution-free
+    * "did this metric shift" test for skewed metrics.
+    *
+    * No sample is ever duplicated or re-sorted per pair: ranks are
+    * computed on the VALUE DOMAIN. Counts collapse to (type, v4) cells
+    * (v4 = value ×10⁴ fixed-point, the q98 convention); the baseline's
+    * cell relation is replicated once per compared type (|types|·|domain|
+    * rows — value-cardinality-bounded, never event-bounded); a per-type
+    * cumulative window over the merged domain yields the ×2 mid-rank
+    * 2·cumBelow + ties + 1 as a BIGINT. The rank sum, U, and the tie
+    * correction Σ(t³−t) are exact integer aggregates; z is one final
+    * double tree.
+    *
+    * 100 TB shape: ONE corpus-sized hash agg (map-side combined) to the
+    * (type, v4) cells; everything after runs on the value domain, whose
+    * size is bounded by the ×10⁴ grid of the value range, not by the
+    * event count. The per-type window partitions on type over that
+    * bounded domain. */
+  val q101MannWhitney: Q = Q(
+    "q101_mann_whitney",
+    """WITH cnt AS (
+      |  SELECT event_type AS t,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    COUNT(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |base AS (SELECT v4, c AS cb FROM cnt WHERE t = 'view'),
+      |tl AS (SELECT DISTINCT t FROM cnt WHERE t <> 'view'),
+      |dom AS (
+      |  SELECT t, v4, SUM(ct)::BIGINT AS ct, SUM(cb)::BIGINT AS cb FROM (
+      |    SELECT t, v4, c AS ct, 0 AS cb FROM cnt WHERE t <> 'view'
+      |    UNION ALL
+      |    SELECT tl.t, base.v4, 0 AS ct, base.cb FROM base CROSS JOIN tl)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT t, v4, ct, cb,
+      |    2 * (SUM(ct + cb) OVER (PARTITION BY t ORDER BY v4
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         - (ct + cb)) + ct + cb + 1 AS rank2
+      |  FROM dom),
+      |s AS (
+      |  SELECT t, SUM(ct)::BIGINT AS n1, SUM(cb)::BIGINT AS n2,
+      |    SUM(ct * rank2)::BIGINT AS r2,
+      |    SUM(CAST(ct + cb AS HUGEINT) * (ct + cb) * (ct + cb)
+      |        - (ct + cb)) AS tt
+      |  FROM r GROUP BY t)
+      |SELECT t AS event_type, n1, n2,
+      |  CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0::DOUBLE AS u_stat,
+      |  (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+      |    / (2.0::DOUBLE * SQRT(
+      |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0::DOUBLE)
+      |        * ((CAST(n1 + n2 AS DOUBLE) + 1.0::DOUBLE)
+      |           - CAST(tt AS DOUBLE)
+      |             / (CAST(n1 + n2 AS DOUBLE)
+      |                * (CAST(n1 + n2 AS DOUBLE) - 1.0::DOUBLE)))))
+      |    AS z_stat
+      |FROM s
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val cnt = events(s, d)
+      .select(col("event_type").as("t"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .groupBy("t", "v4").agg(count(lit(1)).as("c"))
+    val base = cnt.filter(col("t") === "view").select(col("v4"), col("c").as("cb"))
+    val tl = broadcast(cnt.filter(col("t") =!= "view").select("t").distinct())
+    val dom = cnt.filter(col("t") =!= "view")
+      .select(col("t"), col("v4"), col("c").as("ct"), lit(0L).as("cb"))
+      .unionByName(base.crossJoin(tl)
+        .select(col("t"), col("v4"), lit(0L).as("ct"), col("cb")))
+      .groupBy("t", "v4")
+      .agg(sum("ct").as("ct"), sum("cb").as("cb"))
+    val wCum = Window.partitionBy("t").orderBy("v4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = dom.withColumn("rank2",
+      lit(2L) * (sum(col("ct") + col("cb")).over(wCum) - (col("ct") + col("cb")))
+        + col("ct") + col("cb") + 1L)
+    val st = r.groupBy("t").agg(
+      sum("ct").as("n1"), sum("cb").as("n2"),
+      sum(col("ct") * col("rank2")).as("r2"),
+      sum(((col("ct") + col("cb")).cast(dec) * (col("ct") + col("cb"))
+        * (col("ct") + col("cb"))) - (col("ct") + col("cb")).cast(dec)).as("tt"))
+    val nd = (col("n1") + col("n2")).cast("double")
+    val u2d = (col("r2") - col("n1") * (col("n1") + 1)).cast("double")
+    st.select(col("t").as("event_type"), col("n1"), col("n2"),
+      (u2d / 2.0).as("u_stat"),
+      ((u2d - (col("n1") * col("n2")).cast("double")) /
+        (lit(2.0) * sqrt(
+          (col("n1").cast("double") * col("n2").cast("double") / 12.0) *
+            ((nd + 1.0) - col("tt").cast("double") / (nd * (nd - 1.0))))))
+        .as("z_stat"))
+      .orderBy("event_type")
+  }
+
+  /** ClickHouse-`rankCorr` analogue: Spearman rank correlation between
+    * the metric value and the payload integer props.k, per event type —
+    * the monotone-association check that survives outliers where plain
+    * Pearson does not.
+    *
+    * Mid-ranks with ties are computed per type on each variable's VALUE
+    * DOMAIN (the q101 ×2-integer mid-rank convention), mapped back to
+    * events by two domain joins, and correlated via exact integer power
+    * sums (Σr, Σr², Σrᵥrₖ as DECIMAL(38,0) ≡ HUGEINT). ρ is one final
+    * double tree: (n·Sxy − SxSy) / (√vx·√vy) with vx, vy cast from the
+    * exact integers separately, so both engines round identically.
+    *
+    * 100 TB shape: two corpus-sized hash aggs (to each value domain),
+    * two per-type windows over the bounded domains, two shuffle joins
+    * keyed (type, value) to tag events with ranks, one final hash agg.
+    * Nothing driver-side; no per-pair re-sorting. */
+  val q102Spearman: Q = Q(
+    "q102_spearman",
+    """WITH ev AS (
+      |  SELECT event_type AS t,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL),
+      |cv AS (SELECT t, v4, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |rv AS (
+      |  SELECT t, v4,
+      |    2 * (SUM(c) OVER (PARTITION BY t ORDER BY v4
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |      + c + 1 AS rv2
+      |  FROM cv),
+      |ck AS (SELECT t, k, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT t, k,
+      |    2 * (SUM(c) OVER (PARTITION BY t ORDER BY k
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |      + c + 1 AS rk2
+      |  FROM ck),
+      |j AS (
+      |  SELECT ev.t, rv.rv2, rk.rk2
+      |  FROM ev JOIN rv ON rv.t = ev.t AND rv.v4 = ev.v4
+      |          JOIN rk ON rk.t = ev.t AND rk.k = ev.k),
+      |s AS (
+      |  SELECT t, COUNT(*)::BIGINT AS n,
+      |    SUM(rv2)::HUGEINT AS sx, SUM(rk2)::HUGEINT AS sy,
+      |    SUM(CAST(rv2 AS HUGEINT) * rv2) AS sxx,
+      |    SUM(CAST(rk2 AS HUGEINT) * rk2) AS syy,
+      |    SUM(CAST(rv2 AS HUGEINT) * rk2) AS sxy
+      |  FROM j GROUP BY t)
+      |SELECT t AS event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+      |FROM s
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+      .select(col("event_type").as("t"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .filter(col("k").isNotNull)
+    def ranks(c: String, out: String) = {
+      val w = Window.partitionBy("t").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.groupBy("t", c).agg(count(lit(1)).as("c"))
+        .withColumn(out,
+          lit(2L) * (sum("c").over(w) - col("c")) + col("c") + 1L)
+        .drop("c")
+    }
+    val j = ev
+      .join(ranks("v4", "rv2"), Seq("t", "v4"))
+      .join(ranks("k", "rk2"), Seq("t", "k"))
+    val st = j.groupBy("t").agg(
+      count(lit(1)).as("n"),
+      sum(col("rv2")).cast(dec).as("sx"), sum(col("rk2")).cast(dec).as("sy"),
+      sum((col("rv2").cast(dec) * col("rv2"))).as("sxx"),
+      sum((col("rk2").cast(dec) * col("rk2"))).as("syy"),
+      sum((col("rv2").cast(dec) * col("rk2"))).as("sxy"))
+    st.select(col("t").as("event_type"), col("n"),
+      ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("spearman_rho"))
+      .orderBy("event_type")
+  }
+
+  /** Time buckets per series for [[q103Lttb]]. */
+  private val LttbBuckets = 24
+
+  /** ClickHouse-`largestTriangleThreeBuckets` analogue: downsample each
+    * event type's (ts, value) series to ≤ [[LttbBuckets]] visually
+    * representative points — the bounded-output sketch a dashboard
+    * fetches instead of the raw stream.
+    *
+    * Parallel integer-centroid variant (the sequential reference
+    * algorithm chains each pick to the previous one — unusable on a
+    * cluster): per bucket, the retained point maximizes the triangle
+    * area against the ADJACENT BUCKETS' floor-integer centroids
+    * (x̄ = Σx÷n, ȳ = Σy÷n in BIGINT), and the global first/last points
+    * anchor the series exactly as in the reference algorithm. Because
+    * the area is translation-invariant, the centroid differences stay
+    * span-bounded, so 2·area = |(x̄₋−x̄₊)(y−ȳ₋) − (x̄₋−x)(ȳ₊−ȳ₋)| is
+    * exact in DECIMAL(38,0) ≡ HUGEINT at ANY row count — no n³ blowup,
+    * the reason centroids are floored to integers first. Ties break on
+    * (ts, event_id): fully deterministic, no doubles anywhere.
+    *
+    * 100 TB shape: one hash agg to (type, bucket) centroids (tiny), a
+    * lag/lead window over the per-type bucket axis (≤ B rows per type),
+    * one broadcast join of those neighbor centroids back onto the
+    * stream, and a per-(type, bucket) top-1 window (WindowGroupLimit
+    * prunes it to one row per partition before any sort spills). */
+  val q103Lttb: Q = Q(
+    "q103_lttb_downsample",
+    s"""WITH e AS (
+       |  SELECT event_type AS t, event_id, ts, value,
+       |    EPOCH_US(ts) AS xs,
+       |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS y
+       |  FROM events),
+       |bounds AS (SELECT t, MIN(xs) AS x0, MAX(xs) AS x1 FROM e GROUP BY t),
+       |eb AS (
+       |  SELECT e.t, e.event_id, e.ts, e.value, e.xs - bounds.x0 AS x, e.y,
+       |    ((e.xs - bounds.x0) * $LttbBuckets) // (bounds.x1 - bounds.x0 + 1)
+       |      AS b
+       |  FROM e JOIN bounds ON bounds.t = e.t),
+       |bk AS (
+       |  SELECT t, b, SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+       |  FROM eb GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT t, b,
+       |    LAG(cx)  OVER (PARTITION BY t ORDER BY b) AS cxp,
+       |    LAG(cy)  OVER (PARTITION BY t ORDER BY b) AS cyp,
+       |    LEAD(cx) OVER (PARTITION BY t ORDER BY b) AS cxn,
+       |    LEAD(cy) OVER (PARTITION BY t ORDER BY b) AS cyn
+       |  FROM bk),
+       |mid AS (
+       |  SELECT eb.t, eb.b, eb.event_id, eb.ts, eb.value,
+       |    ABS(CAST(nb.cxp - nb.cxn AS HUGEINT) * (eb.y - nb.cyp)
+       |        - CAST(nb.cxp - eb.x AS HUGEINT) * (nb.cyn - nb.cyp)) AS a2,
+       |    ROW_NUMBER() OVER (PARTITION BY eb.t, eb.b ORDER BY
+       |      ABS(CAST(nb.cxp - nb.cxn AS HUGEINT) * (eb.y - nb.cyp)
+       |          - CAST(nb.cxp - eb.x AS HUGEINT) * (nb.cyn - nb.cyp)) DESC,
+       |      eb.ts, eb.event_id) AS rn
+       |  FROM eb JOIN nb ON nb.t = eb.t AND nb.b = eb.b
+       |  WHERE eb.b > 0 AND eb.b < ${LttbBuckets - 1}),
+       |anchors AS (
+       |  SELECT t, b, event_id, ts, value FROM (
+       |    SELECT t, b, event_id, ts, value,
+       |      ROW_NUMBER() OVER (PARTITION BY t ORDER BY ts, event_id) AS rf,
+       |      ROW_NUMBER() OVER (PARTITION BY t ORDER BY ts DESC, event_id DESC)
+       |        AS rl
+       |    FROM eb)
+       |  WHERE rf = 1 OR rl = 1)
+       |SELECT t AS event_type, CAST(b AS BIGINT) AS bucket, ts, value
+       |FROM (
+       |  SELECT t, b, event_id, ts, value FROM mid WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t, b, event_id, ts, value FROM anchors)
+       |ORDER BY event_type, ts, event_id""".stripMargin) { (s, d) =>
+    val e = events(s, d).select(
+      col("event_type").as("t"), col("event_id"), col("ts"), col("value"),
+      unix_micros(col("ts")).as("xs"),
+      floor(col("value") * 10000.0 + 0.5).cast("long").as("y"))
+    val bounds = broadcast(
+      e.groupBy("t").agg(min("xs").as("x0"), max("xs").as("x1")))
+    val eb = e.join(bounds, "t")
+      .withColumn("x", col("xs") - col("x0"))
+      .withColumn("b",
+        expr(s"(x * $LttbBuckets) div (x1 - x0 + 1)"))
+      .select("t", "event_id", "ts", "value", "x", "y", "b")
+    val bk = eb.groupBy("t", "b")
+      .agg(expr("sum(x) div count(*)").as("cx"),
+        expr("sum(y) div count(*)").as("cy"))
+    val wB = Window.partitionBy("t").orderBy("b")
+    val nb = broadcast(bk.select(col("t"), col("b"),
+      lag("cx", 1).over(wB).as("cxp"), lag("cy", 1).over(wB).as("cyp"),
+      lead("cx", 1).over(wB).as("cxn"), lead("cy", 1).over(wB).as("cyn")))
+    val a2 = abs((col("cxp") - col("cxn")).cast(dec) * (col("y") - col("cyp"))
+      - (col("cxp") - col("x")).cast(dec) * (col("cyn") - col("cyp")))
+    val wPick = Window.partitionBy("t", "b")
+      .orderBy(col("a2").desc, col("ts"), col("event_id"))
+    val mid = eb.filter(col("b") > 0 && col("b") < LttbBuckets - 1)
+      .join(nb, Seq("t", "b"))
+      .withColumn("a2", a2)
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select("t", "b", "event_id", "ts", "value")
+    val wF = Window.partitionBy("t").orderBy(col("ts"), col("event_id"))
+    val wL = Window.partitionBy("t").orderBy(col("ts").desc, col("event_id").desc)
+    val anchors = eb
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rl", row_number().over(wL))
+      .filter(col("rf") === 1 || col("rl") === 1)
+      .select("t", "b", "event_id", "ts", "value")
+    mid.unionByName(anchors)
+      .select(col("t").as("event_type"), col("b").cast("long").as("bucket"),
+        col("ts"), col("value"))
+      .orderBy(col("event_type"), col("ts"))
+  }
+
+  val all: Seq[Q] = Seq(q101MannWhitney, q102Spearman, q103Lttb)
+}
