@@ -316,5 +316,206 @@ object EventAnalytics6 {
       .orderBy(col("event_type"), col("ts"))
   }
 
-  val all: Seq[Q] = Seq(q101MannWhitney, q102Spearman, q103Lttb)
+  /** ClickHouse-`exponentialTimeDecayedSum/Count/Avg` analogue: the
+    * freshness-weighted metric total per event type, weight ½^age with
+    * a one-day half-life anchored at each type's newest event.
+    *
+    * The weight is kept EXACT: age collapses to whole days k (BIGINT
+    * µs arithmetic), the weight 2⁻ᵏ is carried ×2⁵⁰ as the integer
+    * 1<<(50−k) (zero once k>50 — contributions below 2⁻⁵⁰ ≈ 8.9e−16
+    * are dropped, documented), and the weighted sums accumulate in
+    * DECIMAL(38,0) ≡ HUGEINT. The final rescale divides by the exact
+    * power 2⁵⁰ (no rounding) and then once by 10⁴ — identical trees
+    * both engines, so no float-sum order dependence anywhere.
+    *
+    * 100 TB shape: one agg for per-type max ts (broadcast back), one
+    * corpus-sized map-side-combined hash agg. No windows, no sorts. */
+  val q104TimeDecayedSum: Q = Q(
+    "q104_time_decayed_sum",
+    """WITH mx AS (
+      |  SELECT event_type AS t, MAX(EPOCH_US(ts)) AS tmax
+      |  FROM events GROUP BY 1),
+      |e AS (
+      |  SELECT events.event_type AS t,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    (mx.tmax - EPOCH_US(ts)) // 86400000000 AS k
+      |  FROM events JOIN mx ON mx.t = events.event_type),
+      |s AS (
+      |  SELECT t, COUNT(*)::BIGINT AS n,
+    |    SUM(CASE WHEN k <= 50
+      |        THEN CAST(v4 AS HUGEINT)
+      |             * (1::BIGINT << CAST(50 - LEAST(k, 50) AS INTEGER))
+      |        ELSE 0::HUGEINT END) AS ws,
+      |    SUM(CASE WHEN k <= 50
+      |        THEN CAST(1::BIGINT << CAST(50 - LEAST(k, 50) AS INTEGER)
+      |             AS HUGEINT)
+      |        ELSE 0::HUGEINT END) AS wc
+      |  FROM e GROUP BY t)
+      |SELECT t AS event_type, n,
+      |  CAST(ws AS DOUBLE) / 1125899906842624.0::DOUBLE / 10000.0::DOUBLE
+      |    AS decayed_sum,
+      |  CAST(wc AS DOUBLE) / 1125899906842624.0::DOUBLE AS decayed_count,
+      |  (CAST(ws AS DOUBLE) / 1125899906842624.0::DOUBLE / 10000.0::DOUBLE)
+      |    / (CAST(wc AS DOUBLE) / 1125899906842624.0::DOUBLE) AS decayed_avg
+      |FROM s
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val mx = broadcast(ev.groupBy(col("event_type").as("t"))
+      .agg(max(unix_micros(col("ts"))).as("tmax")))
+    val e = ev.join(mx, ev("event_type") === mx("t"))
+      .select(col("t"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"),
+        expr("(tmax - unix_micros(ts)) div 86400000000").as("k"))
+    val w = expr("shiftleft(1L, cast(50 - least(k, 50L) as int))")
+    val st = e.groupBy("t").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("k") <= 50, col("v4").cast(dec) * w)
+        .otherwise(lit(0).cast(dec))).as("ws"),
+      sum(when(col("k") <= 50, w.cast(dec))
+        .otherwise(lit(0).cast(dec))).as("wc"))
+    val p50 = lit(1125899906842624.0) // 2^50, exact double
+    st.select(col("t").as("event_type"), col("n"),
+      (col("ws").cast("double") / p50 / 10000.0).as("decayed_sum"),
+      (col("wc").cast("double") / p50).as("decayed_count"),
+      ((col("ws").cast("double") / p50 / 10000.0) /
+        (col("wc").cast("double") / p50)).as("decayed_avg"))
+      .orderBy("event_type")
+  }
+
+  /** ClickHouse-`sequenceNextNode` analogue: what does a user do right
+    * after a view→click pair? For each user's (ts, event_id)-ordered
+    * stream, take the FIRST click directly preceded by a view and
+    * report the immediately following event type ('(end)' if the click
+    * closes the stream); aggregate users by that next step.
+    *
+    * 100 TB shape: one per-user window pass (lag/lead/row_number in a
+    * single Window over the same (user, ts, id) sort — one shuffle,
+    * one sort), then a tiny hash agg over ≤|event types|+1 rows. */
+  val q105SequenceNextNode: Q = Q(
+    "q105_sequence_next_node",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type)  OVER w AS prev,
+      |    LEAD(event_type) OVER w AS nxt,
+      |    ts, event_id
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |hits AS (
+      |  SELECT user_id, COALESCE(nxt, '(end)') AS next_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM o
+      |  WHERE prev = 'view' AND event_type = 'click')
+      |SELECT next_type, COUNT(*)::BIGINT AS n_users
+      |FROM hits WHERE rn = 1
+      |GROUP BY next_type
+      |ORDER BY next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val o = events(s, d).select(col("user_id"), col("event_type"),
+      lag("event_type", 1).over(w).as("prev"),
+      lead("event_type", 1).over(w).as("nxt"),
+      col("ts"), col("event_id"))
+    val hits = o.filter(col("prev") === "view" && col("event_type") === "click")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    hits.groupBy(coalesce(col("nxt"), lit("(end)")).as("next_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("next_type")
+  }
+
+  /** ClickHouse-`theilsU` analogue: the (asymmetric) uncertainty
+    * coefficient U(type | payload bucket) on the same contingency
+    * cells as [[EventAnalytics5.q100CramersV]] — how much knowing the
+    * payload bucket reduces uncertainty about the event type.
+    *
+    * U = (H(T) − H(T|B)) / H(T) with H from exact cell counts and
+    * [[graft.functions.PortableLn]] (bit-identical ln on both engines:
+    * every stage IEEE-specified). Both entropy sums run as SEQUENTIAL
+    * FOLDS over (t,b)-sorted bounded arrays — the q100 convention — so
+    * float addition order cannot diverge. ln arguments are ≥1 by
+    * construction (N/rt, ctot/o), inside PortableLn's domain.
+    *
+    * 100 TB shape: one corpus-sized hash agg to the |types|·10 cells;
+    * everything after is arithmetic on that bounded relation. */
+  val q106TheilsU: Q = Q(
+    "q106_theils_u",
+    s"""WITH cells AS (
+       |  SELECT event_type AS ty,
+       |    CAST(JSON_EXTRACT_STRING(props, '$$.k') AS BIGINT) % 10 AS b,
+       |    COUNT(*)::BIGINT AS o
+       |  FROM events GROUP BY 1, 2),
+       |ct AS (SELECT b, SUM(o)::BIGINT AS ctot FROM cells GROUP BY b),
+       |n AS (SELECT SUM(o)::BIGINT AS nn FROM cells),
+       |clx AS (
+       |  SELECT ty, b, lnx FROM (${graft.functions.PortableLn.sqlStages(
+            "(SELECT cells.ty, cells.b, CAST(ct.ctot AS DOUBLE) / CAST(cells.o AS DOUBLE) AS x, cells.o FROM cells JOIN ct ON ct.b = cells.b)",
+            Seq("ty", "b"), "x", "lnx")})),
+       |cterm AS (
+       |  SELECT cells.ty, cells.b,
+       |    (CAST(cells.o AS DOUBLE) / CAST(nn AS DOUBLE)) * clx.lnx AS term
+       |  FROM cells JOIN clx ON clx.ty = cells.ty AND clx.b = cells.b
+       |  CROSS JOIN n),
+       |hcond AS (
+       |  SELECT LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+       |    ARRAY_AGG(term ORDER BY ty, b)), (a, x) -> a + x) AS h_t_given_b
+       |  FROM cterm),
+       |rt AS (SELECT ty, SUM(o)::BIGINT AS rtot FROM cells GROUP BY ty),
+       |rlx AS (
+       |  SELECT ty, lnx FROM (${graft.functions.PortableLn.sqlStages(
+            "(SELECT rt.ty, CAST(n.nn AS DOUBLE) / CAST(rt.rtot AS DOUBLE) AS x, rt.rtot FROM rt CROSS JOIN n)",
+            Seq("ty"), "x", "lnx")})),
+       |rterm AS (
+       |  SELECT rt.ty,
+       |    (CAST(rt.rtot AS DOUBLE) / CAST(nn AS DOUBLE)) * rlx.lnx AS term
+       |  FROM rt JOIN rlx ON rlx.ty = rt.ty CROSS JOIN n),
+       |ht AS (
+       |  SELECT LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+       |    ARRAY_AGG(term ORDER BY ty)), (a, x) -> a + x) AS h_t
+       |  FROM rterm)
+       |SELECT n.nn AS n, ht.h_t, hcond.h_t_given_b,
+       |  (ht.h_t - hcond.h_t_given_b) / ht.h_t AS theils_u
+       |FROM ht CROSS JOIN hcond CROSS JOIN n""".stripMargin) { (s, d) =>
+    val cells = events(s, d)
+      .select(col("event_type").as("t"),
+        (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
+      .groupBy("t", "b").agg(count(lit(1)).as("o"))
+    val ct = cells.groupBy("b").agg(sum("o").as("ctot"))
+    val n = broadcast(cells.agg(sum("o").as("nn")))
+    val clx = graft.functions.PortableLn.withLn(
+      cells.join(ct, "b")
+        .select(col("t"), col("b"),
+          (col("ctot").cast("double") / col("o").cast("double")).as("x"),
+          col("o")),
+      "x", "lnx")
+    val cterm = clx.crossJoin(n)
+      .select(col("t"), col("b"),
+        ((col("o").cast("double") / col("nn").cast("double")) * col("lnx"))
+          .as("term"))
+    val hcond = cterm
+      .agg(sort_array(collect_list(struct(col("t"), col("b"), col("term"))))
+        .as("cells"))
+      .select(aggregate(transform(col("cells"), e => e.getField("term")),
+        lit(0.0), (a, x) => a + x).as("h_t_given_b"))
+    val rt = cells.groupBy("t").agg(sum("o").as("rtot"))
+    val rlx = graft.functions.PortableLn.withLn(
+      rt.crossJoin(n)
+        .select(col("t"),
+          (col("nn").cast("double") / col("rtot").cast("double")).as("x"),
+          col("rtot")),
+      "x", "lnx")
+    val rterm = rlx.crossJoin(n)
+      .select(col("t"),
+        ((col("rtot").cast("double") / col("nn").cast("double")) * col("lnx"))
+          .as("term"))
+    val ht = rterm
+      .agg(sort_array(collect_list(struct(col("t"), col("term")))).as("cells"))
+      .select(aggregate(transform(col("cells"), e => e.getField("term")),
+        lit(0.0), (a, x) => a + x).as("h_t"))
+    ht.crossJoin(hcond).crossJoin(n)
+      .select(col("nn").as("n"), col("h_t"), col("h_t_given_b"),
+        ((col("h_t") - col("h_t_given_b")) / col("h_t")).as("theils_u"))
+  }
+
+  val all: Seq[Q] = Seq(q101MannWhitney, q102Spearman, q103Lttb,
+    q104TimeDecayedSum, q105SequenceNextNode, q106TheilsU)
 }

@@ -98,4 +98,64 @@ class EventAnalytics6Spec extends AnyFunSuite {
     val b24 = EventAnalytics6.q103Lttb.run(spark, TestSpark.tiny)
     assert(b24.filter(col("bucket") < 0 || col("bucket") > 23).count() === 0)
   }
+
+  test("q104 decayed sums ≡ driver-side exact dyadic weighting") {
+    val got = EventAnalytics6.q104TimeDecayedSum.run(spark, TestSpark.tiny)
+      .select("event_type", "n", "decayed_sum", "decayed_count", "decayed_avg")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSet === byType.keySet)
+    got.foreach { case (t, n, ds, dc, da) =>
+      val vs = byType(t)
+      assert(n === vs.size.toLong)
+      val tmax = vs.map(_._3).max
+      var ws = BigInt(0); var wc = BigInt(0)
+      vs.foreach { case (v4, _, xs, _) =>
+        val k = (tmax - xs) / 86400000000L
+        if (k <= 50) {
+          val w = BigInt(1) << (50 - k).toInt
+          ws += BigInt(v4) * w; wc += w
+        }
+      }
+      val p50 = 1125899906842624.0
+      assert(ds === ws.toDouble / p50 / 10000.0, s"sum for $t")
+      assert(dc === wc.toDouble / p50, s"count for $t")
+      assert(da === ds / dc, s"avg for $t")
+      // decay must bind: effective count strictly below the raw count
+      assert(dc < n.toDouble && dc > 0.0)
+    }
+  }
+
+  test("q105 next node ≡ driver-side per-user stream replay") {
+    val streams = Tables.events(spark, TestSpark.tiny)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("xs"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(r => (r._3, r._4)).map(_._2).toSeq).toMap
+    val ref = streams.values.flatMap { seq =>
+      seq.sliding(2).zipWithIndex.collectFirst {
+        case (Seq("view", "click"), i) =>
+          if (i + 2 < seq.size) seq(i + 2) else "(end)"
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics6.q105SequenceNextNode.run(spark, TestSpark.tiny)
+      .select("next_type", "n_users").as[(String, Long)].collect().toMap
+    assert(got === ref)
+    assert(got.values.sum <= streams.size.toLong)
+  }
+
+  test("q106 Theil's U: entropy bounds and driver-side H(T) (1e-12)") {
+    val Seq((n, hT, hTb, u)) = EventAnalytics6.q106TheilsU
+      .run(spark, TestSpark.tiny)
+      .select("n", "h_t", "h_t_given_b", "theils_u")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(n === byType.values.map(_.size).sum.toLong)
+    val counts = byType.view.mapValues(_.size.toLong).values.toSeq
+    val refH = -counts.map { c =>
+      val p = c.toDouble / n.toDouble; p * math.log(p)
+    }.sum
+    assert(math.abs(hT - refH) < 1e-12)
+    assert(hTb >= 0.0 && hTb <= hT + 1e-12)
+    assert(u >= -1e-12 && u <= 1.0 + 1e-12)
+  }
 }
