@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
-      Relational7.all ++ Relational8.all ++ EventAnalytics.all ++
+      Relational7.all ++ Relational8.all ++ Relational9.all ++
+      EventAnalytics.all ++
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
       EventAnalytics5.all ++ EventAnalytics6.all ++ EventAnalytics7.all ++
       EventAnalytics8.all ++ Cdc.all ++ Scd.all ++

@@ -236,5 +236,92 @@ object EventAnalytics8 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q110TukeyOutliers, q111KsTest, q112Auc)
+  /** ClickHouse `ORDER BY … WITH FILL … INTERPOLATE` analogue: the daily
+    * per-type event series with missing days materialized — counts
+    * zero-filled, the daily mean linearly interpolated between the
+    * nearest present days (IGNORE NULLS carry windows on both sides of
+    * each gap). The spine spans each type's own [min, max] day so no
+    * edge extrapolation occurs; daily sums stay exact ×10⁴ BIGINTs and
+    * the mean/interpolation is one final double tree mirrored in the
+    * oracle.
+    *
+    * 100 TB shape: the spine is |types|·|days| rows — calendar-bounded,
+    * not event-bounded — and the gap windows run per type over that
+    * bounded spine, so the only corpus-sized work is the first hash agg. */
+  val q113WithFill: Q = Q(
+    "q113_with_fill",
+    """WITH d AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |    COUNT(*)::BIGINT AS cnt,
+      |    SUM(CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))::BIGINT AS s4
+      |  FROM events GROUP BY 1, 2),
+      |rng AS (SELECT t, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
+      |spine AS (
+      |  SELECT t, CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM rng),
+      |j AS (
+      |  SELECT spine.t, spine.day, d.cnt, d.s4,
+      |    CASE WHEN d.cnt IS NOT NULL THEN
+      |      CAST(d.s4 AS DOUBLE) / CAST(d.cnt AS DOUBLE) / 10000.0::DOUBLE
+      |    END AS avg_present
+      |  FROM spine LEFT JOIN d ON d.t = spine.t AND d.day = spine.day),
+      |w AS (
+      |  SELECT t, day, cnt, avg_present,
+      |    LAST_VALUE(avg_present IGNORE NULLS) OVER wp AS pv,
+      |    LAST_VALUE(CASE WHEN avg_present IS NOT NULL THEN day END
+      |               IGNORE NULLS) OVER wp AS pd,
+      |    FIRST_VALUE(avg_present IGNORE NULLS) OVER wf AS nv,
+      |    FIRST_VALUE(CASE WHEN avg_present IS NOT NULL THEN day END
+      |                IGNORE NULLS) OVER wf AS nd
+      |  FROM j
+      |  WINDOW
+      |    wp AS (PARTITION BY t ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY t ORDER BY day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT t AS event_type, day, COALESCE(cnt, 0)::BIGINT AS n_events,
+      |  cnt IS NULL AS filled,
+      |  CASE WHEN avg_present IS NOT NULL THEN avg_present
+      |    ELSE pv + (nv - pv)
+      |      * (CAST(DATEDIFF('day', pd, day) AS DOUBLE)
+      |         / CAST(DATEDIFF('day', pd, nd) AS DOUBLE))
+      |  END AS avg_value
+      |FROM w
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val daily = events(s, d)
+      .select(col("event_type").as("t"), col("ts").cast("date").as("day"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .groupBy("t", "day")
+      .agg(count(lit(1)).as("cnt"), sum("v4").as("s4"))
+    val spine = daily.groupBy("t").agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("t"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    val j = spine.join(daily, Seq("t", "day"), "left")
+      .withColumn("avg_present",
+        when(col("cnt").isNotNull,
+          col("s4").cast("double") / col("cnt").cast("double") / 10000.0))
+    val wp = Window.partitionBy("t").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("t").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val presentDay = when(col("avg_present").isNotNull, col("day"))
+    j.withColumn("pv", last("avg_present", ignoreNulls = true).over(wp))
+      .withColumn("pd", last(presentDay, ignoreNulls = true).over(wp))
+      .withColumn("nv", first("avg_present", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(presentDay, ignoreNulls = true).over(wf))
+      .select(col("t").as("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        col("cnt").isNull.as("filled"),
+        when(col("avg_present").isNotNull, col("avg_present"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))
+          .as("avg_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val all: Seq[Q] =
+    Seq(q110TukeyOutliers, q111KsTest, q112Auc, q113WithFill)
 }

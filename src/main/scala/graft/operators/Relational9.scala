@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.Tables._
+
+/** Ninth relational batch — classic business-analytics operators over
+  * the TPC-H-ish tables: a Benford first-digit audit, Gini revenue
+  * concentration, market-basket association rules, and RFM customer
+  * segmentation. All four follow the repo's exact-arithmetic rule:
+  * counts and money stay integers (cents / fixed-point) through every
+  * aggregate; doubles appear only in final mirrored expression trees.
+  */
+object Relational9 {
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Benford's-law first-digit audit of order totals per priority
+    * class: observed leading-digit counts vs the expected Benford share
+    * n·log₁₀(1+1/d). The nine log constants are fixed DECIMAL(12,10)
+    * literals (identical on both engines — no runtime log), the
+    * expected count and absolute deviation are exact decimals, and the
+    * per-class total-variation distance ½·Σ|obs − n·p|/n is the single
+    * final double. One hash agg over orders; the digit matrix is 5×9. */
+  private val benfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299957", 2 -> "0.1760912591", 3 -> "0.1249387366",
+    4 -> "0.0969100130", 5 -> "0.0791812460", 6 -> "0.0669467896",
+    7 -> "0.0579919470", 8 -> "0.0511525224", 9 -> "0.0457574906")
+
+  val q114Benford: Q = Q(
+    "q114_benford",
+    s"""WITH p(digit, pr) AS (VALUES
+      |  ${benfordP.map { case (d, p) =>
+            s"(CAST($d AS BIGINT), CAST($p AS DECIMAL(12,10)))" }
+          .mkString(", ")}),
+      |o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    LEFT(CAST(CAST(FLOOR(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT) AS VARCHAR), 1)::BIGINT AS digit,
+      |    COUNT(*)::BIGINT AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |n AS (SELECT priority, SUM(obs)::BIGINT AS n FROM o GROUP BY 1),
+      |j AS (
+      |  SELECT n.priority, p.digit, COALESCE(o.obs, 0)::BIGINT AS obs,
+      |    n.n,
+      |    CAST(CAST(n.n AS DECIMAL(18,0)) * p.pr AS DECIMAL(28,10))
+      |      AS expected
+      |  FROM n CROSS JOIN p
+      |  LEFT JOIN o ON o.priority = n.priority AND o.digit = p.digit)
+      |SELECT priority, digit, obs, CAST(expected AS DOUBLE) AS expected,
+      |  CAST(CAST(ABS(CAST(obs AS DECIMAL(18,0)) - expected)
+      |    AS DECIMAL(28,10)) AS DOUBLE) AS abs_dev,
+      |  CAST(SUM(CAST(ABS(CAST(obs AS DECIMAL(18,0)) - expected)
+      |        AS DECIMAL(28,10))) OVER (PARTITION BY priority) AS DOUBLE)
+      |    / (2.0::DOUBLE * CAST(n AS DOUBLE)) AS tvd
+      |FROM j
+      |ORDER BY priority, digit""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val p = benfordP.toDF("digit", "prs")
+      .select(col("digit").cast("long").as("digit"),
+        col("prs").cast(DecimalType(12, 10)).as("pr"))
+    val o = orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        substring(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("priority", "digit").agg(count(lit(1)).as("obs"))
+    val n = o.groupBy("priority").agg(sum("obs").as("n"))
+    val expected = (col("n").cast(DecimalType(18, 0)) * col("pr"))
+      .cast(DecimalType(28, 10))
+    val j = n.crossJoin(broadcast(p))
+      .join(o, Seq("priority", "digit"), "left")
+      .select(col("priority"), col("digit"),
+        coalesce(col("obs"), lit(0L)).as("obs"), col("n"),
+        expected.as("expected"))
+    val absDev = abs(col("obs").cast(DecimalType(18, 0)) - col("expected"))
+      .cast(DecimalType(28, 10))
+    j.select(col("priority"), col("digit"), col("obs"),
+      col("expected").cast("double").as("expected"),
+      absDev.cast("double").as("abs_dev"),
+      (sum(absDev).over(Window.partitionBy("priority")).cast("double") /
+        (lit(2.0) * col("n").cast("double"))).as("tvd"))
+      .orderBy("priority", "digit")
+  }
+
+  /** Gini coefficient of per-customer revenue concentration by market
+    * segment: G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over customers
+    * ranked by (revenue, custkey). Revenue is exact cents; the rank-
+    * weighted sum runs in DECIMAL(38,0) so the numerator is exact at
+    * any corpus size; one double division at the end.
+    *
+    * 100 TB shape: one hash agg to per-customer revenue, then the
+    * per-segment rank comes from ONE [[ScalableWindows.globalRowNumber]]
+    * over (segment, cents, ck) minus each segment's broadcast start
+    * offset — a segment-PARTITIONed window would put a whole segment
+    * (1/5 of all customers) on one task; the two-pass range shape keeps
+    * every stage parallel. Final agg is 5 rows. */
+  val q115Gini: Q = Q(
+    "q115_gini",
+    """WITH r AS (
+      |  SELECT c.c_mktsegment AS segment, c.c_custkey AS ck,
+      |    SUM(CAST(FLOOR(o.o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT))::BIGINT AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT segment, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, ck) AS i
+      |  FROM r),
+      |g AS (
+      |  SELECT segment, COUNT(*)::BIGINT AS n,
+      |    SUM(CAST(cents AS HUGEINT))::HUGEINT AS s,
+      |    SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT))::HUGEINT AS t
+      |  FROM w GROUP BY 1)
+      |SELECT segment, n,
+      |  CAST(s AS DOUBLE) / 100.0::DOUBLE AS total_revenue,
+      |  (2.0::DOUBLE * CAST(t AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) + 1.0::DOUBLE) * CAST(s AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+      |FROM g
+      |ORDER BY segment""".stripMargin) { (s, d) =>
+    val r = orders(s, d)
+      .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("c_custkey").as("ck"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("segment", "ck").agg(sum("cents").as("cents"))
+    // per-segment rank = global rank − segment start offset (5-row
+    // broadcast), so no single task ever sorts a whole segment
+    val rn = ScalableWindows.globalRowNumber(
+      r, Seq(col("segment"), col("cents"), col("ck")), "grn")
+    val segOff = rn.groupBy("segment").agg(min("grn").as("off"))
+    val w = rn.join(broadcast(segOff), "segment")
+      .withColumn("i", col("grn") - col("off") + 1L)
+    val g = w.groupBy("segment").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(dec38)).as("s"),
+      sum(col("i").cast(dec38) * col("cents").cast(dec38)).as("t"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    g.select(col("segment"), col("n"),
+      (sD / 100.0).as("total_revenue"),
+      ((lit(2.0) * col("t").cast("double") - (nD + 1.0) * sD) / (nD * sD))
+        .as("gini"))
+      .orderBy("segment")
+  }
+
+  /** Market-basket association rules over co-ordered parts: for every
+    * part pair appearing together in ≥3 orders, support / confidence /
+    * lift from exact order counts. The pair space is order-bounded (≤
+    * C(7,2) pairs per TPC-H order), so the self-join on orderkey is
+    * linear in orders at any scale; per-part counts broadcast to the
+    * pair table.
+    *
+    * Both directions of each rule are emitted (A⇒B and B⇒A share
+    * support and lift, confidence differs). */
+  val q116AssocRules: Q = Q(
+    "q116_assoc_rules",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok)::BIGINT AS n FROM op),
+      |pc AS (SELECT pk, COUNT(*)::BIGINT AS c FROM op GROUP BY 1),
+      |ab AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*)::BIGINT AS cab
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |r AS (
+      |  SELECT ab.pa AS antecedent, ab.pb AS consequent, ab.cab,
+      |    ca.c AS ca, cb.c AS cb, n.n
+      |  FROM ab JOIN pc ca ON ca.pk = ab.pa
+      |          JOIN pc cb ON cb.pk = ab.pb CROSS JOIN n
+      |  UNION ALL
+      |  SELECT ab.pb, ab.pa, ab.cab, cb.c, ca.c, n.n
+      |  FROM ab JOIN pc ca ON ca.pk = ab.pa
+      |          JOIN pc cb ON cb.pk = ab.pb CROSS JOIN n)
+      |SELECT antecedent, consequent, cab AS n_both,
+      |  CAST(cab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+      |  CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS confidence,
+      |  (CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+      |    / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+      |FROM r
+      |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = op.agg(countDistinct("ok").as("n"))
+    val pc = op.groupBy("pk").agg(count(lit(1)).as("c"))
+    val ab = op.as("a")
+      .join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    val joined = ab
+      .join(broadcast(pc.select(col("pk").as("pa"), col("c").as("ca"))), "pa")
+      .join(broadcast(pc.select(col("pk").as("pb"), col("c").as("cb"))), "pb")
+      .crossJoin(broadcast(n))
+    val fwd = joined.select(col("pa").as("antecedent"),
+      col("pb").as("consequent"), col("cab"), col("ca"), col("cb"), col("n"))
+    val rev = joined.select(col("pb").as("antecedent"),
+      col("pa").as("consequent"), col("cab"),
+      col("cb").as("ca"), col("ca").as("cb"), col("n"))
+    val cabD = col("cab").cast("double")
+    fwd.unionByName(rev)
+      .select(col("antecedent"), col("consequent"), col("cab").as("n_both"),
+        (cabD / col("n").cast("double")).as("support"),
+        (cabD / col("ca").cast("double")).as("confidence"),
+        ((cabD * col("n").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  /** RFM segmentation: per customer recency (days since last order,
+    * against the corpus max date), frequency (order count), monetary
+    * (exact cents), each scored into quintiles by NTILE(5) with custkey
+    * as the deterministic tiebreaker (R reversed so 5 = most recent),
+    * then one row per RFM cell with its population and total monetary.
+    *
+    * 100 TB shape: one hash agg to per-customer rows, then the three
+    * quintile ranks each come from a [[ScalableWindows.globalRowNumber]]
+    * two-pass (an unpartitioned NTILE window would single-task the
+    * whole customer table) with NTILE's front-loaded bucket split
+    * re-derived exactly from (rank, n): q = n div 5, r = n mod 5, the
+    * first r buckets hold q+1 rows. ≤125-row final agg; the corpus max
+    * date is a broadcast 1-row join. */
+  val q117Rfm: Q = Q(
+    "q117_rfm",
+    """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      |c AS (
+      |  SELECT o_custkey AS ck,
+      |    DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)),
+      |             MAX(mx.mxd))::BIGINT AS recency,
+      |    COUNT(*)::BIGINT AS frequency,
+      |    SUM(CAST(FLOOR(o_totalprice * 100.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT))::BIGINT AS cents
+      |  FROM orders CROSS JOIN mx GROUP BY 1),
+      |sc AS (
+      |  SELECT ck, cents,
+      |    6 - NTILE(5) OVER (ORDER BY recency, ck) AS r,
+      |    NTILE(5) OVER (ORDER BY frequency, ck) AS f,
+      |    NTILE(5) OVER (ORDER BY cents, ck) AS m
+      |  FROM c)
+      |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+      |    AS rfm_cell,
+      |  COUNT(*)::BIGINT AS n_customers,
+      |  CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0::DOUBLE
+      |    AS total_monetary
+      |FROM sc GROUP BY 1
+      |ORDER BY rfm_cell""".stripMargin) { (s, d) =>
+    val o = orders(s, d)
+    val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    val c = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        datediff(max("mxd"), max(col("o_orderdate").cast("date")))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+    // exact NTILE(5) from a two-pass global rank: with q = n div 5 and
+    // r = n mod 5, SQL NTILE front-loads — the first r buckets get q+1
+    // rows — so tile(rank) is pure integer arithmetic on (rank, n)
+    // Column./ is double division — NTILE arithmetic must stay integer,
+    // so the buckets are built with SQL `div` over the rank column name
+    def tile5(rn: String): Column = expr(
+      s"""CASE WHEN $rn <= (n % 5) * (n div 5 + 1)
+         |  THEN ($rn - 1) div (n div 5 + 1) + 1
+         |  ELSE n % 5 + ($rn - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1
+         |END""".stripMargin)
+    val ranked = ScalableWindows.globalRowNumber(
+      ScalableWindows.globalRowNumber(
+        ScalableWindows.globalRowNumber(
+          c, Seq(col("recency"), col("ck")), "rnR"),
+        Seq(col("frequency"), col("ck")), "rnF"),
+      Seq(col("cents"), col("ck")), "rnM")
+    val nDf = broadcast(ranked.agg(count(lit(1)).as("n")))
+    val sc = ranked.crossJoin(nDf).select(col("ck"), col("cents"),
+      (lit(6L) - tile5("rnR")).as("r"),
+      tile5("rnF").as("f"),
+      tile5("rnM").as("m"))
+    sc.groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("rfm_cell"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents").cast(dec38)).cast("double") / 100.0)
+          .as("total_monetary"))
+      .orderBy("rfm_cell")
+  }
+
+  val all: Seq[Q] = Seq(q114Benford, q115Gini, q116AssocRules, q117Rfm)
+}
