@@ -27,7 +27,8 @@ object SparkEntry {
       Dedup.all ++ Dedup2.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
       Similarity4.all ++
-      Multimodal.all ++ Multimodal2.all ++ Multimodal3.all
+      Multimodal.all ++ Multimodal2.all ++ Multimodal3.all ++
+      Multimodal4.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
