@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** Graph-analytics tier over the co-purchase graph: parts are nodes,
+  * and an edge joins two parts co-ordered in ≥2 distinct orders (the
+  * support threshold is the graph-density knob — at 100 TB it is what
+  * keeps the edge set candidate-bounded, exactly like the LSH band
+  * caps in the dedup tier). Triangle counting / clustering
+  * coefficients and a fixed-iteration PageRank, both in exact integer
+  * arithmetic so Spark and the oracle agree bit-for-bit:
+  * PageRank runs in 10⁻¹² "micro-rank" units with floor division —
+  * deterministic regardless of execution order, unlike float masses.
+  *
+  * 100 TB shape: the base graph is materialized ONCE (localCheckpoint)
+  * and reused by every downstream join — the order→pair explosion is
+  * bounded by order size (≤C(7,2) per TPC-H order), the triangle join
+  * by the thresholded edge list, the PageRank rounds by a fixed
+  * iteration count of edge-partitioned shuffles. */
+object GraphAnalytics {
+
+  private val SupportThreshold = 2
+  /** PageRank unit: ranks are BIGINTs in 10⁻¹² units. */
+  private val U = 1000000000000L
+  private val Iterations = 5
+
+  private val EdgeSql =
+    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |       FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $SupportThreshold)""".stripMargin
+
+  /** (pa < pb) support-thresholded edge list, materialized once. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("a")
+      .join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= SupportThreshold)
+      .select("pa", "pb")
+      .localCheckpoint()
+  }
+
+  /** Triangle census: per node its degree, the number of triangles it
+    * participates in, and the local clustering coefficient
+    * 2T/(deg·(deg−1)) — the "how clique-ish is this part's
+    * neighborhood" number. Triangles are enumerated once as ordered
+    * (a<b<c) closed wedges and credited to all three corners. */
+  val q121Triangles: Q = Q(
+    "q121_triangles",
+    s"""WITH $EdgeSql,
+      |und AS (SELECT pa AS x, pb AS y FROM e
+      |        UNION ALL SELECT pb, pa FROM e),
+      |deg AS (SELECT x AS node, COUNT(*)::BIGINT AS degree
+      |        FROM und GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+      |       JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+      |pt AS (
+      |  SELECT node, COUNT(*)::BIGINT AS t FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.node, deg.degree,
+      |  COALESCE(pt.t, 0)::BIGINT AS n_triangles,
+      |  CASE WHEN deg.degree >= 2 THEN
+      |    2.0::DOUBLE * CAST(COALESCE(pt.t, 0) AS DOUBLE)
+      |      / (CAST(deg.degree AS DOUBLE)
+      |         * (CAST(deg.degree AS DOUBLE) - 1.0::DOUBLE))
+      |  ELSE 0.0::DOUBLE END AS clustering
+      |FROM deg LEFT JOIN pt ON pt.node = deg.node
+      |ORDER BY deg.node""".stripMargin) { (s, d) =>
+    val e = edges(s, d)
+    val und = e.select(col("pa").as("x"), col("pb").as("y"))
+      .unionByName(e.select(col("pb").as("x"), col("pa").as("y")))
+    val deg = und.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.pa") === col("e1.pb"))
+      .join(e.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"),
+        col("e2.pb").as("c"))
+    val pt = tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    val degD = col("degree").cast("double")
+    deg.join(pt, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+            (degD * (degD - 1.0)))
+          .otherwise(0.0).as("clustering"))
+      .orderBy("node")
+  }
+
+  /** Five-round PageRank (d = 0.85) on the undirected co-purchase
+    * graph, entirely in integer micro-rank units: r₀ = U div N, each
+    * round r'(u) = (15·U) div (100·N) + Σ_{v∼u} (85·r(v)) div
+    * (100·deg(v)). Floor division leaks mass but is identical on both
+    * engines, so the result is exact — the conventional float PageRank
+    * would be order-dependent under parallel summation. */
+  val q122Pagerank: Q = {
+    val iterSql = (1 to Iterations).map { k =>
+      s"""it$k AS (
+         |  SELECT und.y AS node,
+         |    (MAX(nn.base) + SUM((85 * p.r) // (100 * dg.degree)))::BIGINT
+         |      AS r
+         |  FROM it${k - 1} p
+         |  JOIN deg dg ON dg.node = p.node
+         |  JOIN und ON und.x = p.node
+         |  CROSS JOIN nn
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q122_pagerank",
+      s"""WITH $EdgeSql,
+        |und AS (SELECT pa AS x, pb AS y FROM e
+        |        UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT x AS node, COUNT(*)::BIGINT AS degree
+        |        FROM und GROUP BY 1),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n,
+        |         (15 * $U) // (100 * COUNT(*)) AS base FROM deg),
+        |it0 AS (
+        |  SELECT node, degree, $U // nn.n AS r FROM deg CROSS JOIN nn),
+        |$iterSql
+        |SELECT it$Iterations.node, deg.degree, it$Iterations.r AS rank_micro,
+        |  CAST(it$Iterations.r AS DOUBLE) / 1e12::DOUBLE AS rank
+        |FROM it$Iterations JOIN deg ON deg.node = it$Iterations.node
+        |ORDER BY it$Iterations.node""".stripMargin) { (s, d) =>
+      val e = edges(s, d)
+      val und = e.select(col("pa").as("x"), col("pb").as("y"))
+        .unionByName(e.select(col("pb").as("x"), col("pa").as("y")))
+        .localCheckpoint()
+      val deg = und.groupBy(col("x").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .localCheckpoint()
+      val nn = broadcast(deg.agg(count(lit(1)).as("n"),
+        expr(s"(15 * ${U}L) div (100 * count(1))").as("base")))
+      var r = deg.crossJoin(nn)
+        .select(col("node"), col("degree"),
+          expr(s"${U}L div n").as("r"))
+      for (_ <- 1 to Iterations) {
+        r = und.join(r, col("x") === col("node"))
+          .crossJoin(nn)
+          .groupBy(col("y"))
+          .agg((max("base") +
+            sum(expr("(85 * r) div (100 * degree)"))).as("r"))
+          .select(col("y").as("node"), col("r"))
+          .join(deg, "node")
+          .select(col("node"), col("degree"), col("r"))
+      }
+      r.select(col("node"), col("degree"), col("r").as("rank_micro"),
+        (col("r").cast("double") / 1e12).as("rank"))
+        .orderBy("node")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q121Triangles, q122Pagerank)
+}

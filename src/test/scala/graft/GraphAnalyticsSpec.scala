@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphAnalytics
+
+class GraphAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** support-≥2 co-purchase edge list, driver-side */
+  private lazy val edges: Set[(Long, Long)] = {
+    val op = Tables.lineitem(spark, TestSpark.tiny)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    op.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for { i <- ps.indices; j <- (i + 1) until ps.length }
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+  }
+
+  private lazy val adj: Map[Long, Set[Long]] =
+    (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("q121 triangles ≡ driver-side wedge closure") {
+    val got = GraphAnalytics.q121Triangles.run(spark, TestSpark.tiny)
+      .select("node", "degree", "n_triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === adj.keySet)
+    got.foreach { case (v, deg, t, c) =>
+      val nb = adj(v)
+      assert(deg === nb.size.toLong)
+      val refT = nb.toSeq.flatMap(a => nb.toSeq.map(b => (a, b)))
+        .count { case (a, b) => a < b && adj(a).contains(b) }.toLong
+      assert(t === refT, s"triangles at $v")
+      val refC = if (deg >= 2) 2.0 * refT / (deg.toDouble * (deg - 1.0))
+      else 0.0
+      assert(c === refC)
+    }
+  }
+
+  test("q122 PageRank ≡ driver-side integer iteration; ranks sane") {
+    val nodes = adj.keySet.toSeq.sorted
+    val n = nodes.size.toLong
+    val U = 1000000000000L
+    val base = (15L * U) / (100L * n)
+    var r = nodes.map(_ -> U / n).toMap
+    for (_ <- 1 to 5) {
+      r = nodes.map { u =>
+        u -> (base + adj(u).toSeq
+          .map(v => (85L * r(v)) / (100L * adj(v).size)).sum)
+      }.toMap
+    }
+    val got = GraphAnalytics.q122Pagerank.run(spark, TestSpark.tiny)
+      .select("node", "degree", "rank_micro", "rank")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === adj.keySet)
+    got.foreach { case (v, deg, micro, rank) =>
+      assert(deg === adj(v).size.toLong)
+      assert(micro === r(v), s"rank at $v")
+      assert(rank === micro.toDouble / 1e12)
+    }
+    // total mass stays below 1 (floor leaks) but above the base floor
+    val mass = got.map(_._3).sum
+    assert(mass <= U && mass >= base * n)
+  }
+}
