@@ -24,7 +24,7 @@ object SparkEntry {
       EventAnalytics8.all ++ EventAnalytics9.all ++ Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
-      TextAnalysis7.all ++ TextAnalysis8.all ++
+      TextAnalysis7.all ++ TextAnalysis8.all ++ TextAnalysis9.all ++
       Dedup.all ++ Dedup2.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
       Similarity4.all ++ Similarity5.all ++
