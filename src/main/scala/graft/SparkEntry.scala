@@ -27,7 +27,7 @@ object SparkEntry {
       TextAnalysis7.all ++ TextAnalysis8.all ++ TextAnalysis9.all ++
       Dedup.all ++ Dedup2.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
-      Similarity4.all ++ Similarity5.all ++
+      Similarity4.all ++ Similarity5.all ++ Similarity6.all ++
       Multimodal.all ++ Multimodal2.all ++ Multimodal3.all ++
       Multimodal4.all
 
