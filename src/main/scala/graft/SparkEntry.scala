@@ -21,7 +21,8 @@ object SparkEntry {
       EventAnalytics.all ++
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
       EventAnalytics5.all ++ EventAnalytics6.all ++ EventAnalytics7.all ++
-      EventAnalytics8.all ++ EventAnalytics9.all ++ Cdc.all ++ Scd.all ++
+      EventAnalytics8.all ++ EventAnalytics9.all ++ EventAnalytics10.all ++
+      Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
       TextAnalysis7.all ++ TextAnalysis8.all ++ TextAnalysis9.all ++

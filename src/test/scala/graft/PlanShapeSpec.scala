@@ -208,7 +208,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q86_period_over_period" -> "per-month rows (~12/yr)",
       "text_mixture_report" -> "per-(source,lang) cells (bounded)",
       "text_frequent_tokens" -> "Misra-Gries sketch output (≤ capacity 4096 rows)",
-      "text_zipf_fit" -> "head-vocabulary rows (≤ 256 after limit)")
+      "text_zipf_fit" -> "head-vocabulary rows (≤ 256 after limit)",
+      "q124_activity_heatmap" -> "hour×weekday cells (≤ 168 rows)")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)
