@@ -76,5 +76,38 @@ object Multimodal4 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(ebmlTree, zipDirectory)
+  /** FLAC STREAMINFO inventory out of the bit-packed parameter group:
+    * sample rate (20 bits), channel count (3 bits), bit depth (5
+    * bits), and total samples (36 bits) share one 64-bit word at
+    * sub-byte offsets ([[graft.functions.FlacStreaminfo]]) — plus the
+    * metadata-block census with last-flag chain validation. Duration
+    * = samples/rate is the audio-lake inventory number this feeds. */
+  val flacStreaminfo: Q = Q(
+    "mm_flac_streaminfo",
+    """SELECT doc_id,
+      |  CAST(doc_id % 96000 + 8000 AS BIGINT) AS sample_rate,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS channels,
+      |  CAST(doc_id % 25 + 8 AS BIGINT) AS bits_per_sample,
+      |  CAST(doc_id % 999999937 + 1 AS BIGINT) AS total_samples,
+      |  CAST(2 AS BIGINT) AS n_blocks,
+      |  CAST(doc_id % 999999937 + 1 AS DOUBLE)
+      |    / CAST(doc_id % 96000 + 8000 AS DOUBLE) AS duration_sec
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.FlacStreaminfo
+    documents(s, d)
+      .select(col("doc_id"), FlacStreaminfo.build(col("doc_id")).as("media"))
+      .select(col("doc_id"),
+        FlacStreaminfo.sampleRate(col("media")).as("sample_rate"),
+        FlacStreaminfo.channels(col("media")).as("channels"),
+        FlacStreaminfo.bitsPerSample(col("media")).as("bits_per_sample"),
+        FlacStreaminfo.totalSamples(col("media")).as("total_samples"),
+        FlacStreaminfo.blockCount(col("media")).as("n_blocks"),
+        (FlacStreaminfo.totalSamples(col("media")).cast("double") /
+          FlacStreaminfo.sampleRate(col("media")).cast("double"))
+          .as("duration_sec"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(ebmlTree, zipDirectory, flacStreaminfo)
 }

@@ -52,6 +52,38 @@ class EbmlZipSpec extends AnyFunSuite {
     }
   }
 
+  test("flacWalk round-trips every generating formula across seeds") {
+    import graft.functions.FlacStreaminfo
+    (0L until 600L).foreach { seed =>
+      val b = FlacStreaminfo.buildFlac(seed)
+      assert(FlacStreaminfo.flacWalk(b, 0) === seed % 96000 + 8000,
+        s"rate @ $seed")
+      assert(FlacStreaminfo.flacWalk(b, 1) === seed % 8 + 1, s"ch @ $seed")
+      assert(FlacStreaminfo.flacWalk(b, 2) === seed % 25 + 8, s"bps @ $seed")
+      assert(FlacStreaminfo.flacWalk(b, 3) === seed % 999999937 + 1,
+        s"samples @ $seed")
+      assert(FlacStreaminfo.flacWalk(b, 4) === 2L, s"blocks @ $seed")
+    }
+  }
+
+  test("flacWalk rejects malformed streams with the -1 sentinel") {
+    import graft.functions.FlacStreaminfo
+    assert(FlacStreaminfo.flacWalk(null, 0) === -1L)
+    assert(FlacStreaminfo.flacWalk(new Array[Byte](50), 0) === -1L)
+    val ok = FlacStreaminfo.buildFlac(65L) // 65 % 64 = 1 → padding present
+    // truncation: padding block overruns
+    assert(FlacStreaminfo.flacWalk(ok.dropRight(1), 0) === -1L)
+    // bad magic
+    val bad = ok.clone(); bad(0) = 'X'.toByte
+    assert(FlacStreaminfo.flacWalk(bad, 0) === -1L)
+    // first block not STREAMINFO
+    val bad2 = ok.clone(); bad2(4) = 0x01
+    assert(FlacStreaminfo.flacWalk(bad2, 0) === -1L)
+    // last-flag stripped from the terminator → chain never ends
+    val bad3 = ok.clone(); bad3(42) = 0x01
+    assert(FlacStreaminfo.flacWalk(bad3, 0) === -1L)
+  }
+
   test("zipWalk rejects malformed archives with the -1 sentinel") {
     assert(ZipDirectory.zipWalk(null, 0) === -1L)
     assert(ZipDirectory.zipWalk(new Array[Byte](30), 0) === -1L)
