@@ -77,7 +77,19 @@ object Dedup2 {
     * The oracle is the UNFILTERED inverted-index join (the prefix +
     * positional pruning is Spark-side-only and exact), with the DF cap
     * mirrored in its QUALIFY exactly as [[Dedup.duckJaccardPairsCap]]
-    * mirrors it. */
+    * mirrors it.
+    *
+    * SCALE CROSSOVER (measured r07: 8.6 s sf1 → 24.4 s sf2, 2.85× for
+    * 2× data — the registry's one super-linear member): exact
+    * containment prefix-filters only the SMALLER side (the overlap
+    * bound anchors on |A|, so B must contribute full postings), which
+    * makes candidate volume grow with how many shingles sit at the DF
+    * cap — super-linear through the cap-transition regime. This is the
+    * documented exact tier; beyond ~sf2 route to the MinHash-LSH tier
+    * first ([[Dedup.minhashLsh]] band buckets, whose per-bucket caps
+    * bound candidates by construction) and reserve this operator for
+    * verifying the sketch tier's survivors, exactly as
+    * `dedup_edit_distance` documents for its Levenshtein verify. */
   val containment: Q = Q(
     "dedup_containment",
     s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
