@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+import graft.functions.VectorFunctions.{cosine, duckCosine}
+
+/** Seventh similarity batch — the full deterministic Lloyd loop:
+  * three k-means rounds (assign → update → …) end-to-end in one
+  * query, closing the cluster tier whose single steps
+  * (`sim_cluster_assign`, `sim_centroid_update`) were already
+  * registered. Determinism comes from the same discipline as the
+  * PageRank/PCA flagships:
+  *
+  *   - embeddings quantize ONCE to ×2²⁰ integers; every centroid
+  *     update is an exact integer mean with sign-split truncating
+  *     division (|s| div n negated for negative sums — truncation and
+  *     flooring agree on non-negatives, so Spark `div` ≡ DuckDB `//`);
+  *   - centroid components cq/2²⁰ carry ≤21 mantissa bits (components
+  *     are within ±1), so the float cast on the Spark side is EXACT
+  *     and both engines fold cosine over bit-identical values;
+  *   - assignment is argmax cosine with (cos desc, cid) tie order —
+  *     the `sim_cluster_assign` contract, per round.
+  *
+  * 100 TB shape: per round, ONE corpus scan joined to a broadcast
+  * 8-row centroid table (8-row rank window per vector), one 8×64-group
+  * update agg with map-side combine. Rounds are a fixed constant;
+  * nothing driver-side ever sees a corpus-sized relation. Empty
+  * clusters simply drop out of later rounds on both engines alike. */
+object Similarity7 {
+
+  private val Dim = 64
+  private val K = 8
+  private val Rounds = 3
+  private val CScale = 1048576L // 2^20
+
+  /** quantized corpus: vec_id, e (raw floats), q (×2²⁰ longs) */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * CScale.toDouble + 0.5).cast("long"))
+          .as("q"))
+
+  /** centroid table (cid, carr float array) from per-(cid,dim) integer
+    * components */
+  private def toCentroids(cq: DataFrame): DataFrame =
+    cq.groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cq")))),
+        p => (p.getField("cq").cast("double") / CScale.toDouble)
+          .cast("float")).as("carr"))
+
+  private def duckRound(k: Int): String =
+    s"""a$k AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT qv.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+       |        ORDER BY ${duckCosine("qv.e", "c.carr", Dim)} DESC, c.cid)
+       |        AS rn
+       |    FROM qv CROSS JOIN c${k - 1} c)
+       |  WHERE rn = 1),
+       |u$k AS MATERIALIZED (
+       |  SELECT a.cid, i.i AS dim,
+       |    CASE WHEN CAST(SUM(qv.q[i.i]) AS HUGEINT) >= 0
+       |      THEN CAST(SUM(qv.q[i.i]) AS HUGEINT) // COUNT(*)
+       |      ELSE -((-CAST(SUM(qv.q[i.i]) AS HUGEINT)) // COUNT(*))
+       |    END AS cq
+       |  FROM a$k a JOIN qv ON qv.vec_id = a.vec_id,
+       |    UNNEST(RANGE(1, ${Dim + 1})) i(i)
+       |  GROUP BY 1, 2),
+       |c$k AS MATERIALIZED (
+       |  SELECT cid,
+       |    LIST(CAST(cq AS DOUBLE) / $CScale::DOUBLE ORDER BY dim) AS carr
+       |  FROM u$k GROUP BY 1)""".stripMargin
+
+  /** Final state after [[Rounds]] Lloyd rounds: one row per surviving
+    * (cluster, dimension) with the integer-exact centroid component,
+    * plus the cluster's member count from the final assignment. */
+  val kmeansRounds: Q = Q(
+    "sim_kmeans_rounds",
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e,
+       |    LIST_TRANSFORM(embedding, x ->
+       |      CAST(FLOOR(x::DOUBLE * $CScale::DOUBLE + 0.5::DOUBLE)
+       |        AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid,
+       |    LIST_TRANSFORM(q, v -> CAST(v AS DOUBLE) / $CScale::DOUBLE)
+       |      AS carr
+       |  FROM qv WHERE vec_id < $K),
+       |${(1 to Rounds).map(duckRound).mkString(",\n")},
+       |sz AS (SELECT cid, COUNT(*)::BIGINT AS n_members
+       |       FROM a$Rounds GROUP BY 1)
+       |SELECT u.cid, u.dim::BIGINT AS dim,
+       |  CAST(u.cq AS DOUBLE) / $CScale::DOUBLE AS centroid,
+       |  sz.n_members
+       |FROM u$Rounds u JOIN sz ON sz.cid = u.cid
+       |ORDER BY u.cid, u.dim""".stripMargin) { (s, d) =>
+    val qv = quantized(s, d).localCheckpoint()
+    var centroids = qv.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"),
+        transform(col("q"),
+          v => (v.cast("double") / CScale.toDouble).cast("float"))
+          .as("carr"))
+    var assign: DataFrame = null
+    var update: DataFrame = null
+    for (_ <- 1 to Rounds) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(cosine(col("e"), col("carr")).desc, col("cid"))
+      assign = qv.crossJoin(broadcast(centroids))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      update = assign.join(qv, "vec_id")
+        .select(col("cid"), posexplode(col("q")).as(Seq("p", "qv")))
+        .groupBy(col("cid"), (col("p") + 1).cast("long").as("dim"))
+        .agg(when(sum("qv") >= 0, expr("sum(qv) div count(1)"))
+          .otherwise(-expr("(-sum(qv)) div count(1)")).as("cq"))
+        .localCheckpoint()
+      centroids = toCentroids(update)
+    }
+    val sz = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    update.join(broadcast(sz), "cid")
+      .select(col("cid"), col("dim"),
+        (col("cq").cast("double") / CScale.toDouble).as("centroid"),
+        col("n_members"))
+      .orderBy("cid", "dim")
+  }
+
+  val all: Seq[Q] = Seq(kmeansRounds)
+}
