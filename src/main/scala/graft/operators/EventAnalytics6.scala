@@ -68,13 +68,13 @@ object EventAnalytics6 {
       |  FROM dom),
       |s AS (
       |  SELECT t, SUM(ct)::BIGINT AS n1, SUM(cb)::BIGINT AS n2,
-      |    SUM(ct * rank2)::BIGINT AS r2,
+      |    SUM(CAST(ct AS HUGEINT) * rank2) AS r2,
       |    SUM(CAST(ct + cb AS HUGEINT) * (ct + cb) * (ct + cb)
       |        - (ct + cb)) AS tt
       |  FROM r GROUP BY t)
       |SELECT t AS event_type, n1, n2,
-      |  CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0::DOUBLE AS u_stat,
-      |  (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+      |  CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0::DOUBLE AS u_stat,
+      |  (CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
       |    / (2.0::DOUBLE * SQRT(
       |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0::DOUBLE)
       |        * ((CAST(n1 + n2 AS DOUBLE) + 1.0::DOUBLE)
@@ -103,11 +103,13 @@ object EventAnalytics6 {
         + col("ct") + col("cb") + 1L)
     val st = r.groupBy("t").agg(
       sum("ct").as("n1"), sum("cb").as("n2"),
-      sum(col("ct") * col("rank2")).as("r2"),
+      // r2 ~ 2n² per type — DECIMAL(38,0) ≡ HUGEINT like tt, so neither
+      // engine can wrap/raise past ~2e9 events per type (r07 ADVICE)
+      sum(col("ct").cast(dec) * col("rank2")).as("r2"),
       sum(((col("ct") + col("cb")).cast(dec) * (col("ct") + col("cb"))
         * (col("ct") + col("cb"))) - (col("ct") + col("cb")).cast(dec)).as("tt"))
     val nd = (col("n1") + col("n2")).cast("double")
-    val u2d = (col("r2") - col("n1") * (col("n1") + 1)).cast("double")
+    val u2d = (col("r2") - col("n1").cast(dec) * (col("n1") + 1)).cast("double")
     st.select(col("t").as("event_type"), col("n1"), col("n2"),
       (u2d / 2.0).as("u_stat"),
       ((u2d - (col("n1") * col("n2")).cast("double")) /
@@ -214,8 +216,11 @@ object EventAnalytics6 {
     * Parallel integer-centroid variant (the sequential reference
     * algorithm chains each pick to the previous one — unusable on a
     * cluster): per bucket, the retained point maximizes the triangle
-    * area against the ADJACENT BUCKETS' floor-integer centroids
-    * (x̄ = Σx÷n, ȳ = Σy÷n in BIGINT), and the global first/last points
+    * area against the ADJACENT BUCKETS' truncated-integer centroids
+    * (x̄ = Σx÷n, ȳ = Σy÷n in BIGINT — truncation toward zero on BOTH
+    * engines: Spark `div` truncates natively, the oracle sign-splits
+    * its flooring `//` so negative Σy buckets agree too, the
+    * Similarity7 idiom), and the global first/last points
     * anchor the series exactly as in the reference algorithm. Because
     * the area is translation-invariant, the centroid differences stay
     * span-bounded, so 2·area = |(x̄₋−x̄₊)(y−ȳ₋) − (x̄₋−x)(ȳ₊−ȳ₋)| is
@@ -242,7 +247,11 @@ object EventAnalytics6 {
        |      AS b
        |  FROM e JOIN bounds ON bounds.t = e.t),
        |bk AS (
-       |  SELECT t, b, SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+       |  SELECT t, b,
+       |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+       |         ELSE -((-SUM(x)) // COUNT(*)) END AS cx,
+       |    CASE WHEN SUM(y) >= 0 THEN SUM(y) // COUNT(*)
+       |         ELSE -((-SUM(y)) // COUNT(*)) END AS cy
        |  FROM eb GROUP BY 1, 2),
        |nb AS (
        |  SELECT t, b,

@@ -202,10 +202,10 @@ object EventAnalytics8 {
       |  FROM dom),
       |s AS (
       |  SELECT t, SUM(ct)::BIGINT AS n1, SUM(cb)::BIGINT AS n2,
-      |    SUM(ct * rank2)::BIGINT AS r2
+      |    SUM(CAST(ct AS HUGEINT) * rank2) AS r2
       |  FROM r GROUP BY t)
       |SELECT t AS event_type, n1, n2,
-      |  CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+      |  CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
       |    / (2.0::DOUBLE * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
       |FROM s
       |ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -228,9 +228,11 @@ object EventAnalytics8 {
         + col("ct") + col("cb") + 1L)
     r.groupBy("t").agg(
       sum("ct").as("n1"), sum("cb").as("n2"),
-      sum(col("ct") * col("rank2")).as("r2"))
+      // r2 ~ 2n² per type — DECIMAL(38,0) ≡ HUGEINT so neither engine
+      // wraps/raises past ~2e9 events per type (r07 ADVICE, q101 fix)
+      sum(col("ct").cast(dec) * col("rank2")).as("r2"))
       .select(col("t").as("event_type"), col("n1"), col("n2"),
-        ((col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+        ((col("r2") - col("n1").cast(dec) * (col("n1") + 1)).cast("double") /
           (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
           .as("auc"))
       .orderBy("event_type")

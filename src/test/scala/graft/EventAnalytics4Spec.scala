@@ -50,20 +50,27 @@ class EventAnalytics4Spec extends AnyFunSuite {
     assert(want.values.exists(_ > 0L), "degenerate fixture: all-zero deltas")
   }
 
-  test("q93 sumMap arrays are key-sorted and parallel") {
+  test("q93 sumMap strings are key-sorted and parallel") {
+    // since r08 the parallel arrays are serialized to comma-joined
+    // canonical strings (the driver comparator cannot sort containers)
     val rows = EventAnalytics4.q93SumMap.run(spark, TestSpark.tiny)
       .select("user_id", "keys", "counts", "sums")
-      .as[(Long, Seq[String], Seq[Long], Seq[Double])].collect()
+      .as[(Long, String, String, String)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (u, keys, counts, sums) =>
+    rows.foreach { case (u, keysS, countsS, sumsS) =>
+      val keys   = keysS.split(',').toSeq
+      val counts = countsS.split(',').toSeq.map(_.toLong)
+      val sums   = sumsS.split(',').toSeq.map(BigDecimal(_))
       assert(keys == keys.sorted, s"user $u keys unsorted")
       assert(keys.distinct == keys, s"user $u duplicate keys")
       assert(keys.size == counts.size && keys.size == sums.size)
+      // DECIMAL(28,4) fixed-scale rendering: every sum has 4 dp
+      sumsS.split(',').foreach(v => assert(v.matches("-?\\d+\\.\\d{4}"), v))
     }
-    // cross-check one flattened total against the plain groupBy
-    val total = rows.flatMap(_._3).sum
+    // cross-check the flattened count total against the plain groupBy
+    val counts = rows.map(_._3.split(',').map(_.toLong).sum).sum
     val n = Tables.events(spark, TestSpark.tiny).count()
-    assert(total === n)
+    assert(counts === n)
   }
 
   test("q94 maxIntersections ≡ brute-force per-user interval overlap peak") {

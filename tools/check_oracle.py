@@ -67,18 +67,6 @@ def canon_cell(v):
     return type(v).__name__ + ":" + str(v)
 
 
-def norm_obj(v):
-    """Normalize container cells (arrays/structs/maps) to sortable,
-    hashable tuples — shared by the sort key and the hash."""
-    if isinstance(v, dict):
-        if set(v) == {"key", "value"}:  # duckdb map repr
-            return tuple(sorted(zip(v["key"], v["value"])))
-        return tuple(sorted((k, norm_obj(x)) for k, x in v.items()))
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(norm_obj(e) for e in v)
-    return v
-
-
 def frame_hash(df):
     h = hashlib.sha256()
     for row in df.itertuples(index=False):
@@ -101,14 +89,25 @@ def hash_compare(con, out, name, sql):
     if gc != ec:
         return f"hash-path columns {gc} vs {ec}"
     got, exp = got[gc].copy(), exp[ec].copy()
-    for df in (got, exp):
-        for c in gc:
-            if df[c].dtype == object:
-                df[c] = df[c].map(norm_obj)
+    # The DRIVER's comparator cannot sort container cells (pandas
+    # crashes on unhashable ndarray — r07's q93_sum_map was green here
+    # via normalization yet red in the binding driver gate). Refuse
+    # loudly instead of normalizing, so local green ⇒ driver green:
+    # serialize arrays/structs to canonical strings at the query
+    # boundary (the q24_array_agg ARRAY_TO_STRING precedent).
+    for df, side in ((got, "spark"), (exp, "oracle")):
+        if len(df):
+            for c in gc:
+                s = df[c].dropna()
+                if len(s) and (isinstance(s.iloc[0], (list, tuple, dict))
+                               or type(s.iloc[0]).__name__ == "ndarray"):
+                    return (f"col {c} ({side}) is container-typed output — "
+                            "driver comparator cannot sort it; use "
+                            "ARRAY_TO_STRING/array_join at the boundary")
     try:
         got = got.sort_values(by=gc).reset_index(drop=True)
         exp = exp.sort_values(by=ec).reset_index(drop=True)
-    except TypeError:  # unorderable mix (e.g. tuples of varying shape)
+    except TypeError:  # unorderable mix
         key = [df.apply(lambda r: "\x1f".join(canon_cell(v) for v in r),
                         axis=1) for df in (got, exp)]
         got = got.iloc[key[0].argsort(kind="mergesort")].reset_index(drop=True)
