@@ -157,7 +157,7 @@ object Dedup {
     * is exactly the SMJ's input order. The actual regression cause was
     * the four CC consumers re-deriving the pair graph per query, fixed
     * by [[sharedMat]]; the window stays. */
-  private def capGroups(rel: DataFrame, cap: Int, keys: String*): DataFrame =
+  private[operators] def capGroups(rel: DataFrame, cap: Int, keys: String*): DataFrame =
     rel.withColumn("__gn",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("__gn") <= cap)
@@ -376,7 +376,7 @@ object Dedup {
     verifyJaccard(ranked.select("doc_id", "shingle"),
       jaccardCandidatesFrom(ranked))
 
-  private val NumHashes = 32
+  private[operators] val NumHashes = 32
   private val NumBands = 16 // × 2 rows/band: P(miss | j=0.5) = (1-0.25)^16 ≈ 1%
 
   /** MinHash signatures: mh_i = min over shingles of a per-i 64-bit hash.

@@ -85,13 +85,18 @@ object Dedup2 {
     * bound anchors on |A|, so B must contribute full postings), which
     * makes candidate volume grow with how many shingles sit at the DF
     * cap — super-linear through the cap-transition regime. This is the
-    * documented exact tier; beyond ~sf2 route to the MinHash-LSH tier
-    * first ([[Dedup.minhashLsh]] band buckets, whose per-bucket caps
-    * bound candidates by construction) and reserve this operator for
-    * verifying the sketch tier's survivors, exactly as
-    * `dedup_edit_distance` documents for its Levenshtein verify. */
-  val containment: Q = Q(
-    "dedup_containment",
+    * documented exact tier; beyond ~sf2 route to [[containmentLsh]]
+    * (singleton-band MinHash buckets, whose per-bucket caps bound
+    * candidates by construction — same verified output, measured
+    * sub-linear) and reserve this operator for corpora small enough
+    * that the exact index join is cheaper than the signature build,
+    * exactly as `dedup_edit_distance` documents for its Levenshtein
+    * verify. */
+  /** The exact containment relation at t = 0.8, restated as the
+    * unfiltered inverted-index join — shared verbatim by the exact
+    * tier and the LSH tier (both produce the identical verified
+    * output; only candidate generation differs). */
+  private val duckContainment: String =
     s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
        |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
        |ex AS (SELECT doc_id, shingle FROM exr
@@ -109,12 +114,61 @@ object Dedup2 {
        |  JOIN sz sb ON sb.doc_id = b_id)
        |SELECT a_id, b_id, containment FROM cs
        |WHERE containment >= $ContainmentThreshold
-       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val containment: Q = Q(
+    "dedup_containment", duckContainment) { (s, d) =>
     val ranked = Dedup.rankedShingleRows(documents(s, d), Dedup.ShingleDfCap)
       .localCheckpoint(true)
     verifyContainment(ranked.select("doc_id", "shingle"),
         containmentCandidatesFrom(ranked))
       .orderBy("a_id", "b_id")
+  }
+
+  /** The SCALE route the exact tier's crossover contract promises
+    * (r07: exact containment grew 2.85× for 2× data through the
+    * DF-cap-transition regime): MinHash-banded candidate generation,
+    * exact containment verify — the `dedup_minhash_lsh` →
+    * `dedup_ngram_jaccard` relationship replicated for containment.
+    *
+    * Banding geometry is SINGLETON bands (r = 1, b = K = 32): each of
+    * the K min-components is its own band, the finest (most
+    * recall-favoring) geometry the signature supports. That choice is
+    * what makes the tier work for ASYMMETRIC pairs: a qualifying pair
+    * (C ≥ t, |A| ≤ |B|) has Jaccard at least j_min = t·|A| /
+    * (|A| + |B| − t·|A|) = t / (ρ + 1 − t) for size ratio ρ = |B|/|A|,
+    * and a singleton-band scheme misses it with probability
+    * (1 − j)^K — ≤ 6·10⁻⁷ at ρ ≤ 2, ≤ 1% at ρ ≤ 5.8. Coarser bands
+    * (r = 2 as in [[Dedup.minhashLsh]]) square j before banding and
+    * collapse exactly on these low-j contained pairs. Per-band buckets
+    * are capped ([[Dedup.BandBucketCap]]) so no boilerplate hot key
+    * can explode a self-join, the same guard as the Jaccard tier; the
+    * verify stage touches candidate docs only. Candidate volume is
+    * bucket-bounded — independent of how many shingles sit at the DF
+    * cap, which is precisely the exact tier's super-linear driver.
+    *
+    * The oracle is the UNFILTERED exact relation ([[duckContainment]],
+    * shared with [[containment]]): hash-equality certifies the banding
+    * missed nothing at the tested SFs (sf0.01–sf2 measured; the
+    * recall floor above says when that holds structurally). */
+  val containmentLsh: Q = Q(
+    "dedup_containment_lsh", duckContainment) { (s, d) =>
+    val ranked = Dedup.rankedShingleRows(documents(s, d), Dedup.ShingleDfCap)
+      .localCheckpoint(true)
+    val sh = ranked.select("doc_id", "shingle")
+    val signed = Dedup.withMinhashFrom(sh)
+    val bands = signed.select(
+      col("doc_id"),
+      posexplode(array((0 until Dedup.NumHashes).map(i =>
+        col(s"mh_$i")): _*)).as(Seq("band", "sig")))
+    val capped = Dedup.capGroups(bands, Dedup.BandBucketCap, "band", "sig")
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyContainment(sh, cand).orderBy("a_id", "b_id")
   }
 
   /** Estimator-quality report parameters: K affine min-hash components
@@ -205,5 +259,5 @@ object Dedup2 {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(containment, minhashEstimate)
+  val all: Seq[Q] = Seq(containment, containmentLsh, minhashEstimate)
 }

@@ -54,8 +54,20 @@ object GraphAnalytics {
   /** Triangle census: per node its degree, the number of triangles it
     * participates in, and the local clustering coefficient
     * 2T/(deg·(deg−1)) — the "how clique-ish is this part's
-    * neighborhood" number. Triangles are enumerated once as ordered
-    * (a<b<c) closed wedges and credited to all three corners. */
+    * neighborhood" number.
+    *
+    * Enumeration is DEGREE-ORDERED (the standard hub-skew hardening,
+    * r07 advice): every edge is oriented low-degree → high-degree
+    * (ties by id), wedges pivot at each triangle's minimum-(degree,id)
+    * corner, and the closing edge — necessarily oriented the same way
+    * by transitivity of the total order — is probed in the oriented
+    * list. Per-pivot fan-out is then bounded by the oriented
+    * out-degree (O(√m) worst case, arboricity-bounded on real graphs)
+    * instead of the raw hub degree, so wedge volume is Σ outdeg² —
+    * immune to the Σ deg² blowup a co-purchase hub node causes under
+    * id-ordered enumeration. Each triangle is emitted exactly once and
+    * credited to all three corners; the oracle keeps the id-ordered
+    * a<b<c statement of the same census. */
   val q121Triangles: Q = Q(
     "q121_triangles",
     s"""WITH $EdgeSql,
@@ -87,12 +99,28 @@ object GraphAnalytics {
       .unionByName(e.select(col("pb").as("x"), col("pa").as("y")))
     val deg = und.groupBy(col("x").as("node"))
       .agg(count(lit(1)).as("degree"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.pa") === col("e1.pb"))
-      .join(e.as("e3"),
-        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
-      .select(col("e1.pa").as("a"), col("e1.pb").as("b"),
-        col("e2.pb").as("c"))
+    // orient low-degree → high-degree (ties: pa < pb already); carry
+    // the destination's degree so the wedge self-join can order the
+    // two out-neighbors by the same total order it oriented with
+    val ew = e
+      .join(deg.select(col("node").as("pa"), col("degree").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("degree").as("db")), "pb")
+    val fwd = col("da") <= col("db")
+    val oe = ew.select(
+      when(fwd, col("pa")).otherwise(col("pb")).as("src"),
+      when(fwd, col("pb")).otherwise(col("pa")).as("dst"),
+      when(fwd, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint()
+    val tri = oe.as("w1")
+      .join(oe.as("w2"),
+        col("w2.src") === col("w1.src") &&
+          (col("w1.ddeg") < col("w2.ddeg") ||
+            (col("w1.ddeg") === col("w2.ddeg") &&
+              col("w1.dst") < col("w2.dst"))))
+      .join(oe.as("e3"),
+        col("e3.src") === col("w1.dst") && col("e3.dst") === col("w2.dst"))
+      .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+        col("w2.dst").as("c"))
     val pt = tri.select(col("a").as("node"))
       .unionByName(tri.select(col("b").as("node")))
       .unionByName(tri.select(col("c").as("node")))

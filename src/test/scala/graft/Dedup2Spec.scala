@@ -47,6 +47,25 @@ class Dedup2Spec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("containment LSH tier reproduces the exact tier's verified output") {
+    // the scale route's whole contract: banded candidates + exact
+    // verify ≡ the unfiltered exact relation (here, plus at every
+    // measured SF via the shared hash oracle)
+    val exact = Dedup2.containment.run(spark, TestSpark.tiny)
+      .collect().map(_.toSeq).toSet
+    val lsh = Dedup2.containmentLsh.run(spark, TestSpark.tiny)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("containment LSH tier joins band buckets, never all-pairs") {
+    val plan = Dedup2.containmentLsh.run(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash estimator: identical docs match on all 16 components and " +
     "the estimate tracks true Jaccard") {
     import spark.implicits._
