@@ -163,6 +163,76 @@ object Similarity3 {
       .orderBy("cid")
   }
 
+  /** Simplified-silhouette clustering audit over the [[clusterAssign]]
+    * partition — the "are these clusters actually separated" number a
+    * pipeline owner reads before trusting a semdedup/curation split.
+    * Per vector: a = cosine distance to its OWN (max-sim) centroid,
+    * b = distance to the nearest OTHER centroid — i.e. ranks 1 and 2
+    * of the same [[NumCentroids]]-bounded per-vector ordering the
+    * assignment already computes — and s = (b − a) / max(a, b)
+    * (the centroid-based simplified silhouette of Hruschka et al.;
+    * the classic pairwise form is O(n²) and has no 100 TB shape).
+    * Report: per-cluster member count and mean silhouette.
+    *
+    * 100 TB shape: identical to [[clusterAssign]] — broadcast centroid
+    * table, ONE corpus scan, per-vector window over ≤ [[NumCentroids]]
+    * rows (WindowGroupLimit prunes at rn ≤ 2), then a
+    * [[NumCentroids]]-row map-combined agg. Determinism: s is one
+    * mirrored double tree over the two sims, quantized to fixed-point
+    * 2^40 BIGINTs before summing (order-free); the degenerate
+    * max(a,b) = 0 case (vector equal to two centroids) pins s to 0 on
+    * both engines. */
+  val silhouette: Q = Q(
+    "sim_silhouette",
+    s"""WITH $duckAssignCtes,
+       |two AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |    MAX(CASE WHEN rn = 1 THEN sim END) AS s1,
+       |    MAX(CASE WHEN rn = 2 THEN sim END) AS s2
+       |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+       |sil AS (
+       |  SELECT cid,
+       |    CASE WHEN GREATEST(1.0::DOUBLE - s1, 1.0::DOUBLE - s2) = 0.0::DOUBLE
+       |         THEN 0::BIGINT
+       |         ELSE CAST(FLOOR((s1 - s2)
+       |                / GREATEST(1.0::DOUBLE - s1, 1.0::DOUBLE - s2)
+       |                * ${TextAnalysis3.FixScale}::DOUBLE + 0.5::DOUBLE)
+       |              AS BIGINT) END AS qs
+       |  FROM two)
+       |SELECT cid, COUNT(*)::BIGINT AS n_members,
+       |  (CAST(SUM(qs) AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE)
+       |    / COUNT(*) AS mean_silhouette
+       |FROM sil GROUP BY cid
+       |ORDER BY cid""".stripMargin) { (s, d) =>
+    val e = embeddings(s, d)
+    val cen = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val two = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cen))
+      .withColumn("sim", cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, col("sim"))).as("s1"),
+        max(when(col("rn") === 2, col("sim"))).as("s2"))
+    val aD = lit(1.0) - col("s1")
+    val bD = lit(1.0) - col("s2")
+    val qs = when(greatest(aD, bD) === 0.0, lit(0L))
+      .otherwise(floor((col("s1") - col("s2")) / greatest(aD, bD)
+        * lit(TextAnalysis3.FixScale) + lit(0.5)).cast("long"))
+    two.select(col("cid"), qs.as("qs"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("qs").as("sq"))
+      .select(col("cid"), col("n_members"),
+        ((col("sq").cast("double") / lit(TextAnalysis3.FixScale))
+          / col("n_members")).as("mean_silhouette"))
+      .orderBy("cid")
+  }
+
   /** One Lloyd iteration's centroid UPDATE step over the
     * [[clusterAssign]] partition: per (cluster, dimension), the mean of
     * the members' embedding components — the distributed half of
@@ -238,5 +308,6 @@ object Similarity3 {
       .orderBy("q_id")
   }
 
-  val all: Seq[Q] = Seq(knnClassify, clusterAssign, centroidUpdate, annRecall)
+  val all: Seq[Q] =
+    Seq(knnClassify, clusterAssign, silhouette, centroidUpdate, annRecall)
 }

@@ -221,6 +221,71 @@ object TextAnalysis {
     }
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, langIdEval, fingerprint,
-    frequentTokens)
+  /** Language-ID confidence calibration: the reliability diagram a
+    * model owner reads before setting a routing threshold. Confidence
+    * is the integer MARGIN between the best and second-best profile
+    * score (exact — no softmax lore to mirror), bucketed at
+    * min(margin, 5); per bucket the report is volume and observed
+    * accuracy against the labeled `lang` column. A well-calibrated
+    * classifier shows accuracy rising monotonically with margin — the
+    * margin-0 bucket (ties) is exactly the traffic a production
+    * pipeline routes to a fallback model.
+    *
+    * 100 TB shape: map-only scoring (the same per-row profile folds as
+    * [[langId]]), then a ≤ 6-group map-combined agg — no shuffle of
+    * document data. Second-best is a sort of a 5-element per-row array,
+    * constant work mirrored by LIST_SORT in the oracle. */
+  val langIdCalibration: Q = {
+    val duckScores = langProfiles
+      .map { case (l, p) => s"  ${duckProfileHits(p)} AS s_$l" }
+      .mkString(",\n")
+    val duckCase = langProfiles
+      .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+      .mkString(" ")
+    Q(
+      "text_langid_calibration",
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |$duckScores
+         |FROM documents),
+         |p AS (
+         |  SELECT lang, CASE $duckCase END AS pred_lang,
+         |    m - LIST_SORT([s_de, s_en, s_es, s_fr, s_zh])[4] AS margin
+         |  FROM (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m
+         |        FROM scored))
+         |SELECT LEAST(margin, 5)::BIGINT AS margin_bucket,
+         |  COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_correct,
+         |  CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS accuracy
+         |FROM p
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val ws = words(col("text"))
+      val scored = documents(s, d).select(
+        col("doc_id") +: col("lang") +: langProfiles.map { case (l, p) =>
+          profileHits(ws, p).as(s"s_$l")
+        }: _*)
+      val scoreCols = langProfiles.map { case (l, _) => col(s"s_$l") }
+      val m = greatest(scoreCols: _*)
+      val pred = langProfiles.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, _)) =>
+          when(acc.isNotNull, acc).otherwise(when(col(s"s_$l") === m, l))
+      }
+      val second = element_at(sort_array(array(scoreCols: _*)), 4)
+      scored
+        .select(col("lang"), pred.as("pred_lang"),
+          (m - second).cast("bigint").as("margin"))
+        .select(least(col("margin"), lit(5L)).as("margin_bucket"),
+          (col("pred_lang") === col("lang")).cast("long").as("ok"))
+        .groupBy("margin_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"))
+        .select(col("margin_bucket"), col("n_docs"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+        .orderBy("margin_bucket")
+    }
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, langIdEval,
+    langIdCalibration, fingerprint, frequentTokens)
 }
