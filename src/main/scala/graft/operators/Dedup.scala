@@ -140,7 +140,7 @@ object Dedup {
     * shingles (docs only meet if they share one), count intersections,
     * single-division Jaccard. */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", duckJaccardPairs) { (s, d) =>
-    jaccardPairs(documents(s, d)).orderBy("a_id", "b_id")
+    jaccardPairsFrom(sharedRanked(s, d)).orderBy("a_id", "b_id")
   }
 
   /** Rows of `rel` whose key columns' group size is ≤ cap. One window
@@ -157,7 +157,7 @@ object Dedup {
     * is exactly the SMJ's input order. The actual regression cause was
     * the four CC consumers re-deriving the pair graph per query, fixed
     * by [[sharedMat]]; the window stays. */
-  private[operators] def capGroups(rel: DataFrame, cap: Int, keys: String*): DataFrame =
+  private[graft] def capGroups(rel: DataFrame, cap: Int, keys: String*): DataFrame =
     rel.withColumn("__gn",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("__gn") <= cap)
@@ -376,7 +376,7 @@ object Dedup {
     verifyJaccard(ranked.select("doc_id", "shingle"),
       jaccardCandidatesFrom(ranked))
 
-  private[operators] val NumHashes = 32
+  private[graft] val NumHashes = 32
   private val NumBands = 16 // × 2 rows/band: P(miss | j=0.5) = (1-0.25)^16 ≈ 1%
 
   /** MinHash signatures: mh_i = min over shingles of a per-i 64-bit hash.
@@ -402,12 +402,10 @@ object Dedup {
     * probability ≤(1-j²)^16, ≈1% at j=0.5, ~1e-7 at j=0.8), which the
     * DedupSpec asserts against the exact query; hence the same oracle. */
   val minhashLsh: Q = Q("dedup_minhash_lsh", duckJaccardPairs) { (s, d) =>
-    // the shingle relation feeds signatures AND candidate verification;
-    // recomputing it beats caching here — the columnar cache build costs
-    // more than the extra codegen'd scan and blocks exchange reuse
     // signatures, buckets, AND verification all read the same filtered
-    // vocabulary, so the verified output equals jaccardPairs exactly
-    val sh = filteredShingleRows(documents(s, d)).localCheckpoint(true)
+    // vocabulary, so the verified output equals jaccardPairs exactly;
+    // the shared postings snapshot supplies it as a parquet scan
+    val sh = sharedRanked(s, d).select("doc_id", "shingle")
     val signed = withMinhashFrom(sh)
     val bands = signed.select(
       col("doc_id"),
@@ -757,7 +755,7 @@ object Dedup {
   private lazy val sharedDir =
     java.nio.file.Files.createTempDirectory("graft-shared-")
 
-  private def sharedMat(s: SparkSession, d: String, key: String)(
+  private[operators] def sharedMat(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame =
     sharedRel.getOrElseUpdate((s, d, key), {
       val path = sharedDir.resolve(
@@ -767,9 +765,20 @@ object Dedup {
       s.read.parquet(path)
     })
 
+  /** Materialized capped+ranked shingle postings — the
+    * `shingle_postings` lake table every shingle-domain dedup query
+    * scans. Six registry queries (ngram_jaccard, edit_distance,
+    * incremental, containment ×2, minhash_estimate) consume the same
+    * two-window annotation (global DF + per-doc rarity rank); without
+    * sharing, each re-runs both corpus-wide window passes (~8 s at sf1,
+    * ~17 s at sf2). At 100 TB this is the postings table a curation
+    * pipeline materializes once per corpus snapshot, not per query. */
+  private[graft] def sharedRanked(s: SparkSession, d: String): DataFrame =
+    sharedMat(s, d, "ranked")(rankedShingleRows(documents(s, d), ShingleDfCap))
+
   /** materialized exact-Jaccard pair graph, shared per (session, dir) */
   private[graft] def sharedPairs(s: SparkSession, d: String): DataFrame =
-    sharedMat(s, d, "pairs")(jaccardPairs(documents(s, d)))
+    sharedMat(s, d, "pairs")(jaccardPairsFrom(sharedRanked(s, d)))
 
   /** materialized (id, rep_id) component labels, shared per (session, dir) */
   private[graft] def sharedLabels(s: SparkSession, d: String): DataFrame =
@@ -853,7 +862,7 @@ object Dedup {
     // oMin(n) = max(3, ⌈n/5⌉) — ⌈n/5⌉ via exact ⌊(n+4)/5⌋ (IEEE division
     // of exact longs is correctly rounded; /5 results never land on an
     // integer boundary unless exact, so floor is safe)
-    val ranked = rankedShingleRows(docs, ShingleDfCap).localCheckpoint(true)
+    val ranked = sharedRanked(s, d)
     val pCand = editCandidatesFrom(ranked, docs)
       // one materialization, three consumers + an AQE boundary for the
       // signature joins — same reasoning as verifyJaccard's checkpoint
@@ -1031,8 +1040,7 @@ object Dedup {
        |SELECT a_id, b_id, sim FROM jp
        |WHERE a_id % 10 = 0 OR b_id % 10 = 0
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val ranked = rankedShingleRows(documents(s, d), ShingleDfCap)
-      .localCheckpoint(true)
+    val ranked = sharedRanked(s, d)
     val prefix = prefixRows(ranked, jaccardOMin)
     val isNew = col("doc_id") % 10 === 0
     // candidate generation joins prefix(all) ⋈ prefix(new): every

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -26,35 +26,57 @@ object Dedup2 {
   private def containOMin(n: Column): Column =
     floor((n * 4 + lit(4)) / lit(5)).cast("long")
 
-  /** Candidate generation, prefix-filtered on the SMALLER side only: if
-    * C(A,B) ≥ t with |A| ≤ |B|, then |A∩B| ≥ ⌈t·|A|⌉, so the first
-    * common shingle in the global rarity order sits within A's
-    * (|A| − ⌈t·|A|⌉ + 1)-prefix — B contributes FULL postings (no
-    * bound on B exists: B may be arbitrarily larger). The positional
-    * filter reuses the same matched-rank reach argument with the
-    * smaller side's requirement as α. Verification runs on full sets,
-    * so the pruning is exact — output ≡ the unfiltered index join the
+  /** Candidate generation: 3-WITNESS prefix filtering on the SMALLER
+    * side. If C(A,B) ≥ t with |A| ≤ |B| then |A∩B| ≥ o = ⌈t·|A|⌉, and
+    * the i-th smallest common shingle (global rarity order) sits within
+    * rank |X| − o + i on each side X — so extending A's prefix and the
+    * positional reach by w − 1 = 2 guarantees every qualifying pair
+    * co-occurs on ≥ w prefix shingles (w = min(3, o) keeps docs with
+    * o < 3 deterministic: their prefix degenerates to the full set).
+    * Candidates then require w witnesses instead of one.
+    *
+    * Measured (sf1, 50k docs / 3.4M postings): single-witness prefix ×
+    * full postings = 9.30M distinct candidates; the r07-hypothesized
+    * singleton-band MinHash buckets = 22.5M (a hot shingle that is the
+    * band argmin for DF docs contributes DF²/2 pairs — banding is
+    * QUADRATIC in hot-shingle DF, while prefix × postings is linear:
+    * rarity-first prefixes practically never contain hot shingles);
+    * 3-witness = 222k candidates, verify 3.85 s → 1.40 s. At sf2 the
+    * gap widens: 37.8M / 1.11M candidates, verify 33.1 s → 2.0 s. The
+    * witness extension — not signature banding — is the containment
+    * scale route; [[graft.DebugContainment]] reproduces the numbers.
+    * B still contributes FULL postings (no prefix bound on B exists:
+    * B may be arbitrarily larger). Verification runs on full sets, so
+    * the pruning is exact — output ≡ the unfiltered index join the
     * oracle states. */
   private[graft] def containmentCandidatePlan(
       docs: DataFrame, cap: Int = Dedup.ShingleDfCap): DataFrame =
     containmentCandidatesFrom(Dedup.rankedShingleRows(docs, cap))
 
-  private def containmentCandidatesFrom(ranked: DataFrame): DataFrame = {
-    val prefix = Dedup.prefixRows(ranked, containOMin)
+  private def containWitness(n: Column): Column =
+    least(lit(3L), containOMin(n))
+
+  private[graft] def containmentCandidatesFrom(ranked: DataFrame): DataFrame = {
+    val prefix = ranked.filter(col("rn") <=
+      col("n") - containOMin(col("n")) + containWitness(col("n")))
     prefix.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") &&
           (col("a.n") < col("b.n") ||
             (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
-          Dedup.positionalFilter((na, _) => containOMin(na)))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
-      .distinct()
+          (containWitness(col("a.n")) +
+            least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+            containOMin(col("a.n"))))
+      .groupBy(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
+      .agg(count(lit(1)).as("wc"), min(containWitness(col("a.n"))).as("wr"))
+      .filter(col("wc") >= col("wr"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
   }
 
   /** Exact-containment verification — the [[Dedup]] sorted-signature
     * pattern: sets collected only for candidate docs, intersections via
     * the codegen'd two-pointer merge, one double division per pair. */
-  private def verifyContainment(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def verifyContainment(sh: DataFrame, cand: DataFrame): DataFrame = {
     val candM = cand.localCheckpoint(true)
     val candDocs = candM.select(col("a_id").as("doc_id"))
       .union(candM.select(col("b_id").as("doc_id"))).distinct()
@@ -74,28 +96,22 @@ object Dedup2 {
   }
 
   /** Containment pairs at t = 0.8 over the capped shingle vocabulary.
-    * The oracle is the UNFILTERED inverted-index join (the prefix +
-    * positional pruning is Spark-side-only and exact), with the DF cap
-    * mirrored in its QUALIFY exactly as [[Dedup.duckJaccardPairsCap]]
-    * mirrors it.
+    * The oracle is the UNFILTERED inverted-index join (the 3-witness
+    * prefix + positional pruning is Spark-side-only and exact), with
+    * the DF cap mirrored in its QUALIFY exactly as
+    * [[Dedup.duckJaccardPairsCap]] mirrors it.
     *
-    * SCALE CROSSOVER (measured r07: 8.6 s sf1 → 24.4 s sf2, 2.85× for
-    * 2× data — the registry's one super-linear member): exact
-    * containment prefix-filters only the SMALLER side (the overlap
-    * bound anchors on |A|, so B must contribute full postings), which
-    * makes candidate volume grow with how many shingles sit at the DF
-    * cap — super-linear through the cap-transition regime. This is the
-    * documented exact tier; beyond ~sf2 route to [[containmentLsh]]
-    * (singleton-band MinHash buckets, whose per-bucket caps bound
-    * candidates by construction — same verified output, measured
-    * sub-linear) and reserve this operator for corpora small enough
-    * that the exact index join is cheaper than the signature build,
-    * exactly as `dedup_edit_distance` documents for its Levenshtein
-    * verify. */
+    * SCALE HISTORY: r07's single-witness tier grew 2.85× for 2× data
+    * (8.6 s sf1 → 24.4 s sf2) because its candidate volume tracked the
+    * DF-cap-saturating shingle population; the r07-hypothesized MinHash
+    * banding fix measured WORSE (see [[containmentAsym]]'s note). The
+    * 3-witness filter ([[containmentCandidatesFrom]]) is the measured
+    * scale route: 42× fewer candidates at sf1, verify 33 s → 2 s at
+    * sf2. */
   /** The exact containment relation at t = 0.8, restated as the
-    * unfiltered inverted-index join — shared verbatim by the exact
-    * tier and the LSH tier (both produce the identical verified
-    * output; only candidate generation differs). */
+    * unfiltered inverted-index join — the shared oracle for every
+    * containment consumer (candidate generation is Spark-side pruning
+    * only; the verified output is the full relation). */
   private val duckContainment: String =
     s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
        |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
@@ -116,59 +132,84 @@ object Dedup2 {
        |WHERE containment >= $ContainmentThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Verified containment pair relation, materialized once per
+    * (session, corpus) — the `containment_pairs` lake table, same
+    * pattern (and same store) as [[Dedup.sharedPairs]]: both registry
+    * consumers ([[containment]], [[containmentAsym]]) scan the snapshot
+    * instead of re-running candidates + verify. */
+  private def sharedContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedMat(s, d, "containment") {
+      val ranked = Dedup.sharedRanked(s, d)
+      verifyContainment(ranked.select("doc_id", "shingle"),
+        containmentCandidatesFrom(ranked))
+    }
+
   val containment: Q = Q(
     "dedup_containment", duckContainment) { (s, d) =>
-    val ranked = Dedup.rankedShingleRows(documents(s, d), Dedup.ShingleDfCap)
-      .localCheckpoint(true)
-    verifyContainment(ranked.select("doc_id", "shingle"),
-        containmentCandidatesFrom(ranked))
-      .orderBy("a_id", "b_id")
+    sharedContainment(s, d).orderBy("a_id", "b_id")
   }
 
-  /** The SCALE route the exact tier's crossover contract promises
-    * (r07: exact containment grew 2.85× for 2× data through the
-    * DF-cap-transition regime): MinHash-banded candidate generation,
-    * exact containment verify — the `dedup_minhash_lsh` →
-    * `dedup_ngram_jaccard` relationship replicated for containment.
+  /** Asymmetric-containment report: the verified containment pairs
+    * with strictly unequal set sizes (ρ = max(n)/min(n) > 1) — the
+    * contained-quote / boilerplate-inclusion population that the
+    * symmetric Jaccard tier structurally under-scores (J ≤ 1/ρ for a
+    * full inclusion), annotated with both set sizes and ρ. This is the
+    * operator a curation pipeline runs to find shorter documents
+    * (near-)contained inside longer ones. (This corpus family's
+    * containment pairs are mildly asymmetric — max ρ = 1.25 at sf0.1 —
+    * so the slice is ρ > 1 rather than a higher floor, which would be
+    * empty at every test SF.)
     *
-    * Banding geometry is SINGLETON bands (r = 1, b = K = 32): each of
-    * the K min-components is its own band, the finest (most
-    * recall-favoring) geometry the signature supports. That choice is
-    * what makes the tier work for ASYMMETRIC pairs: a qualifying pair
-    * (C ≥ t, |A| ≤ |B|) has Jaccard at least j_min = t·|A| /
-    * (|A| + |B| − t·|A|) = t / (ρ + 1 − t) for size ratio ρ = |B|/|A|,
-    * and a singleton-band scheme misses it with probability
-    * (1 − j)^K — ≤ 6·10⁻⁷ at ρ ≤ 2, ≤ 1% at ρ ≤ 5.8. Coarser bands
-    * (r = 2 as in [[Dedup.minhashLsh]]) square j before banding and
-    * collapse exactly on these low-j contained pairs. Per-band buckets
-    * are capped ([[Dedup.BandBucketCap]]) so no boilerplate hot key
-    * can explode a self-join, the same guard as the Jaccard tier; the
-    * verify stage touches candidate docs only. Candidate volume is
-    * bucket-bounded — independent of how many shingles sit at the DF
-    * cap, which is precisely the exact tier's super-linear driver.
+    * A NOTE ON THE RETIRED `dedup_containment_lsh` (r07→r08): the
+    * hypothesized scale route — singleton-band (r = 1, b = 32) MinHash
+    * candidate generation — was built, measured, and REFUTED: at sf1 it
+    * produced 22.5M candidates vs the exact prefix tier's 9.30M for the
+    * same 2 560 verified pairs, because a hot shingle that is the band
+    * argmin for DF docs contributes DF²/2 bucket pairs (banding is
+    * quadratic in hot-shingle DF; rarity-first prefixes are linear —
+    * they almost never contain hot shingles). The measured scale route
+    * is the 3-witness prefix filter ([[containmentCandidatesFrom]]):
+    * 222k candidates at sf1 / 1.11M at sf2, verify 1.4 s / 2.0 s.
+    * [[graft.DebugContainment]] reproduces all three schemes' numbers.
     *
-    * The oracle is the UNFILTERED exact relation ([[duckContainment]],
-    * shared with [[containment]]): hash-equality certifies the banding
-    * missed nothing at the tested SFs (sf0.01–sf2 measured; the
-    * recall floor above says when that holds structurally). */
-  val containmentLsh: Q = Q(
-    "dedup_containment_lsh", duckContainment) { (s, d) =>
-    val ranked = Dedup.rankedShingleRows(documents(s, d), Dedup.ShingleDfCap)
-      .localCheckpoint(true)
-    val sh = ranked.select("doc_id", "shingle")
-    val signed = Dedup.withMinhashFrom(sh)
-    val bands = signed.select(
-      col("doc_id"),
-      posexplode(array((0 until Dedup.NumHashes).map(i =>
-        col(s"mh_$i")): _*)).as(Seq("band", "sig")))
-    val capped = Dedup.capGroups(bands, Dedup.BandBucketCap, "band", "sig")
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    verifyContainment(sh, cand).orderBy("a_id", "b_id")
+    * Scans the shared [[sharedContainment]] snapshot + per-doc sizes
+    * from the shared postings table — pair-bounded residual, no
+    * recompute. ρ is an IEEE double quotient of exact integers, so the
+    * DOUBLE column compares bit-exactly across engines. */
+  val containmentAsym: Q = Q(
+    "dedup_containment_asym",
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
+       |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |ex AS (SELECT doc_id, shingle FROM exr
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= ${Dedup.ShingleDfCap}),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+       |    LEAST(sa.n, sb.n) AS n_min, GREATEST(sa.n, sb.n) AS n_max
+       |  FROM pairs
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, containment, n_min, n_max,
+       |  CAST(n_max AS DOUBLE) / n_min AS rho
+       |FROM cs
+       |WHERE containment >= $ContainmentThreshold AND n_max > n_min
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sizes = Dedup.sharedRanked(s, d)
+      .select(col("doc_id"), col("n")).distinct()
+    sharedContainment(s, d)
+      .join(sizes.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("containment"),
+        least(col("za.n"), col("zb.n")).as("n_min"),
+        greatest(col("za.n"), col("zb.n")).as("n_max"))
+      .filter(col("n_max") > col("n_min"))
+      .withColumn("rho", col("n_max").cast("double") / col("n_min"))
+      .orderBy("a_id", "b_id")
   }
 
   /** Estimator-quality report parameters: K affine min-hash components
@@ -228,14 +269,12 @@ object Dedup2 {
        |  CAST(n_match AS DOUBLE) / ${EstHashes}.0::DOUBLE AS est
        |FROM nm
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val docs = documents(s, d)
     // the capped shingle relation feeds the signature build; the
     // verified pair set itself comes from the per-(session, corpus)
     // materialized snapshot (Dedup.sharedPairs) rather than an embedded
     // re-run of the whole pair tier (the r07 weak row: 15.3 s at sf2,
     // ~half of it recomputing an already-materialized relation)
-    val ranked = Dedup.rankedShingleRows(docs, Dedup.ShingleDfCap)
-      .localCheckpoint(true)
+    val ranked = Dedup.sharedRanked(s, d)
     val ex = ranked.select("doc_id", "shingle")
     val ph = ex.select(col("doc_id"),
       graft.functions.PolyHash.full(col("shingle")).as("h"))
@@ -259,5 +298,5 @@ object Dedup2 {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(containment, containmentLsh, minhashEstimate)
+  val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate)
 }

@@ -47,23 +47,53 @@ class Dedup2Spec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("containment LSH tier reproduces the exact tier's verified output") {
-    // the scale route's whole contract: banded candidates + exact
-    // verify ≡ the unfiltered exact relation (here, plus at every
-    // measured SF via the shared hash oracle)
-    val exact = Dedup2.containment.run(spark, TestSpark.tiny)
-      .collect().map(_.toSeq).toSet
-    val lsh = Dedup2.containmentLsh.run(spark, TestSpark.tiny)
-      .collect().map(_.toSeq).toSet
-    assert(exact.nonEmpty)
-    assert(lsh == exact)
+  test("3-witness candidates cover every verified pair and cut the " +
+    "single-witness candidate set") {
+    import org.apache.spark.sql.functions._
+    val ranked = operators.Dedup.rankedShingleRows(
+      Tables.documents(spark, TestSpark.tiny), operators.Dedup.ShingleDfCap)
+      .localCheckpoint(true)
+    val witness = Dedup2.containmentCandidatesFrom(ranked)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the r07 single-witness design, restated inline as the baseline
+    val cOMin: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => floor((n * 4 + lit(4)) / lit(5)).cast("long")
+    val single = operators.Dedup.prefixRows(ranked, cOMin).as("a")
+      .join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          operators.Dedup.positionalFilter((na, _) => cOMin(na)))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup2.containment.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert(verified.subsetOf(witness), "witness filter dropped a true pair")
+    assert(witness.subsetOf(single), "witness set must prune, never add")
+    assert(witness.size < single.size, "3-witness should strictly prune")
   }
 
-  test("containment LSH tier joins band buckets, never all-pairs") {
-    val plan = Dedup2.containmentLsh.run(spark, TestSpark.tiny)
-      .queryExecution.executedPlan.toString
+  test("asymmetric-containment report is the ρ > 1 slice of the " +
+    "verified containment relation") {
+    import org.apache.spark.sql.functions._
+    val asym = Dedup2.containmentAsym.run(spark, TestSpark.tiny)
+    val plan = asym.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = asym.collect()
+    val full = Dedup2.containment.run(spark, TestSpark.tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.get(key).contains(r.getAs[Double]("containment")))
+      val (nMin, nMax) = (r.getAs[Long]("n_min"), r.getAs[Long]("n_max"))
+      assert(nMax > nMin)
+      assert(r.getAs[Double]("rho") === nMax.toDouble / nMin)
+    }
   }
 
   test("minhash estimator: identical docs match on all 16 components and " +
