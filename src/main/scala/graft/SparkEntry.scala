@@ -22,7 +22,7 @@ object SparkEntry {
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
       EventAnalytics5.all ++ EventAnalytics6.all ++ EventAnalytics7.all ++
       EventAnalytics8.all ++ EventAnalytics9.all ++ EventAnalytics10.all ++
-      EventAnalytics11.all ++
+      EventAnalytics11.all ++ EventAnalytics12.all ++
       Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++

@@ -198,5 +198,76 @@ object GraphAnalytics {
     }
   }
 
-  val all: Seq[Q] = Seq(q121Triangles, q122Pagerank)
+  private val CoreK = 2
+  private val PeelRounds = 6
+
+  /** [[CoreK]]-core of the co-purchase graph by [[PeelRounds]] rounds
+    * of degree peeling: each round drops nodes whose degree WITHIN the
+    * surviving subgraph is < k, the classic k-core algorithm. The
+    * round count is FIXED and identical in both engines (the oracle
+    * unrolls the same [[PeelRounds]] levels as chained CTEs), so the
+    * semantics — "the survivor set after R peels" — is deterministic
+    * whether or not the peel has converged; [[graft.GraphSpec]] asserts
+    * convergence (round R ≡ round R−1) at the test SFs, and the peel
+    * depth of a support-thresholded co-purchase graph grows with the
+    * longest degree-cascade, not the corpus.
+    *
+    * 100 TB shape: R edge-semi-join + hash-agg rounds over the
+    * materialized edge list — each round is one shuffle keyed by node,
+    * and the surviving edge set only shrinks. Output is each
+    * survivor's final in-core degree. */
+  val q135Kcore: Q = {
+    // every level references its predecessor TWICE (both edge
+    // endpoints) — without MATERIALIZED, DuckDB inlines the chain and
+    // re-evaluates the whole edge derivation 2^R times
+    val lvls = (1 to PeelRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT x AS node FROM (
+         |    SELECT u.x, COUNT(*) AS dg
+         |    FROM und u
+         |    JOIN l${i - 1} a ON a.node = u.x
+         |    JOIN l${i - 1} b ON b.node = u.y
+         |    GROUP BY u.x)
+         |  WHERE dg >= $CoreK)""".stripMargin
+    }.mkString(",\n")
+    Q("q135_kcore",
+      s"""WITH $EdgeSql,
+         |und AS MATERIALIZED (SELECT pa AS x, pb AS y FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM und),
+         |$lvls
+         |SELECT u.x AS node, COUNT(*)::BIGINT AS core_degree
+         |FROM und u
+         |JOIN l$PeelRounds a ON a.node = u.x
+         |JOIN l$PeelRounds b ON b.node = u.y
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val und0 = {
+        val e = edges(s, d)
+        e.select(col("pa").as("x"), col("pb").as("y"))
+          .unionAll(e.select(col("pb").as("x"), col("pa").as("y")))
+          .localCheckpoint()
+      }
+      var survivors = und0.select(col("x").as("node")).distinct()
+      for (_ <- 1 to PeelRounds) {
+        survivors = und0
+          .join(survivors.as("a"), col("a.node") === col("x"))
+          .join(survivors.select(col("node").as("ynode")).as("b"),
+            col("b.ynode") === col("y"))
+          .groupBy(col("x"))
+          .agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= CoreK)
+          .select(col("x").as("node"))
+          .localCheckpoint()
+      }
+      und0
+        .join(survivors.as("a"), col("a.node") === col("x"))
+        .join(survivors.select(col("node").as("ynode")).as("b"),
+          col("b.ynode") === col("y"))
+        .groupBy(col("x").as("node"))
+        .agg(count(lit(1)).cast("long").as("core_degree"))
+        .orderBy("node")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q121Triangles, q122Pagerank, q135Kcore)
 }

@@ -101,5 +101,76 @@ object Relational11 {
       .orderBy("m1", "m2")
   }
 
-  val all: Seq[Q] = Seq(q131CorrMatrix)
+  /** Cramér's V between order priority and customer market segment —
+    * the ClickHouse `cramersV` categorical-association shape: the
+    * χ² statistic over the contingency table, normalized to [0, 1] by
+    * n·(min(r, c) − 1).
+    *
+    * Exactness: cell counts, row/column totals, and n are exact
+    * integers, so each χ² term is computed as the SCALED floor
+    * quotient ⌊10⁹·(n·n_ij − r_i·c_j)² / (n·r_i·c_j)⌋ — a DECIMAL(38,0)
+    * ≡ HUGEINT numerator (≤ ~10³⁴ at sf2) floor-divided exactly in
+    * both engines (numerators are squares, hence non-negative:
+    * truncation ≡ floor), then summed as BIGINTs. Only the FINAL
+    * normalization touches doubles: v = √(χ²ₛ / (10⁹·n·(k−1))) — one
+    * division and one square root of identical exact inputs.
+    *
+    * 100 TB shape: one orders⋈customer broadcast-or-shuffle join into
+    * a 25-cell hash agg (the contingency table is
+    * |priorities|×|segments|, corpus-independent); everything after
+    * the agg is a ≤25-row computation. */
+  val q133CramersV: Q = Q(
+    "q133_cramers_v",
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS a, c.c_mktsegment AS b
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells AS (SELECT a, b, COUNT(*)::HUGEINT AS nij FROM j GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(nij) AS ri FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(nij) AS cj FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(nij) AS n,
+      |               LEAST((SELECT COUNT(*) FROM rt),
+      |                     (SELECT COUNT(*) FROM ct))::BIGINT AS k
+      |        FROM cells),
+      |terms AS (
+      |  SELECT CAST((1000000000::HUGEINT
+      |           * (tot.n * cells.nij - rt.ri * ct.cj)
+      |           * (tot.n * cells.nij - rt.ri * ct.cj))
+      |          // (tot.n * rt.ri * ct.cj) AS BIGINT) AS t
+      |  FROM cells JOIN rt ON rt.a = cells.a
+      |              JOIN ct ON ct.b = cells.b
+      |              CROSS JOIN tot)
+      |SELECT tot.n::BIGINT AS n, tot.k AS k,
+      |  (SELECT SUM(t) FROM terms)::BIGINT AS chi2_scaled,
+      |  SQRT(((SELECT SUM(t) FROM terms)::DOUBLE)
+      |       / (1000000000.0::DOUBLE * tot.n::DOUBLE * (tot.k - 1)::DOUBLE))
+      |    AS cramers_v
+      |FROM tot""".stripMargin) { (s, d) =>
+    val j = orders(s, d).join(customer(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderpriority").as("a"), col("c_mktsegment").as("b"))
+    val cells = j.groupBy("a", "b")
+      .agg(count(lit(1)).cast(dec).as("nij"))
+      .localCheckpoint(true) // ≤25 rows; stops re-running the join 3×
+    val rt = cells.groupBy("a").agg(sum(col("nij")).as("ri"))
+    val ct2 = cells.groupBy("b").agg(sum(col("nij")).as("cj"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      least(countDistinct(col("a")), countDistinct(col("b")))
+        .cast("long").as("k"))
+    val terms = cells
+      .join(broadcast(rt), "a").join(broadcast(ct2), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", col("n") * col("nij") - col("ri") * col("cj"))
+      .withColumn("t",
+        expr("(CAST(1000000000 AS DECIMAL(38,0)) * dev * dev) div (n * ri * cj)"))
+    terms.agg(first(col("n")).cast("long").as("n"),
+        first(col("k")).as("k"),
+        sum(col("t")).as("chi2_scaled"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2_scaled").cast("double") /
+          (lit(1000000000.0) * col("n").cast("double") *
+            (col("k") - 1).cast("double"))))
+      .select("n", "k", "chi2_scaled", "cramers_v")
+  }
+
+  val all: Seq[Q] = Seq(q131CorrMatrix, q133CramersV)
 }

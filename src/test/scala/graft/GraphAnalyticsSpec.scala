@@ -67,4 +67,25 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     val mass = got.map(_._3).sum
     assert(mass <= U && mass >= base * n)
   }
+
+  test("q135 k-core ≡ driver-side peeling, and 6 rounds have converged") {
+    val got = GraphAnalytics.q135Kcore.run(spark, TestSpark.tiny)
+      .as[(Long, Long)].collect().toMap
+    // driver-side peel to FIXPOINT (not a fixed round count): the
+    // fixed-round operator result must equal it, which both checks the
+    // peel logic and certifies 6 rounds suffice on this graph
+    var surv = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = surv.filter(v => adj(v).count(surv.contains) >= 2)
+      changed = next != surv
+      surv = next
+    }
+    assert(got.keySet === surv)
+    got.foreach { case (v, dg) =>
+      assert(dg === adj(v).count(surv.contains).toLong)
+      assert(dg >= 2L)
+    }
+    assert(got.nonEmpty)
+  }
 }

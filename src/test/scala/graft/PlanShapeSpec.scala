@@ -209,7 +209,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_mixture_report" -> "per-(source,lang) cells (bounded)",
       "text_frequent_tokens" -> "Misra-Gries sketch output (≤ capacity 4096 rows)",
       "text_zipf_fit" -> "head-vocabulary rows (≤ 256 after limit)",
-      "q124_activity_heatmap" -> "hour×weekday cells (≤ 168 rows)")
+      "q124_activity_heatmap" -> "hour×weekday cells (≤ 168 rows)",
+      "q134_cusum_changepoint" ->
+        "per-event-type offset rows (≤ 5; the corpus-sized prefix sums ride ScalableWindows)")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)
