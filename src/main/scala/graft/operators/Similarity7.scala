@@ -132,5 +132,65 @@ object Similarity7 {
       .orderBy("cid", "dim")
   }
 
-  val all: Seq[Q] = Seq(kmeansRounds)
+  private val KnnK = 5
+  private val KnnStride = 10
+  private val KnnIdCap = 20000L
+  private val KnnDim = 64
+
+  /** Mutual k-NN graph construction over the audit slice (every
+    * [[KnnStride]]-th vector ∧ id < [[KnnIdCap]] — the Similarity5
+    * doubly-bounded eval-slice convention, so the slice is
+    * SF-independent beyond sf0.1): directed top-[[KnnK]] cosine edges
+    * within the slice, kept only when RECIPROCATED (a ∈ kNN(b) ∧
+    * b ∈ kNN(a), a < b). The mutual graph is the standard substrate
+    * for density clustering and graph-based dedup — mutuality prunes
+    * hub edges that one-directional kNN drags in.
+    *
+    * sim is the sequential-fold cosine, identical in both orientations
+    * (same index-order fold), so the mutual join compares bit-equal
+    * doubles. At 100 TB the slice stays an audit; the production graph
+    * feeds the ANN tier's bucketed candidates instead of the slice
+    * cross join. */
+  val knnGraph: Q = Q(
+    "sim_knn_graph",
+    s"""WITH nodes AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $KnnStride = 0 AND vec_id < $KnnIdCap),
+       |dir AS (
+       |  SELECT a_id, b_id, sim FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      ${duckCosine("a.embedding", "b.embedding", KnnDim)} AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${duckCosine("a.embedding", "b.embedding", KnnDim)} DESC,
+       |                 b.vec_id) AS rk
+       |    FROM nodes a JOIN nodes b ON b.vec_id <> a.vec_id)
+       |  WHERE rk <= $KnnK)
+       |SELECT d1.a_id, d1.b_id, d1.sim
+       |FROM dir d1 JOIN dir d2 ON d2.a_id = d1.b_id AND d2.b_id = d1.a_id
+       |WHERE d1.a_id < d1.b_id
+       |ORDER BY d1.a_id, d1.b_id""".stripMargin) { (s, d) =>
+    val nodes = embeddings(s, d)
+      .filter(col("vec_id") % KnnStride === 0 && col("vec_id") < KnnIdCap)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // ≤2k rows: one slice scan, three readers
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val dir = nodes.as("a")
+      .join(broadcast(nodes.select(col("vec_id").as("b_vid"),
+        col("embedding").as("b_emb"))), col("b_vid") =!= col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("b_vid").as("b_id"),
+        cosine(col("embedding"), col("b_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select("a_id", "b_id", "sim")
+      .localCheckpoint(true)
+    dir.as("d1")
+      .join(dir.select(col("a_id").as("r_a"), col("b_id").as("r_b")).as("d2"),
+        col("r_a") === col("d1.b_id") && col("r_b") === col("d1.a_id"))
+      .filter(col("d1.a_id") < col("d1.b_id"))
+      .select(col("d1.a_id").as("a_id"), col("d1.b_id").as("b_id"),
+        col("d1.sim").as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(kmeansRounds, knnGraph)
 }

@@ -446,8 +446,15 @@ object TextAnalysis3 {
 
   /** The [[perplexity]] pipeline without the presentation sort —
     * (doc_id, n_bigrams, nll), shared with the CCNet-style bucket
-    * consumer in [[TextAnalysis6]]. */
-  private[operators] def nllPerDoc(s: SparkSession, d: String): DataFrame = {
+    * consumer in [[TextAnalysis6]] — MATERIALIZED once per
+    * (session, corpus) via the [[Dedup.sharedMat]] store (the
+    * `doc_surprisal` lake table): both registry consumers scan the
+    * snapshot instead of re-running the two-count LM build + ln ladder
+    * (~4–6 s each at sf2). */
+  private[operators] def nllPerDoc(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedMat(s, d, "nll")(nllPerDocBuild(s, d))
+
+  private def nllPerDocBuild(s: SparkSession, d: String): DataFrame = {
     val ws = documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
     val toks = ws.select(col("doc_id"), explode(col("w")).as("tok"))

@@ -65,4 +65,35 @@ class Similarity7Spec extends AnyFunSuite {
     }
     assert(got.map(_._4).sum / 64 === vecs.length.toLong)
   }
+
+  test("sim_knn_graph ≡ driver-side mutual top-5; edges reciprocated") {
+    val vecs = Tables.embeddings(spark, TestSpark.tiny)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .filter { case (id, _) => id % 10 == 0 && id < 20000L }
+    def seqCos(a: Array[Float], b: Array[Float]): Double = {
+      // the operator's sequential-fold shape: acc starts at 0.0, index order
+      def dotF(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+    }
+    val topk: Map[Long, Set[Long]] = vecs.map { case (id, e) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (oid, oe) => (oid, seqCos(e, oe)) }
+        .sortBy { case (oid, s) => (-s, oid) }
+        .take(5).map(_._1).toSet
+    }.toMap
+    val refEdges = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val got = Similarity7.knnGraph.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === refEdges)
+    assert(got.nonEmpty)
+  }
 }
