@@ -125,5 +125,124 @@ object EventAnalytics12 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q132SequenceCount, q134CusumChangepoint)
+  private val HllM = 256 // 2^8 registers
+  /** hash width beyond the bucket byte: md5-60bit >> 8 = 52 bits, so
+    * ranks run 1..53 and register sums fit 2^53 fixed point exactly */
+  private val HllW = 52
+  /** register sums in 2^(W+1) fixed point: Σ 2^(53 − M_j) is an exact
+    * BIGINT (M_j ≤ 53, 256 terms ≤ 2^61), so the harmonic mean needs
+    * no cross-row double accumulation */
+  private val HllFix = 1L << (HllW + 1)
+  /** α_m·m²·2⁵³ for m = 256, computed ONCE here and inlined as the
+    * same double literal in both engines */
+  private val HllC: Double =
+    (0.7213 / (1.0 + 1.079 / HllM)) * (HllM.toDouble * HllM.toDouble) *
+      HllFix.toDouble
+
+  /** Portable HyperLogLog audit: per event type, the 256-register HLL
+    * estimate of distinct users NEXT TO the exact distinct count — the
+    * `uniqCombined`-style estimator a pipeline owner audits before
+    * trusting sketched cardinalities, with the WHOLE estimator (hash,
+    * registers, harmonic mean, linear-counting correction)
+    * oracle-checked bit-for-bit, unlike the datasketches-backed
+    * `q62_hll_union` whose estimates carry a tolerance.
+    *
+    * Portability: the hash is the md5-60-bit fold both engines share
+    * with the simhash tier (leading 15 hex chars of md5(user id) as a
+    * BIGINT — uniform mixing, unlike the base-31 poly hash whose
+    * low-bit structure biased buckets ~25% in the first cut), the
+    * register rank is an integer comparison ladder (no log2 floats),
+    * register sums are exact 2⁵³ fixed-point BIGINTs, and the two
+    * constants (α·m²·2⁵³ and the ≤ 2.5m cutoff) are single inlined
+    * double literals — the only float ops are one division and, on the
+    * small-range branch, the [[graft.functions.PortableLn]] ladder for
+    * linear counting m·ln(m/V). 100 TB shape: ONE map-combined hash
+    * agg to (type, bucket) registers (≤ types×256 rows), everything
+    * after is register-bounded. */
+  val q136HllPortable: Q = {
+    // (W+1) − bit_length(r) comparison ladder, mirrored textually
+    def duckRank: String =
+      ((HllW - 1) to 0 by -1).map(j => s"WHEN r >= ${1L << j} THEN ${HllW - j}")
+        .mkString("CASE ", " ", s" ELSE ${HllW + 1} END")
+    Q("q136_hll_portable",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS hv
+         |  FROM events),
+         |rr AS (SELECT event_type, hv % $HllM AS bucket, hv // $HllM AS r
+         |       FROM h),
+         |rk AS (SELECT event_type, bucket, ($duckRank) AS rank FROM rr),
+         |regs0 AS (SELECT event_type, bucket, MAX(rank) AS mj
+         |          FROM rk GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT t.event_type, b.bucket
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT UNNEST(RANGE(0, $HllM)) AS bucket) b),
+         |regs AS (
+         |  SELECT s.event_type, COALESCE(r.mj, 0) AS mj
+         |  FROM spine s LEFT JOIN regs0 r
+         |    ON r.event_type = s.event_type AND r.bucket = s.bucket),
+         |agg AS (
+         |  SELECT event_type,
+         |    SUM(1::BIGINT << (53 - mj))::BIGINT AS s_fix,
+         |    SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v_empty
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+         |       FROM events GROUP BY 1),
+         |withx AS (
+         |  SELECT a.event_type, a.s_fix, a.v_empty, ex.n_exact,
+         |    CASE WHEN a.v_empty > 0
+         |      THEN ${HllM}.0::DOUBLE / a.v_empty ELSE 1.0::DOUBLE END AS x,
+         |    $HllC::DOUBLE / CAST(a.s_fix AS DOUBLE) AS est_raw
+         |  FROM agg a JOIN ex ON ex.event_type = a.event_type),
+         |lnx AS (${graft.functions.PortableLn.sqlStages(
+             "withx", Seq("event_type", "s_fix", "v_empty", "n_exact", "est_raw"),
+             "x", "lnv")})
+         |SELECT event_type, n_exact, v_empty, s_fix,
+         |  CASE WHEN est_raw <= ${HllM * 5 / 2}.0::DOUBLE AND v_empty > 0
+         |    THEN ${HllM}.0::DOUBLE * lnv ELSE est_raw END AS est
+         |FROM lnx
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val sparkRank: org.apache.spark.sql.Column =
+        ((HllW - 1) to 0 by -1).foldRight(
+          lit(HllW + 1): org.apache.spark.sql.Column) {
+          (j, els) => when(col("r") >= (1L << j), HllW - j).otherwise(els)
+        }
+      val ev = events(s, d)
+      val h = ev.select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .select(col("event_type"), (col("hv") % HllM).as("bucket"),
+          expr(s"hv div $HllM").as("r"))
+        .withColumn("rank", sparkRank)
+      val regs0 = h.groupBy("event_type", "bucket").agg(max("rank").as("mj"))
+      val spine = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0), lit(HllM - 1))).as("bucket0"))
+        .select(col("event_type"), col("bucket0").cast("long").as("bucket"))
+      val regs = spine.join(regs0, Seq("event_type", "bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+      val agg = regs.groupBy("event_type")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+            .cast("long").as("s_fix"),
+          sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+      val ex = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").cast("long").as("n_exact"))
+      val withx = agg.join(ex, "event_type")
+        .withColumn("x", when(col("v_empty") > 0,
+          lit(HllM.toDouble) / col("v_empty")).otherwise(lit(1.0)))
+        .withColumn("est_raw", lit(HllC) / col("s_fix").cast("double"))
+      graft.functions.PortableLn.withLn(withx, "x", "lnv")
+        .withColumn("est",
+          when(col("est_raw") <= lit(HllM * 5 / 2).cast("double") &&
+            col("v_empty") > 0, lit(HllM.toDouble) * col("lnv"))
+            .otherwise(col("est_raw")))
+        .select("event_type", "n_exact", "v_empty", "s_fix", "est")
+        .orderBy("event_type")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q132SequenceCount, q134CusumChangepoint,
+    q136HllPortable)
 }

@@ -55,6 +55,35 @@ class EventAnalytics12Spec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("q136 portable HLL ≡ driver-side register simulation") {
+    val got = operators.EventAnalytics12.q136HllPortable
+      .run(spark, TestSpark.tiny)
+      .select("event_type", "n_exact", "v_empty", "s_fix", "est")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val byType = evts.groupBy(_._4)
+    got.foreach { case (t, (_, nExact, vEmpty, sFix, est)) =>
+      val users = byType(t).map(_._3).distinct
+      assert(nExact === users.size.toLong)
+      val regs = Array.fill(256)(0)
+      byType(t).map(_._3).foreach { u =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val b = (hv % 256).toInt
+        val r = hv / 256
+        val rank = if (r == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+        if (rank > regs(b)) regs(b) = rank
+      }
+      assert(vEmpty === regs.count(_ == 0).toLong)
+      assert(sFix === regs.map(m => 1L << (53 - m)).sum)
+      // the estimate tracks truth within the m=256 error regime
+      assert(math.abs(est - nExact) / nExact < 0.25, s"$t est=$est n=$nExact")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("q133 Cramér's V ≡ driver-side exact scaled χ²; v in [0, 1]") {
     val got = Relational11.q133CramersV.run(spark, TestSpark.tiny)
       .select("n", "k", "chi2_scaled", "cramers_v")
