@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -204,43 +205,62 @@ object EventAnalytics12 {
          |    THEN ${HllM}.0::DOUBLE * lnv ELSE est_raw END AS est
          |FROM lnx
          |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val sparkRank: org.apache.spark.sql.Column =
-        ((HllW - 1) to 0 by -1).foldRight(
-          lit(HllW + 1): org.apache.spark.sql.Column) {
-          (j, els) => when(col("r") >= (1L << j), HllW - j).otherwise(els)
-        }
       val ev = events(s, d)
-      val h = ev.select(col("event_type"),
-          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-            .cast("long").as("hv"))
-        .select(col("event_type"), (col("hv") % HllM).as("bucket"),
-          expr(s"hv div $HllM").as("r"))
-        .withColumn("rank", sparkRank)
-      val regs0 = h.groupBy("event_type", "bucket").agg(max("rank").as("mj"))
-      val spine = ev.select("event_type").distinct()
-        .select(col("event_type"),
-          explode(sequence(lit(0), lit(HllM - 1))).as("bucket0"))
-        .select(col("event_type"), col("bucket0").cast("long").as("bucket"))
-      val regs = spine.join(regs0, Seq("event_type", "bucket"), "left")
-        .withColumn("mj", coalesce(col("mj"), lit(0)))
-      val agg = regs.groupBy("event_type")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
-            .cast("long").as("s_fix"),
-          sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+      val regs0 = hllRanks(ev)
+        .groupBy("event_type", "bucket").agg(max("rank").as("mj"))
       val ex = ev.groupBy("event_type")
         .agg(countDistinct("user_id").cast("long").as("n_exact"))
-      val withx = agg.join(ex, "event_type")
-        .withColumn("x", when(col("v_empty") > 0,
-          lit(HllM.toDouble) / col("v_empty")).otherwise(lit(1.0)))
-        .withColumn("est_raw", lit(HllC) / col("s_fix").cast("double"))
-      graft.functions.PortableLn.withLn(withx, "x", "lnv")
-        .withColumn("est",
-          when(col("est_raw") <= lit(HllM * 5 / 2).cast("double") &&
-            col("v_empty") > 0, lit(HllM.toDouble) * col("lnv"))
-            .otherwise(col("est_raw")))
+      hllEstimate(regs0, ev.select("event_type").distinct())
+        .join(ex, "event_type")
         .select("event_type", "n_exact", "v_empty", "s_fix", "est")
         .orderBy("event_type")
     }
+  }
+
+  /** (event_type, bucket, rank) register contributions — one row per
+    * event; max per (type, bucket) is the register. Order-free and
+    * duplicate-insensitive, which is what makes the sketch mergeable
+    * across micro-batches
+    * ([[graft.streaming.Streams.hllIncrementalBatch]]). */
+  private[graft] def hllRanks(ev: DataFrame): DataFrame = {
+    val sparkRank: org.apache.spark.sql.Column =
+      ((HllW - 1) to 0 by -1).foldRight(
+        lit(HllW + 1): org.apache.spark.sql.Column) {
+        (j, els) => when(col("r") >= (1L << j), HllW - j).otherwise(els)
+      }
+    ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .select(col("event_type"), (col("hv") % HllM).as("bucket"),
+        expr(s"hv div $HllM").as("r"))
+      .withColumn("rank", sparkRank)
+      .select("event_type", "bucket", "rank")
+  }
+
+  /** (event_type, v_empty, s_fix, est) from max-rank registers
+    * (`regs0`: event_type, bucket, mj — present buckets only; `types`
+    * supplies the event_type spine). */
+  private[graft] def hllEstimate(regs0: DataFrame, types: DataFrame): DataFrame = {
+    val spine = types
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(HllM - 1))).as("bucket0"))
+      .select(col("event_type"), col("bucket0").cast("long").as("bucket"))
+    val regs = spine.join(regs0, Seq("event_type", "bucket"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+    val agg = regs.groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+          .cast("long").as("s_fix"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val withx = agg
+      .withColumn("x", when(col("v_empty") > 0,
+        lit(HllM.toDouble) / col("v_empty")).otherwise(lit(1.0)))
+      .withColumn("est_raw", lit(HllC) / col("s_fix").cast("double"))
+    graft.functions.PortableLn.withLn(withx, "x", "lnv")
+      .withColumn("est",
+        when(col("est_raw") <= lit(HllM * 5 / 2).cast("double") &&
+          col("v_empty") > 0, lit(HllM.toDouble) * col("lnv"))
+          .otherwise(col("est_raw")))
+      .select("event_type", "v_empty", "s_fix", "est")
   }
 
   val all: Seq[Q] = Seq(q132SequenceCount, q134CusumChangepoint,

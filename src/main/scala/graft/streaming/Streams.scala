@@ -798,4 +798,30 @@ object Streams {
 
     def snapshot: Map[Any, Row] = state.map { case (k, (_, r)) => k -> r }.toMap
   }
+  /** ST6 incremental twin of `q136_hll_portable`: per micro-batch the
+    * (event_type, bucket)→max-rank register deltas land as an
+    * overwrite-own-partition parquet state (retry-idempotent), and the
+    * cumulative registers are the per-key MAX across batches — HLL
+    * state is a join-semilattice, so arrival ORDER AND DUPLICATION are
+    * both irrelevant (a strictly stronger contract than the
+    * time-ordered deltaSum twin). Output = the one-shot estimator
+    * minus its exact-count audit column: streaming exact distinct is
+    * precisely the state HLL exists to avoid. */
+  def hllIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    import graft.operators.EventAnalytics12
+    val spark = batch.sparkSession
+    val regs = EventAnalytics12.hllRanks(
+        batch.select("event_type", "user_id"))
+      .groupBy("event_type", "bucket").agg(max("rank").as("mj"))
+    regs.write.mode("overwrite").parquet(s"$stateDir/regs/batch_id=$batchId")
+    val all = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(s"$stateDir/regs").toString)
+      .filter(col("batch_id") < batchId)
+      .select("event_type", "bucket", "mj")
+      .unionByName(regs)
+      .groupBy("event_type", "bucket").agg(max("mj").as("mj"))
+    EventAnalytics12.hllEstimate(all,
+      all.select("event_type").distinct())
+  }
 }
