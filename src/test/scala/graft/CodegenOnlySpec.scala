@@ -48,15 +48,33 @@ class CodegenOnlySpec extends AnyFunSuite {
     // the plan, and not a *silent* fallback.)
     codegenOnly {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
+      val empties = scala.collection.mutable.ListBuffer.empty[String]
       for (q <- SparkEntry.registry) {
-        try q.run(spark, TestSpark.tiny).collect()
-        catch {
+        try {
+          if (q.run(spark, TestSpark.tiny).collect().isEmpty &&
+              !EmptyOkAtTiny.contains(q.name))
+            empties += q.name
+        } catch {
           case e: Throwable =>
             failures += s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage.take(200)}"
         }
       }
       assert(failures.isEmpty,
         s"codegen-only execution failed for:\n  ${failures.mkString("\n  ")}")
+      // empty-output net (same executed pass, no extra cost): a 0-row
+      // result passes its DuckDB hash oracle TRIVIALLY (both engines
+      // empty), so an operator can silently stop demonstrating any
+      // behavior — the round-8 `dedup_containment_asym` first cut
+      // returned 0 rows at every SF under an over-tight ρ filter and
+      // only a manual look caught it. Queries for which emptiness at
+      // sf0.001 is the CORRECT answer go on the allowlist with a
+      // reason.
+      assert(empties.isEmpty,
+        s"queries with 0 rows at sf0.001 (trivially-green oracle):\n  " +
+          empties.mkString("\n  "))
     }
   }
+
+  /** queries whose correct sf0.001 output IS empty, with why */
+  private val EmptyOkAtTiny: Set[String] = Set()
 }
