@@ -177,5 +177,38 @@ object TextAnalysis9 {
       .orderBy("source_a", "source_b")
   }
 
-  val all: Seq[Q] = Seq(lexicalDiversity, phraseSearch, sourceVocabOverlap)
+  /** Tokenizer fertility per language: subword-ish tokens (the
+    * `text_tokens` regex segmentation — letter runs / digit runs /
+    * single punctuation) per whitespace word, aggregated per lang —
+    * the metric multilingual-tokenizer owners track to spot languages
+    * a vocabulary under-serves (fertility ≫ 1 means each word
+    * fragments into many tokens, inflating sequence length and
+    * training cost). Exact BIGINT sums per group; the ratio is one
+    * double division. 100 TB shape: one map-combined hash agg. */
+  val fertility: Q = Q(
+    "text_fertility",
+    """SELECT lang,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(LEN(STRING_SPLIT(TRIM(text), ' ')))::BIGINT AS n_words,
+      |  SUM(LEN(REGEXP_EXTRACT_ALL(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)))::BIGINT
+      |    AS n_tokens,
+      |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)))
+      |    AS DOUBLE)
+      |    / SUM(LEN(STRING_SPLIT(TRIM(text), ' '))) AS fertility
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)"))
+          .cast("long").as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"), sum("t").as("n_tokens"),
+        (sum("t").cast("double") / sum("w").cast("double")).as("fertility"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(lexicalDiversity, phraseSearch, sourceVocabOverlap,
+    fertility)
 }
