@@ -186,5 +186,76 @@ object EventAnalytics13 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q137QuantileSketch, q138SeasonalNaiveError)
+  /** Time-to-convert: per signup-week cohort, the exact median (and
+    * p90) of each user's first-signup → first-purchase latency in
+    * whole minutes. Latencies are exact BIGINT µs differences floored
+    * to minutes; order statistics come from the same value-indexed
+    * cumulative discipline as [[q137QuantileSketch]] (the per-cohort
+    * window runs over DISTINCT latency values, not users). Users who
+    * never purchase are excluded — stated in both engines by the
+    * inner join.
+    *
+    * 100 TB shape: two min-aggs keyed by user (map-combined), a
+    * user-keyed join, then everything is (cohort, latency)-bounded. */
+  val q139TimeToConvert: Q = Q(
+    "q139_time_to_convert",
+    """WITH su AS (
+      |  SELECT user_id, MIN(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT user_id, MIN(ts) AS p_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |lat AS (
+      |  SELECT CAST(DATE_TRUNC('week', CAST(su.s_ts AS DATE)) AS DATE)
+      |           AS cohort_week,
+      |    EPOCH_US(pu.p_ts - su.s_ts) // 60000000 AS lat_min
+      |  FROM su JOIN pu ON pu.user_id = su.user_id
+      |  WHERE pu.p_ts >= su.s_ts),
+      |vc AS (SELECT cohort_week, lat_min, COUNT(*)::BIGINT AS c
+      |       FROM lat GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_week, lat_min, c,
+      |    SUM(c) OVER (PARTITION BY cohort_week ORDER BY lat_min
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    SUM(c) OVER (PARTITION BY cohort_week) AS n
+      |  FROM vc)
+      |SELECT cohort_week, CAST(MAX(n) AS BIGINT) AS n_users,
+      |  MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN lat_min END)
+      |    AS p50_min,
+      |  MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN lat_min END)
+      |    AS p90_min
+      |FROM cum
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val lat = su.join(pu, "user_id")
+      .filter(col("p_ts") >= col("s_ts"))
+      .select(
+        date_trunc("week", col("s_ts").cast("date")).cast("date")
+          .as("cohort_week"),
+        expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000")
+          .as("lat_min"))
+    val vc = lat.groupBy("cohort_week", "lat_min")
+      .agg(count(lit(1)).as("c"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("lat_min")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("cohort_week")
+    vc.withColumn("cum", sum("c").over(wv))
+      .withColumn("n", sum("c").over(wn))
+      .groupBy("cohort_week")
+      .agg(max("n").cast("long").as("n_users"),
+        min(when(col("cum") >= expr("(50 * n + 99) div 100"),
+          col("lat_min"))).as("p50_min"),
+        min(when(col("cum") >= expr("(90 * n + 99) div 100"),
+          col("lat_min"))).as("p90_min"))
+      .orderBy("cohort_week")
+  }
+
+  val all: Seq[Q] = Seq(q137QuantileSketch, q138SeasonalNaiveError,
+    q139TimeToConvert)
 }

@@ -83,4 +83,43 @@ class EventAnalytics13Spec extends AnyFunSuite {
       assert(f === ts.toDouble / ws)
     }
   }
+
+  test("q139 time-to-convert ≡ driver-side exact cohort percentiles") {
+    val got = EventAnalytics13.q139TimeToConvert.run(spark, TestSpark.tiny)
+      .select(col("cohort_week").cast("string"), col("n_users"),
+        col("p50_min"), col("p90_min"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.tiny)
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(r => micros(r._3)).min).toMap
+    val pu = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(r => micros(r._3)).min).toMap
+    val lats = su.toSeq.flatMap { case (u, st) =>
+      pu.get(u).filter(_ >= st).map { pt =>
+        val cal = java.util.Calendar.getInstance(
+          java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTimeInMillis(st / 1000L)
+        cal.set(java.util.Calendar.HOUR_OF_DAY, 0)
+        cal.set(java.util.Calendar.MINUTE, 0)
+        cal.set(java.util.Calendar.SECOND, 0)
+        cal.set(java.util.Calendar.MILLISECOND, 0)
+        while (cal.get(java.util.Calendar.DAY_OF_WEEK) !=
+          java.util.Calendar.MONDAY) cal.add(java.util.Calendar.DATE, -1)
+        val wk = new java.sql.Date(cal.getTimeInMillis).toString
+        wk -> (pt - st) / 60000000L // whole minutes from exact µs
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (wk, n, p50, p90) =>
+      val xs = lats(wk)
+      assert(n === xs.length.toLong, wk)
+      def kth(p: Int): Long = xs(((p * xs.length + 99) / 100) - 1)
+      assert(p50 === kth(50), s"$wk p50")
+      assert(p90 === kth(90), s"$wk p90")
+    }
+  }
 }
