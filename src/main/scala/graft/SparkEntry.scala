@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Relational6.all ++
       Relational7.all ++ Relational8.all ++ Relational9.all ++
-      Relational10.all ++ Relational11.all ++ GraphAnalytics.all ++
+      Relational10.all ++ Relational11.all ++ Relational12.all ++
+      GraphAnalytics.all ++
       EventAnalytics.all ++
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
       EventAnalytics5.all ++ EventAnalytics6.all ++ EventAnalytics7.all ++
