@@ -298,5 +298,121 @@ object Dedup2 {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate)
+  /** band geometries under audit: (rows-per-band r, bands b), r·b = 32 */
+  private val TuneGeometries = Seq((1, 32), (2, 16), (4, 8))
+  private val TuneHashes = 32
+
+  /** LSH band-geometry TUNING report — the decision table a pipeline
+    * owner reads before picking (r, b) for a corpus: for each geometry
+    * over the same 32-component portable MinHash signature,
+    *   - the candidate-pair volume the banded self-join would generate
+    *     (Σ c·(c−1)/2 over bucket sizes — computed from AGGREGATES
+    *     ONLY, no pair relation is ever materialized), and
+    *   - the recall against the VERIFIED exact-Jaccard pair set
+    *     ([[Dedup.sharedPairs]] — pair-bounded join): the fraction of
+    *     true pairs agreeing on at least one full band.
+    * Finer bands (r = 1) buy recall with quadratically more hot-bucket
+    * candidates; coarser (r = 4) invert the trade — this report puts
+    * exact numbers on the r08 containment-tier finding that geometry,
+    * not banding per se, decides whether LSH beats prefix filtering.
+    *
+    * Signatures are the same affine-over-poly-hash portable family as
+    * [[minhashEstimate]] (j = 0..31), so the WHOLE report is
+    * oracle-checked bit-for-bit. 100 TB shape: one codegen'd hash pass
+    * + one 32-min agg, one (geometry × band)-keyed agg for buckets,
+    * one pair-bounded join for recall. */
+  val lshTuning: Q = Q(
+    "dedup_lsh_tuning",
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
+       |exr AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |ex AS (SELECT doc_id, shingle FROM exr
+       |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= ${Dedup.ShingleDfCap}),
+       |ph AS (SELECT doc_id,
+       |  LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+       |    LIST_TRANSFORM(RANGE(1, LENGTH(shingle) + 1), i -> ASCII(shingle[i])::BIGINT)),
+       |    (acc, c) -> (acc * 31 + c) % $EstMod) AS h FROM ex),
+       |m AS MATERIALIZED (SELECT doc_id, j,
+       |  MIN(((2 * j + 3) * h + (5 * j + 7)) % $EstMod) AS mh
+       |  FROM ph CROSS JOIN (SELECT UNNEST(RANGE(0, $TuneHashes)) AS j) r
+       |  GROUP BY doc_id, j),
+       |geo AS (SELECT * FROM (VALUES ${TuneGeometries
+             .map { case (r, b) => s"($r, $b)" }.mkString(", ")}) g(r, b)),
+       |sigs AS MATERIALIZED (
+       |  SELECT g.r, g.b, m.doc_id, m.j // g.r AS band,
+       |    STRING_AGG(m.mh::VARCHAR, ',' ORDER BY m.j) AS sig
+       |  FROM m CROSS JOIN geo g
+       |  GROUP BY 1, 2, 3, 4),
+       |buckets AS (SELECT r, b, band, sig, COUNT(*)::BIGINT AS c
+       |            FROM sigs GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT r, b,
+       |           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_candidates
+       |         FROM buckets GROUP BY 1, 2),
+       |jp AS MATERIALIZED (${Dedup.duckJaccardPairs}),
+       |hits AS (
+       |  SELECT s1.r, s1.b, j.a_id, j.b_id,
+       |    MAX(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS caught
+       |  FROM jp j
+       |  JOIN sigs s1 ON s1.doc_id = j.a_id
+       |  JOIN sigs s2 ON s2.doc_id = j.b_id
+       |    AND s2.r = s1.r AND s2.b = s1.b AND s2.band = s1.band
+       |  GROUP BY 1, 2, 3, 4),
+       |rec AS (SELECT r, b, COUNT(*)::BIGINT AS n_true,
+       |          SUM(caught)::BIGINT AS n_caught
+       |        FROM hits GROUP BY 1, 2)
+       |SELECT CAST(cand.r AS BIGINT) AS r, CAST(cand.b AS BIGINT) AS b,
+       |  n_candidates, n_true, n_caught,
+       |  CAST(n_caught AS DOUBLE) / n_true AS recall
+       |FROM cand JOIN rec ON rec.r = cand.r AND rec.b = cand.b
+       |ORDER BY r""".stripMargin) { (s, d) =>
+    val ranked = Dedup.sharedRanked(s, d)
+    val ph = ranked.select(col("doc_id"),
+      graft.functions.PolyHash.full(col("shingle")).as("h"))
+    val sig32 = ph.groupBy("doc_id")
+      .agg(
+        min((col("h") * lit(3L) + lit(7L)) % EstMod).as("m0"),
+        (1 until TuneHashes).map(j =>
+          min((col("h") * lit(2L * j + 3) + lit(5L * j + 7)) % EstMod)
+            .as(s"m$j")): _*)
+    val m = sig32.select(col("doc_id"),
+      posexplode(array((0 until TuneHashes).map(j => col(s"m$j")): _*))
+        .as(Seq("j", "mh")))
+    val geo = {
+      import s.implicits._
+      TuneGeometries.toDF("r", "b")
+    }
+    val sigs = m.crossJoin(broadcast(geo))
+      .groupBy(col("r"), col("b"), col("doc_id"),
+        expr("j div r").as("band"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("sig"))
+      .localCheckpoint(true) // feeds buckets AND both recall probes
+    val cand = sigs.groupBy("r", "b", "band", "sig")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("r", "b")
+      .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("n_candidates"))
+    val jp = Dedup.sharedPairs(s, d).select("a_id", "b_id")
+    val hits = jp
+      .join(sigs.as("s1"), col("a_id") === col("s1.doc_id"))
+      .join(sigs.as("s2"),
+        col("b_id") === col("s2.doc_id") &&
+          col("s2.r") === col("s1.r") && col("s2.b") === col("s1.b") &&
+          col("s2.band") === col("s1.band"))
+      .groupBy(col("s1.r").as("r"), col("s1.b").as("b"),
+        col("a_id"), col("b_id"))
+      .agg(max(when(col("s1.sig") === col("s2.sig"), 1).otherwise(0))
+        .as("caught"))
+    val rec = hits.groupBy("r", "b")
+      .agg(count(lit(1)).as("n_true"),
+        sum("caught").cast("long").as("n_caught"))
+    cand.join(rec, Seq("r", "b"))
+      .select(col("r").cast("long").as("r"), col("b").cast("long").as("b"),
+        col("n_candidates"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+      .orderBy("r")
+  }
+
+  val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate,
+    lshTuning)
 }

@@ -116,4 +116,27 @@ class Dedup2Spec extends AnyFunSuite {
       math.abs(est - sim) }.sum / rows.length
     assert(mae <= 0.35, s"estimator MAE $mae")
   }
+
+  test("LSH tuning report: geometries ordered by candidate volume, " +
+    "true-pair base consistent, recall monotone in band fineness") {
+    val rows = Dedup2.lshTuning.run(spark, TestSpark.tiny)
+      .select("r", "b", "n_candidates", "n_true", "n_caught", "recall")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(x => (x._1, x._2)) === Seq((1L, 32L), (2L, 16L), (4L, 8L)))
+    val nPairs = operators.Dedup.sharedPairs(spark, TestSpark.tiny).count()
+    rows.foreach { case (r, b, cand, nTrue, nCaught, recall) =>
+      assert(r * b === 32L)
+      assert(nTrue === nPairs)
+      assert(nCaught <= nTrue)
+      assert(recall === nCaught.toDouble / nTrue)
+      assert(cand >= 0L)
+    }
+    // finer bands can only ADD collisions: candidates and recall are
+    // both monotone non-increasing in r
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    assert(rows(0)._6 >= rows(1)._6 && rows(1)._6 >= rows(2)._6)
+  }
 }
