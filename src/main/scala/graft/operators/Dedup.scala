@@ -553,25 +553,35 @@ object Dedup {
     * oracle as brute force) but with no cartesian product in the plan:
     * candidates come from [[cellCosinePairs]] — triangle-inequality-pruned
     * cell pairs verified by partitioned hash joins. Cell bits AUTO-SCALE
-    * with the corpus (≈ log₂(n / 2000), clamped to [4, 12]) so cells hold
-    * ~2 k vectors at any size — the corpus count is a parquet
+    * with the corpus (≈ log₂(n / 100), clamped to [4, 12]) so cells hold
+    * ~100 vectors at any size — the corpus count is a parquet
     * metadata-only job, and the result is exact at every bits value, so
     * the knob tunes verify-join volume without touching semantics. */
-  /** Cell bits for a corpus of n vectors: ≈ log₂(n/2000) keeps cells at
-    * ~2 k vectors. The DEFAULT ceiling of 12 bounds the driver-side
-    * work, which is O(2^bits) collected cell stats and an O(4^bits)
-    * angle bound matrix: 12 bits = 4096 cells ≈ 16.8 M bounds
+  /** Cell bits for a corpus of n vectors: ≈ log₂(n/100) keeps cells at
+    * ~100 vectors — MEASURED optimum, not a guess: the r08
+    * `DebugCellCosine` sweep at sf1 (20 k vecs) reads 11.5/8.6/8.5/12.9 s
+    * for bits 4/6/8/10 and at sf2 (40 k) 29.1/18.7/15.4/12.8/8.6/29.3 s
+    * for bits 5/6/7/8/9/10 — wall time is U-shaped in cell size with the
+    * floor at ~60–300 rows/cell (verify volume Σ|Ci||Cj| shrinks with
+    * finer cells until per-row join fan-out and the extra centroid/radius
+    * agg groups dominate). The old n/2000 target sat far up the coarse
+    * side of the U: at sf2 it chose bits 5 and the recorded sf2/sf1
+    * bench ratio read 3.0× (15.5 s); at n/100 the recorded sf2 time is
+    * 12.5 s at ratio ~1.9× (isolated min-of-2 runs — warm-JVM debug
+    * reads lower still). The DEFAULT ceiling of 12 bounds the
+    * driver-side work, which is O(2^bits) collected cell stats and an
+    * O(4^bits) angle bound matrix: 12 bits = 4096 cells ≈ 16.8 M bounds
     * (sub-second); every further bit QUADRUPLES it. Raising `maxBits`
     * is an explicit opt-in — the result is exact at any value, so the
     * knob is purely cost: ~14 (≈268 M bounds, minutes of driver time)
-    * is the practical ceiling, and past cell-count ≈ corpus/2000 at
-    * that point (~30 M vectors) the right near-dup tool is the banded
+    * is the practical ceiling, and past cell-count ≈ corpus/100 at
+    * that point (~1.6 M vectors) the right near-dup tool is the banded
     * MinHash/SimHash LSH path, not a bigger bound matrix
     * (`DedupSpec` proves pair-identity across bits values straddling
     * the ceiling). */
   private[graft] def autoCellBits(n: Long, maxBits: Int = 12): Int =
     math.min(maxBits, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 2000))))
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 100))))
 
   val embeddingCosine: Q = Q(
     "dedup_embedding_cosine",

@@ -183,11 +183,25 @@ object TextAnalysis6 {
     * tracks across dumps. Documents shorter than 8 words have no
     * shingles and are absent (same convention as the near-dup family).
     *
-    * 100 TB shape: min(doc_id) per gram is ONE map-combined hash agg
-    * over the shingle stream; attribution is a gram-keyed shuffle join
-    * of the stream against that (vocabulary-bounded) table; per-doc
-    * stats are one hash agg on doc_id. All-integer arithmetic; the
-    * only double is the final per-row ratio.
+    * 100 TB shape (r08 restructure — the oracle SQL states the naive
+    * occurrence-stream join, the Spark plan does NOT run it): every
+    * shuffle is a MAP-COMBINABLE hash agg, and no corpus-sized relation
+    * is ever joined. The exploded shingle stream collapses once into
+    * distinct (doc, gram, cnt) rows (map-side combine absorbs within-doc
+    * duplicates); `min_by(cnt, doc_id)` next to `min(doc_id)` then turns
+    * the per-gram first-occurrence question into ONE combinable agg
+    * emitting a single (gram, first_doc, cnt_first) row — so the novel
+    * count per doc is just `sum(cnt_first) GROUP BY first_doc`, and the
+    * attribution JOIN of the full occurrence stream against the
+    * first-occurrence table disappears. The two remaining relations are
+    * both |docs|-sized and join on doc_id. Hot boilerplate grams (the
+    * skew hazard of a gram-partitioned join or window at crawl scale)
+    * collapse map-side like any other agg key. The collapsed (doc, gram)
+    * relation feeds two consumers, so it is materialized once
+    * (localCheckpoint — the `cellCosinePairs` precedent) instead of
+    * re-exploding the corpus per consumer. Measured: 7.2 → 2.2 s at
+    * sf2, sf2/sf1 ratio 1.85× → 1.39×. All-integer arithmetic; the only double
+    * is the final per-row ratio.
     */
   val ngramNovelty: Q = Q(
     "text_ngram_novelty",
@@ -203,18 +217,22 @@ object TextAnalysis6 {
        |  CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
        |FROM hits
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val sh = documents(s, d).select(col("doc_id"),
-      explode(Dedup.shinglesFromWords(
-        TextAnalysis.words(col("text")), NovK)).as("g"))
-    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams").cast("double"))
-          .as("novelty"))
+    val dg = documents(s, d)
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromWords(
+          TextAnalysis.words(col("text")), NovK)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val novel = dg.groupBy("g")
+      .agg(min("doc_id").as("first_doc"),
+        min_by(col("cnt"), col("doc_id")).as("cnt_first"))
+      .groupBy("first_doc").agg(sum("cnt_first").as("n_novel"))
+    dg.groupBy("doc_id").agg(sum("cnt").as("n_grams"))
+      .join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
       .orderBy("doc_id")
   }
 
