@@ -24,7 +24,7 @@ object SparkEntry {
       EventAnalytics5.all ++ EventAnalytics6.all ++ EventAnalytics7.all ++
       EventAnalytics8.all ++ EventAnalytics9.all ++ EventAnalytics10.all ++
       EventAnalytics11.all ++ EventAnalytics12.all ++
-      EventAnalytics13.all ++
+      EventAnalytics13.all ++ EventAnalytics14.all ++
       Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++

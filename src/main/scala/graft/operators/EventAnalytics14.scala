@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+import graft.functions.PortableLn
+import graft.operators.TextAnalysis3.FixScale
+
+/** Fourteenth event-analytics batch: time-to-event and model-eval
+  * surfaces — a Kaplan–Meier survival curve (the churn/conversion
+  * analysis a product team runs where naive "average time to X"
+  * silently drops everyone who has not converted yet), and the
+  * decile lift/gains table (the standard campaign-targeting readout
+  * for any propensity score). Reference scope: the ClickHouse side of
+  * `/root/reference/main.py:12-55` owns arbitrary OLAP SQL over the
+  * replicated tables; these are the survival/uplift members of that
+  * surface. Exact integer arithmetic end-to-end; logs go through the
+  * [[graft.functions.PortableLn]] ladder and cross-row accumulation
+  * happens in ×2⁴⁰ fixed-point BIGINTs, so both engines fold identical
+  * integers (the `text_zipf_fit` discipline).
+  */
+object EventAnalytics14 {
+
+  /** Kaplan–Meier log-survival of signup → first purchase, per
+    * signup-week cohort, with right-censoring at the global
+    * observation end (max ts over ALL events): users who never
+    * purchase contribute at-risk time up to the study end instead of
+    * being dropped (the bias [[EventAnalytics13.q139TimeToConvert]]'s
+    * converters-only percentiles deliberately accept, and this query
+    * removes). Durations are whole minutes (exact BIGINT µs floor
+    * division). For each cohort and each distinct event time t:
+    * n_risk = subjects with duration ≥ t, d_events = purchases at
+    * exactly t, and log S(t) = Σ_{u ≤ t} [ln(n_u − d_u) − ln(n_u)] —
+    * the product-limit estimator in log space, because a cross-engine
+    * bit-exact PRODUCT of doubles does not exist while a fixed-point
+    * SUM does: each ln runs the PortableLn ladder, each step quantizes
+    * to ×2⁴⁰ BIGINT, and the running sum is exact. Terminal rows where
+    * the risk set dies out entirely (n = d, log S = −∞) are excluded
+    * in both engines. The one double division per row happens at the
+    * very end.
+    *
+    * 100 TB shape: two min-aggs keyed by user (map-combined), a
+    * user-keyed left join against the purchase relation, one scalar
+    * max broadcast — then everything is (cohort, minute)-bounded: the
+    * at-risk counts come from a DESCENDING cumulative window over the
+    * per-cohort duration VALUE spine (never a subject-sized sort), the
+    * PortableLn ladder runs 2·|spine| rows, and the survival scan is a
+    * second spine window. */
+  val q143SurvivalKm: Q = Q(
+    "q143_survival_km",
+    s"""WITH su AS (
+       |  SELECT user_id, MIN(ts) AS s_ts FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |pu AS (
+       |  SELECT user_id, MIN(ts) AS p_ts FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |mx AS (SELECT MAX(ts) AS m_ts FROM events),
+       |subj AS (
+       |  SELECT
+       |    CAST(DATE_TRUNC('week', CAST(su.s_ts AS DATE)) AS DATE)
+       |      AS cohort_week,
+       |    CASE WHEN pu.p_ts IS NOT NULL
+       |         THEN EPOCH_US(pu.p_ts - su.s_ts) // 60000000
+       |         ELSE EPOCH_US(mx.m_ts - su.s_ts) // 60000000 END AS t_min,
+       |    CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id CROSS JOIN mx
+       |  WHERE pu.p_ts IS NULL OR pu.p_ts >= su.s_ts),
+       |vc AS (
+       |  SELECT cohort_week, t_min,
+       |    CAST(SUM(ev) AS BIGINT) AS d, COUNT(*)::BIGINT AS c
+       |  FROM subj GROUP BY 1, 2),
+       |risk AS (
+       |  SELECT cohort_week, t_min, d,
+       |    CAST(SUM(c) OVER (PARTITION BY cohort_week ORDER BY t_min DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n
+       |  FROM vc),
+       |spine AS (
+       |  SELECT cohort_week, t_min, d, n FROM risk WHERE d >= 1 AND n > d),
+       |l1 AS (${PortableLn.sqlStages(
+             "(SELECT cohort_week, t_min, d, n, CAST(n - d AS DOUBLE) AS x FROM spine)",
+             Seq("cohort_week", "t_min", "d", "n"), "x", "ln_nd")}),
+       |l2 AS (${PortableLn.sqlStages(
+             "(SELECT cohort_week, t_min, d, n, ln_nd, CAST(n AS DOUBLE) AS x FROM l1)",
+             Seq("cohort_week", "t_min", "d", "n", "ln_nd"), "x", "ln_n")}),
+       |q AS (
+       |  SELECT cohort_week, t_min, d, n,
+       |    CAST(FLOOR((ln_nd - ln_n) * $FixScale::DOUBLE + 0.5::DOUBLE)
+       |      AS BIGINT) AS qs
+       |  FROM l2),
+       |c AS (
+       |  SELECT cohort_week, t_min, n, d,
+       |    CAST(SUM(qs) OVER (PARTITION BY cohort_week ORDER BY t_min
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS ls
+       |  FROM q)
+       |SELECT cohort_week, t_min, n AS n_risk, d AS d_events,
+       |  CAST(ls AS DOUBLE) / $FixScale::DOUBLE AS log_surv
+       |FROM c
+       |ORDER BY cohort_week, t_min""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val mx = ev.agg(max("ts").as("m_ts"))
+    val subj = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("p_ts").isNull || col("p_ts") >= col("s_ts"))
+      .select(
+        date_trunc("week", col("s_ts").cast("date")).cast("date")
+          .as("cohort_week"),
+        when(col("p_ts").isNotNull,
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000"))
+          .otherwise(
+            expr("(unix_micros(m_ts) - unix_micros(s_ts)) div 60000000"))
+          .as("t_min"),
+        when(col("p_ts").isNotNull, 1).otherwise(0).as("ev"))
+    val vc = subj.groupBy("cohort_week", "t_min")
+      .agg(sum("ev").cast("long").as("d"), count(lit(1)).as("c"))
+    val wDesc = Window.partitionBy("cohort_week").orderBy(col("t_min").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spine = vc
+      .withColumn("n", sum("c").over(wDesc).cast("long"))
+      .filter(col("d") >= 1 && col("n") > col("d"))
+      .select("cohort_week", "t_min", "d", "n")
+    val l1 = PortableLn.withLn(
+      spine.withColumn("x", (col("n") - col("d")).cast("double")), "x", "ln_nd")
+    val l2 = PortableLn.withLn(
+      l1.withColumn("x", col("n").cast("double")), "x", "ln_n")
+    val wAsc = Window.partitionBy("cohort_week").orderBy("t_min")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l2.withColumn("qs",
+        floor((col("ln_nd") - col("ln_n")) * FixScale + lit(0.5)).cast("long"))
+      .withColumn("ls", sum("qs").over(wAsc).cast("long"))
+      .select(col("cohort_week"), col("t_min"),
+        col("n").as("n_risk"), col("d").as("d_events"),
+        (col("ls").cast("double") / FixScale).as("log_surv"))
+      .orderBy("cohort_week", "t_min")
+  }
+
+  /** Decile lift & gains: score every user by even-day view activity,
+    * take odd-day purchase as the response, split the population into
+    * score deciles and report per-decile response rate vs the base
+    * rate (lift) plus the cumulative share of all responders captured
+    * down the ranking (gain — the targeting budget curve). Deciles are
+    * assigned by VALUE: every user with the same score lands in the
+    * decile of the run's first rank (rank_start·10 div n), so the
+    * assignment is deterministic without a subject-level tiebreak and
+    * collapsing buckets on heavy score ties is explicit rather than
+    * arbitrary. Lift/gain are single chains of double divisions of
+    * exact BIGINTs, mirrored op-for-op.
+    *
+    * 100 TB shape: ONE map-combined hash agg keyed by user builds
+    * (score, responded); a second collapses users to the score VALUE
+    * spine — every window after that runs over score cardinality, and
+    * the decile table itself is ≤ 10 rows. No subject-level join,
+    * rank, or sort anywhere. */
+  val q144DecileLift: Q = Q(
+    "q144_decile_lift",
+    """WITH base AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view'
+      |          AND EXTRACT(DAY FROM ts)::BIGINT % 2 = 0
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |          AND EXTRACT(DAY FROM ts)::BIGINT % 2 = 1
+      |          THEN 1 ELSE 0 END) AS resp
+      |  FROM events GROUP BY 1),
+      |vc AS (
+      |  SELECT score, COUNT(*)::BIGINT AS nu,
+      |    CAST(SUM(resp) AS BIGINT) AS nr
+      |  FROM base GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(nu) AS BIGINT) AS n, CAST(SUM(nr) AS BIGINT) AS r
+      |  FROM vc),
+      |rk AS (
+      |  SELECT score, nu, nr,
+      |    CAST(COALESCE(SUM(nu) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS rank_start
+      |  FROM vc),
+      |agg AS (
+      |  SELECT CAST((rank_start * 10) // n AS BIGINT) AS decile,
+      |    CAST(SUM(nu) AS BIGINT) AS n_users, CAST(SUM(nr) AS BIGINT) AS n_resp
+      |  FROM rk CROSS JOIN tot
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_users, n_resp,
+      |    CAST(SUM(n_resp) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_resp
+      |  FROM agg)
+      |SELECT decile, n_users, n_resp,
+      |  (CAST(n_resp AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+      |    (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS lift,
+      |  CAST(cum_resp AS DOUBLE) / CAST(r AS DOUBLE) AS gain
+      |FROM cum CROSS JOIN tot
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val base = events(s, d).groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view" &&
+          dayofmonth(col("ts")).cast("long") % 2 === 0, 1).otherwise(0))
+          .cast("long").as("score"),
+        max(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")).cast("long") % 2 === 1, 1).otherwise(0))
+          .as("resp"))
+    val vc = base.groupBy("score")
+      .agg(count(lit(1)).as("nu"), sum("resp").cast("long").as("nr"))
+    val tot = vc.agg(sum("nu").cast("long").as("n"),
+      sum("nr").cast("long").as("r"))
+    // score-spine window (bounded by score cardinality, whitelisted)
+    val wRank = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = vc
+      .withColumn("rank_start",
+        coalesce(sum("nu").over(wRank), lit(0L)).cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("(rank_start * 10) div n").cast("long").as("decile"))
+      .agg(sum("nu").cast("long").as("n_users"),
+        sum("nr").cast("long").as("n_resp"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    agg
+      .withColumn("cum_resp", sum("n_resp").over(wCum).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_resp"),
+        ((col("n_resp").cast("double") / col("n_users").cast("double")) /
+          (col("r").cast("double") / col("n").cast("double"))).as("lift"),
+        (col("cum_resp").cast("double") / col("r").cast("double")).as("gain"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift)
+}

@@ -211,7 +211,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_zipf_fit" -> "head-vocabulary rows (≤ 256 after limit)",
       "q124_activity_heatmap" -> "hour×weekday cells (≤ 168 rows)",
       "q134_cusum_changepoint" ->
-        "per-event-type offset rows (≤ 5; the corpus-sized prefix sums ride ScalableWindows)")
+        "per-event-type offset rows (≤ 5; the corpus-sized prefix sums ride ScalableWindows)",
+      "q144_decile_lift" ->
+        "score VALUE spine (bounded by distinct per-user view counts) and the ≤ 10-row decile table")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)
