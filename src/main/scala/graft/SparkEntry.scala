@@ -32,7 +32,7 @@ object SparkEntry {
       Dedup.all ++ Dedup2.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
       Similarity4.all ++ Similarity5.all ++ Similarity6.all ++
-      Similarity7.all ++
+      Similarity7.all ++ Similarity8.all ++
       Multimodal.all ++ Multimodal2.all ++ Multimodal3.all ++
       Multimodal4.all
 

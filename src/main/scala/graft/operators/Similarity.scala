@@ -26,7 +26,7 @@ object Similarity {
 
   private val EmbDim = 64
   val K = 5
-  private val NumQueries = 10
+  private[operators] val NumQueries = 10
 
   /** 16-bit sign signature packed as a long — one codegen'd single-pass
     * walk ([[graft.functions.SignMatrix.PackBits]]). Deterministic
@@ -173,14 +173,14 @@ object Similarity {
   /** Plane base for the IVF coarse quantizer — disjoint from the 32
     * [[annLsh]] signature planes, so cells and LSH bands are
     * independent partitions of the corpus. */
-  private val IvfPlaneBase = 32
-  private val IvfBits = 4
+  private[operators] val IvfPlaneBase = 32
+  private[operators] val IvfBits = 4
   /** Default probe depth: the query's own cell, its [[IvfBits]]
     * Hamming-1 neighbors, and one Hamming-2 cell — sign-LSH cells are
     * coarser than k-means cells, so multi-probe depth carries the
     * recall (probe fraction 6/16 of the corpus here; at scale, bits
     * grows with corpus size and the fraction shrinks). */
-  private val IvfNProbe = 6
+  private[operators] val IvfNProbe = 6
 
   /** IVF (inverted-file) ANN with a DETERMINISTIC coarse quantizer:
     * cells are [[IvfBits]]-bit hyperplane-LSH signatures (fixed
@@ -202,6 +202,23 @@ object Similarity {
     * all (the old k-means variant collected the query vectors). */
   def ivfTopk(emb: DataFrame, numQueries: Int, k: Int,
       bits: Int = IvfBits, nProbe: Int = IvfNProbe): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    ivfCandidates(emb, numQueries, bits, nProbe)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The IVF candidate relation BEFORE the top-k cut: every
+    * (query, probed-cell member) pair with its exact cosine and the
+    * probe rank (1 = the query's best cell) of the cell it came from —
+    * [[ivfTopk]] windows this to the answer; `sim_ivf_tuning` sweeps
+    * `prank ≤ p` prefixes of it to report the recall/candidate-volume
+    * trade-off of the nProbe knob from ONE corpus join at the maximum
+    * probe depth. */
+  def ivfCandidates(emb: DataFrame, numQueries: Int,
+      bits: Int, maxProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     // raw projections once — ONE codegen'd single-pass walk produces all
     // `bits` projections (subexpression elimination shares the array
@@ -236,18 +253,14 @@ object Similarity {
     val probes = queries.crossJoin(broadcast(cells)) // |Q| × 2^bits rows
       .withColumn("penalty", penalty)
       .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= nProbe)
-      .select("q_id", "q_emb", "q_nrm", "cell")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      .filter(col("prank") <= maxProbe)
+      .select("q_id", "q_emb", "q_nrm", "cell", "prank")
     corpus.join(broadcast(probes), Seq("cell")) // probed cells only
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-          .as("sim"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "sim")
-      .orderBy("q_id", "rank")
+          .as("sim"),
+        col("prank"))
   }
 
   /** [[ivfTopk]] restated over DuckDB primitives: 4 inlined-sign

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+import graft.functions.VectorFunctions
+
+/** Eighth similarity batch: the IVF probe-depth tuning report — the
+  * `dedup_lsh_tuning` discipline applied to the ANN side. Reference
+  * scope: the ClickHouse side of `/root/reference/main.py:12-55` owns
+  * arbitrary OLAP SQL over the replicated tables; this is the
+  * index-tuning member of the extension surface (SURVEY §2.5 X2). */
+object Similarity8 {
+
+  private val EmbDim = 64
+  private val Probes = Seq(1, 2, 4, 6, 8)
+  private val MaxProbe = Probes.max
+
+  /** nProbe decision table for the IVF tier: for each probe depth
+    * p ∈ {1, 2, 4, 6, 8}, the total candidate volume and the recall of
+    * the p-probe top-k against the exact brute-force top-k — exactly
+    * the evidence that justifies (or indicts) the production setting
+    * `IvfNProbe = 6` that `sim_ann_ivf` runs, measured rather than
+    * assumed. The whole sweep costs ONE corpus join at the maximum
+    * probe depth: [[Similarity.ivfCandidates]] tags every candidate
+    * with the probe rank of the cell it came from, and each depth's
+    * answer is a `prank ≤ p` prefix of that one relation (an IVF list
+    * is nested by construction — probing p cells sees a superset of
+    * p−1), so the knob sweep re-ranks prefixes instead of re-running
+    * the index. Deterministic end-to-end (sign-matrix quantizer, exact
+    * cosine, fixed tiebreaks) → full hash oracle.
+    *
+    * 100 TB shape: the corpus is touched once, in the probed fraction
+    * only; everything downstream is (|Q| · maxProbe · cell)-bounded
+    * and the report is 5 rows. */
+  val ivfTuning: Q = {
+    val projCols = (0 until Similarity.IvfBits)
+      .map(b => s"${Similarity.duckProj(Similarity.IvfPlaneBase + b)} AS proj_$b")
+      .mkString(",\n    ")
+    val cellExpr = (0 until Similarity.IvfBits)
+      .map(b => s"(CASE WHEN proj_$b >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)")
+      .mkString(" | ")
+    val penaltyExpr = (0 until Similarity.IvfBits)
+      .map(b => s"(CASE WHEN ((q.q_cell >> $b) & 1) <> ((c.cell >> $b) & 1) THEN ABS(q.proj_$b) ELSE 0.0 END)")
+      .mkString(" + ")
+    val projNames = (0 until Similarity.IvfBits).map(b => s"proj_$b").mkString(", ")
+    val denom = Similarity.NumQueries * Similarity.K
+    Q(
+      "sim_ivf_tuning",
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding,
+         |    $projCols
+         |  FROM embeddings),
+         |sig AS (SELECT vec_id, embedding, $cellExpr AS cell, $projNames
+         |        FROM proj),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, cell AS q_cell, $projNames
+         |  FROM sig WHERE vec_id < ${Similarity.NumQueries}),
+         |probes AS (
+         |  SELECT q_id, qe, cell, prank FROM (
+         |    SELECT q.q_id, q.qe, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $penaltyExpr, c.cell) AS prank
+         |    FROM q CROSS JOIN
+         |      (SELECT UNNEST(RANGE(0, ${1 << Similarity.IvfBits})) AS cell) c)
+         |  WHERE prank <= $MaxProbe),
+         |cand AS (
+         |  SELECT p.q_id, p.prank, s.vec_id AS n_id,
+         |    ${VectorFunctions.duckCosine("p.qe", "s.embedding", EmbDim)} AS sim
+         |  FROM probes p JOIN sig s ON s.cell = p.cell AND s.vec_id <> p.q_id),
+         |ps AS (SELECT UNNEST(ARRAY[${Probes.mkString(", ")}]) AS nprobe),
+         |pc AS (
+         |  SELECT ps.nprobe, c.q_id, c.n_id, c.sim
+         |  FROM cand c JOIN ps ON c.prank <= ps.nprobe),
+         |ranked AS (
+         |  SELECT nprobe, q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+         |      ORDER BY sim DESC, n_id) AS rank
+         |  FROM pc),
+         |topk AS (SELECT nprobe, q_id, n_id FROM ranked WHERE rank <= ${Similarity.K}),
+         |counts AS (SELECT nprobe, COUNT(*)::BIGINT AS n_cand FROM pc GROUP BY 1),
+         |exact AS (${Similarity.topkBruteForce.oracle.get}),
+         |hits AS (
+         |  SELECT t.nprobe, COUNT(*)::BIGINT AS n_matched
+         |  FROM topk t JOIN exact e ON e.q_id = t.q_id AND e.n_id = t.n_id
+         |  GROUP BY 1)
+         |SELECT CAST(c.nprobe AS BIGINT) AS nprobe, c.n_cand,
+         |  CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+         |  CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / $denom.0::DOUBLE AS recall
+         |FROM counts c LEFT JOIN hits h ON h.nprobe = c.nprobe
+         |ORDER BY nprobe""".stripMargin) { (s, d) =>
+      val cand = Similarity.ivfCandidates(embeddings(s, d),
+        Similarity.NumQueries, Similarity.IvfBits, MaxProbe)
+        .localCheckpoint(true)
+      val ps = explode(array(Probes.map(p => lit(p)): _*)).as("nprobe")
+      val pc = cand.select(col("q_id"), col("n_id"), col("sim"), col("prank"),
+          ps)
+        .filter(col("prank") <= col("nprobe"))
+      val wr = Window.partitionBy("nprobe", "q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val topk = pc
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= Similarity.K)
+        .select("nprobe", "q_id", "n_id")
+      val counts = pc.groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+      val exact = Similarity.topkBruteForce.run(s, d)
+        .select(col("q_id").as("eq"), col("n_id").as("en"))
+      val hits = topk.join(broadcast(exact),
+          col("q_id") === col("eq") && col("n_id") === col("en"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_matched"))
+      counts.join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe").cast("long").as("nprobe"), col("n_cand"),
+          coalesce(col("n_matched"), lit(0L)).cast("long").as("n_matched"),
+          (coalesce(col("n_matched"), lit(0L)).cast("double") /
+            lit(denom.toDouble)).as("recall"))
+        .orderBy("nprobe")
+    }
+  }
+
+  val all: Seq[Q] = Seq(ivfTuning)
+}
