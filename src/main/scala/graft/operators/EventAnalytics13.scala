@@ -89,8 +89,19 @@ object EventAnalytics13 {
        |ORDER BY event_type, pct""".stripMargin) { (s, d) =>
     val v = events(s, d).select(col("event_type"),
       floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
-    val vc = v.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // value-bounded; feeds three consumers
+    quantileFromValueCounts(s,
+      v.groupBy("event_type", "v4").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[q137QuantileSketch]]'s tail over an already-built
+    * (event_type, v4, c) value-count relation — factored out so the
+    * ST6 incremental twin (`Streams.quantileIncrementalBatch`) can run
+    * the IDENTICAL estimator over cumulative per-batch value counts:
+    * golden ≡ one-shot holds structurally, not by re-implementation. */
+  private[graft] def quantileFromValueCounts(
+      s: org.apache.spark.sql.SparkSession,
+      vc0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val vc = vc0.localCheckpoint(true) // value-bounded; feeds three consumers
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("v4")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -233,5 +233,107 @@ object EventAnalytics14 {
       .orderBy("decile")
   }
 
-  val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift)
+  private val FunnelWindowUs = 48L * 3600 * 1000000 // q89's window
+
+  /** ClickHouse-`windowFunnel` STRICT modes next to
+    * [[EventAnalytics3.q89WindowFunnel]]'s default (lenient) mode, per
+    * user over the view → click → purchase chain in the same 48 h
+    * window:
+    *
+    *   - `level_strict_order`: the chain steps must be CONSECUTIVE in
+    *     the user's full event stream — ANY intervening event (a
+    *     signup, an error, a second view) breaks the chain, which may
+    *     restart at a later view (the ClickHouse `strict_order`
+    *     example: in A→B→D→C the D stops the match at level 2).
+    *   - `level_strict_dedup`: the chain steps must be consecutive
+    *     within the user's FUNNEL-CONDITION substream (view/click/
+    *     purchase rows only) — a repeated or out-of-order condition
+    *     event between steps breaks the chain, while non-condition
+    *     events (signup, error) are ignored, the `strict_dedup`
+    *     reading where only condition repeats interrupt.
+    *
+    * Both are "longest chain anywhere in the stream": every row sees
+    * its next one/two events via LEAD and scores the chain it starts;
+    * the per-user level is the max. Chain timing uses the window
+    * bound end-to-start (t₂ − t₀ ≤ 48 h), matching q89.
+    *
+    * 100 TB shape: two user-partitioned single-pass windows (LEAD
+    * frames; the full stream and the condition substream), each
+    * followed by a map-combined max-agg — no self-joins, no anchor
+    * re-scans. The user-keyed left join at the end is |users|-sized
+    * on both sides. */
+  val q145WindowFunnelStrict: Q = Q(
+    "q145_window_funnel_strict",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, EPOCH_US(ts) AS t, event_id
+       |  FROM events),
+       |f1 AS (
+       |  SELECT user_id, event_type, t,
+       |    LEAD(event_type, 1) OVER w AS y1, LEAD(t, 1) OVER w AS t1,
+       |    LEAD(event_type, 2) OVER w AS y2, LEAD(t, 2) OVER w AS t2
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |so AS (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE
+       |      WHEN event_type = 'view' AND y1 = 'click' AND y2 = 'purchase'
+       |           AND t2 - t <= $FunnelWindowUs THEN 3
+       |      WHEN event_type = 'view' AND y1 = 'click'
+       |           AND t1 - t <= $FunnelWindowUs THEN 2
+       |      WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS level_strict_order
+       |  FROM f1 GROUP BY 1),
+       |s AS (
+       |  SELECT user_id, event_type, t, event_id FROM e
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |f2 AS (
+       |  SELECT user_id, event_type, t,
+       |    LEAD(event_type, 1) OVER w AS y1, LEAD(t, 1) OVER w AS t1,
+       |    LEAD(event_type, 2) OVER w AS y2, LEAD(t, 2) OVER w AS t2
+       |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sd AS (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE
+       |      WHEN event_type = 'view' AND y1 = 'click' AND y2 = 'purchase'
+       |           AND t2 - t <= $FunnelWindowUs THEN 3
+       |      WHEN event_type = 'view' AND y1 = 'click'
+       |           AND t1 - t <= $FunnelWindowUs THEN 2
+       |      WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS level_strict_dedup
+       |  FROM f2 GROUP BY 1)
+       |SELECT so.user_id, so.level_strict_order,
+       |  CAST(COALESCE(sd.level_strict_dedup, 0) AS BIGINT)
+       |    AS level_strict_dedup
+       |FROM so LEFT JOIN sd ON sd.user_id = so.user_id
+       |ORDER BY so.user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val e = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"), col("event_id"))
+    def levels(rel: org.apache.spark.sql.DataFrame, out: String) = rel
+      .withColumn("y1", lead(col("event_type"), 1).over(w))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("y2", lead(col("event_type"), 2).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .groupBy("user_id")
+      .agg(max(
+        when(col("event_type") === "view" && col("y1") === "click" &&
+          col("y2") === "purchase" &&
+          col("t2") - col("t") <= FunnelWindowUs, 3)
+          .when(col("event_type") === "view" && col("y1") === "click" &&
+            col("t1") - col("t") <= FunnelWindowUs, 2)
+          .when(col("event_type") === "view", 1)
+          .otherwise(0)).cast("long").as(out))
+    val so = levels(e, "level_strict_order")
+    val sd = levels(
+      e.filter(col("event_type").isin("view", "click", "purchase")),
+      "level_strict_dedup")
+      .withColumnRenamed("user_id", "sd_user")
+    so.join(sd, col("user_id") === col("sd_user"), "left")
+      .select(col("user_id"), col("level_strict_order"),
+        coalesce(col("level_strict_dedup"), lit(0L)).cast("long")
+          .as("level_strict_dedup"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift,
+    q145WindowFunnelStrict)
 }

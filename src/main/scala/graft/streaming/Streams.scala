@@ -824,4 +824,34 @@ object Streams {
     EventAnalytics12.hllEstimate(all,
       all.select("event_type").distinct())
   }
+
+  /** ST6 incremental twin of `q137_quantile_sketch`: per micro-batch
+    * the (event_type, v4)→count deltas land as an
+    * overwrite-own-partition parquet state (retry-idempotent), the
+    * cumulative value counts are the per-key SUM across batches, and
+    * the output runs the IDENTICAL factored estimator tail
+    * (`EventAnalytics13.quantileFromValueCounts`) over them — so
+    * golden ≡ one-shot in ANY arrival order (counts are a commutative
+    * monoid). Unlike the HLL twin's join-semilattice, a sum does NOT
+    * absorb duplicate DELIVERY of the same rows in different batches —
+    * that contract stays where it belongs, on the upstream dedup stage
+    * (`cdc_dedup_redelivery` / `Streams.dedupEvents`); what IS
+    * absorbed is a retry of the same batch id. */
+  def quantileIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    import graft.operators.EventAnalytics13
+    val spark = batch.sparkSession
+    val vcB = batch
+      .select(col("event_type"),
+        floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+      .groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
+    vcB.write.mode("overwrite").parquet(s"$stateDir/vc/batch_id=$batchId")
+    val all = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(s"$stateDir/vc").toString)
+      .filter(col("batch_id") < batchId)
+      .select("event_type", "v4", "c")
+      .unionByName(vcB)
+      .groupBy("event_type", "v4").agg(sum("c").as("c"))
+    EventAnalytics13.quantileFromValueCounts(spark, all)
+  }
 }
