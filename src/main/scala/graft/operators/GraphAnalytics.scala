@@ -269,5 +269,74 @@ object GraphAnalytics {
     }
   }
 
-  val all: Seq[Q] = Seq(q121Triangles, q122Pagerank, q135Kcore)
+  /** Modularity of the co-purchase graph against the BRAND partition:
+    * for each brand community c, the Newman contribution
+    * Q_c = e_c/m − (D_c/2m)² — "are co-purchases concentrated within
+    * brands?" — with e_c = intra-brand edges, D_c = endpoint mass, m =
+    * |edges|. A partition given by a node ATTRIBUTE needs no iterative
+    * community detection, so the whole query is one pass over the
+    * materialized edge list plus two broadcast joins against `part` —
+    * the assortativity-style audit a recommender team runs before
+    * trusting attribute-based candidate generation. Arithmetic is
+    * exact: Q_c = (4·m·e_c − D_c²) / 4m², the numerator in
+    * DECIMAL(38,0) ≡ HUGEINT (D_c² overflows BIGINT past D_c ≈ 3·10⁹
+    * endpoints — the q101 rank-sum lesson), and both engines cast the
+    * SAME exact integers to double for the one final division.
+    *
+    * 100 TB shape: edge list built once (localCheckpoint, shared with
+    * the other graph queries' derivation), dimension-table joins
+    * broadcast, per-brand output bounded by |brands|. */
+  val q146BrandModularity: Q = Q(
+    "q146_brand_modularity",
+    s"""WITH $EdgeSql,
+       |bp AS (SELECT p_partkey AS pk, p_brand AS brand FROM part),
+       |eb AS (
+       |  SELECT e.pa, e.pb, x.brand AS ba, y.brand AS bb
+       |  FROM e JOIN bp x ON x.pk = e.pa JOIN bp y ON y.pk = e.pb),
+       |m AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+       |deg AS (
+       |  SELECT brand, COUNT(*)::BIGINT AS dmass,
+       |    COUNT(DISTINCT node)::BIGINT AS n_nodes
+       |  FROM (SELECT pa AS node, ba AS brand FROM eb
+       |        UNION ALL SELECT pb, bb FROM eb)
+       |  GROUP BY 1),
+       |intra AS (
+       |  SELECT ba AS brand, COUNT(*)::BIGINT AS ec FROM eb
+       |  WHERE ba = bb GROUP BY 1)
+       |SELECT d.brand, d.n_nodes,
+       |  CAST(COALESCE(i.ec, 0) AS BIGINT) AS intra_edges,
+       |  d.dmass AS degree_mass,
+       |  CAST(CAST(4 AS HUGEINT) * m.m * COALESCE(i.ec, 0)
+       |       - CAST(d.dmass AS HUGEINT) * d.dmass AS DOUBLE)
+       |    / CAST(CAST(4 AS HUGEINT) * m.m * m.m AS DOUBLE) AS q_contrib
+       |FROM deg d LEFT JOIN intra i ON i.brand = d.brand CROSS JOIN m
+       |ORDER BY d.brand""".stripMargin) { (s, d) =>
+    val e = edges(s, d)
+    val bp = part(s, d).select(col("p_partkey").as("pk"),
+      col("p_brand").as("brand"))
+    val eb = e.join(broadcast(bp).as("x"), col("pa") === col("x.pk"))
+      .select(col("pa"), col("pb"), col("x.brand").as("ba"))
+      .join(broadcast(bp).as("y"), col("pb") === col("y.pk"))
+      .select(col("pa"), col("pb"), col("ba"), col("y.brand").as("bb"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = eb.select(col("pa").as("node"), col("ba").as("brand"))
+      .unionAll(eb.select(col("pb").as("node"), col("bb").as("brand")))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("dmass"), countDistinct("node").as("n_nodes"))
+    val intra = eb.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("ec"))
+    deg.join(intra, Seq("brand"), "left").crossJoin(broadcast(m))
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("ec"), lit(0L)).cast("long").as("intra_edges"),
+        col("dmass").as("degree_mass"),
+        ((lit(4).cast("decimal(38,0)") * col("m") *
+          coalesce(col("ec"), lit(0L)) -
+          col("dmass").cast("decimal(38,0)") * col("dmass")).cast("double") /
+          (lit(4).cast("decimal(38,0)") * col("m") * col("m")).cast("double"))
+          .as("q_contrib"))
+      .orderBy("brand")
+  }
+
+  val all: Seq[Q] = Seq(q121Triangles, q122Pagerank, q135Kcore,
+    q146BrandModularity)
 }

@@ -209,6 +209,58 @@ object TextAnalysis9 {
       .orderBy("lang")
   }
 
+  private val HashDims = 1024
+  private val TopSlots = 3
+
+  /** Hashing-trick feature vectorization: every token maps to slot
+    * polyhash(w) mod 1024 (the portable base-31 hash — BOTH engines
+    * compute the identical slot, so the whole feature map is
+    * oracle-checked, not just its shape), per-document term
+    * frequencies accumulate per slot, and the query emits each doc's
+    * top-3 slots — the fixed-dimension, vocabulary-free featurization
+    * (Weinberger et al.'s hashing trick) that a quality-classifier
+    * pipeline feeds a linear model at corpus scale, where a
+    * vocabulary dictionary would itself be a shuffle-sized artifact.
+    *
+    * 100 TB shape: slotting is map-side row work on the codegen'd
+    * one-pass [[graft.functions.PolyHash]]; the only shuffle is the
+    * (doc, slot) hash agg (map-combined); the top-k window partitions
+    * by doc over ≤ 1024 slot rows each. */
+  val hashingTrick: Q = Q(
+    "text_hashing_trick",
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w
+       |  FROM documents),
+       |sl AS (
+       |  SELECT doc_id,
+       |    (LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+       |       LIST_TRANSFORM(RANGE(1, LENGTH(w) + 1), i -> ASCII(w[i])::BIGINT)),
+       |     (acc, c) -> (acc * 31 + c) % 1000000007)) % $HashDims AS slot
+       |  FROM tok),
+       |tf AS (SELECT doc_id, slot, COUNT(*)::BIGINT AS tf
+       |       FROM sl GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT doc_id, slot, tf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tf DESC, slot) AS rank
+       |  FROM tf)
+       |SELECT doc_id, rank, slot, tf FROM rk
+       |WHERE rank <= $TopSlots
+       |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tf").desc, col("slot"))
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (graft.functions.PolyHash.full(col("w")) % HashDims).as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopSlots)
+      .select("doc_id", "rank", "slot", "tf")
+      .orderBy("doc_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(lexicalDiversity, phraseSearch, sourceVocabOverlap,
-    fertility)
+    fertility, hashingTrick)
 }
