@@ -334,6 +334,88 @@ object EventAnalytics14 {
       .orderBy("user_id")
   }
 
+  /** Holt double-exponential smoothing (level + trend, α = β = ½) over
+    * each user's time-ordered readings, in EXACT integer arithmetic —
+    * the trend-aware member of the forecasting family
+    * ([[EventAnalytics3.q90Ewma]] = level only,
+    * [[EventAnalytics13]]'s seasonal-naive = seasonality only). State
+    * is the pair (l, b); the first reading seeds l = v, b = 0, and
+    * each step folds
+    *   l' = ⌊(v + l + b) / 2⌋,  b' = ⌊(b + (l' − l)) / 2⌋
+    * in ×10⁴ fixed-point BIGINTs with TRUNCATING division on both
+    * engines. Measured engine fact this query depends on (and q90
+    * never exercised, its state being non-negative): DuckDB 1.0.0's
+    * integer `//` truncates toward zero (−7 // 2 = −3), exactly like
+    * Spark's `div` — it floors only for DOUBLE operands. The Spark
+    * fold therefore halves via the double→long CAST (which truncates),
+    * NOT via `floor(x / 2.0)` (which floors and diverges by 1 on every
+    * odd negative sum — l' − l IS negative on falling series, and the
+    * first draft failed the oracle by exactly that ulp). Output: final
+    * level, trend, and the one-step-ahead forecast l + b, each one
+    * double division at the end.
+    *
+    * 100 TB shape: ONE hash agg on user_id builds the time-ordered
+    * per-user value array (per-user activity-bounded, the q90/q34
+    * convention), then the fold is per-row map work. The oracle
+    * restates the scan as a recursive CTE — grouped LIST_REDUCE folds
+    * are broken in DuckDB (the q88 finding), so no lambdas there. */
+  val q147HoltLinear: Q = Q(
+    "q147_holt_linear",
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS v4,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |n AS (SELECT user_id, COUNT(*)::BIGINT AS n_events FROM events GROUP BY 1),
+      |scan AS (
+      |  SELECT user_id, 0::BIGINT AS i, 0::BIGINT AS l, 0::BIGINT AS b,
+      |    TRUE AS empty
+      |  FROM n
+      |  UNION ALL
+      |  SELECT s.user_id, s.i + 1,
+      |    CASE WHEN s.empty THEN e.v4
+      |         ELSE (e.v4 + s.l + s.b) // 2 END,
+      |    CASE WHEN s.empty THEN 0::BIGINT
+      |         ELSE (s.b + ((e.v4 + s.l + s.b) // 2) - s.l) // 2 END,
+      |    FALSE
+      |  FROM scan s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i + 1)
+      |SELECT n.user_id, n.n_events,
+      |  CAST(s.l AS DOUBLE) / 10000.0::DOUBLE AS level,
+      |  CAST(s.b AS DOUBLE) / 10000.0::DOUBLE AS trend,
+      |  CAST(s.l + s.b AS DOUBLE) / 10000.0::DOUBLE AS forecast
+      |FROM n JOIN scan s ON s.user_id = n.user_id AND s.i = n.n_events
+      |ORDER BY n.user_id""".stripMargin) { (s, d) =>
+    val arr = events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          floor(col("value") * 10000.0 + 0.5).cast("long").as("v4")).as("r"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("r"))).as("ord"))
+      .select(col("user_id"),
+        transform(col("ord"), r => r.getField("v4")).as("vs"))
+    arr.select(col("user_id"),
+        size(col("vs")).cast("bigint").as("n_events"),
+        // Long.MinValue on l flags "no value folded yet" (first reading
+        // seeds the state), exactly the q90 sentinel convention
+        aggregate(col("vs"),
+          struct(lit(Long.MinValue).as("l"), lit(0L).as("b")),
+          (st, v) => {
+            val l0 = st.getField("l"); val b0 = st.getField("b")
+            // double→long cast truncates toward zero ≡ DuckDB `//`
+            val lp = ((v + l0 + b0).cast("double") / 2.0).cast("long")
+            when(l0 === Long.MinValue,
+              struct(v.as("l"), lit(0L).as("b")))
+              .otherwise(struct(lp.as("l"),
+                ((b0 + lp - l0).cast("double") / 2.0).cast("long")
+                  .as("b")))
+          }).as("st"))
+      .select(col("user_id"), col("n_events"),
+        (col("st.l").cast("double") / 10000.0).as("level"),
+        (col("st.b").cast("double") / 10000.0).as("trend"),
+        ((col("st.l") + col("st.b")).cast("double") / 10000.0).as("forecast"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift,
-    q145WindowFunnelStrict)
+    q145WindowFunnelStrict, q147HoltLinear)
 }
