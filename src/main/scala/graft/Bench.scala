@@ -17,7 +17,8 @@ object Bench {
     // a corpus snapshot — the q84 bucketed layout below, and the shared
     // per-(session, corpus) materializations (Dedup.sharedPairs/
     // sharedRanked/sharedLabels, Dedup2.sharedContainment,
-    // TextAnalysis3.nllPerDoc): their build cost lands in the first
+    // TextAnalysis3.nllPerDoc, GraphAnalytics's copurchase_edges
+    // table): their build cost lands in the first
     // consumer's FIRST run and min() drops it, exactly as a production
     // deployment pays it once per snapshot, not per query.
     // the q84 bucketed-table landing write is one-time layout work, not
