@@ -413,6 +413,64 @@ object Dedup2 {
       .orderBy("r")
   }
 
+  private val CurvePcts = (50 to 90 by 5).map(_.toLong)
+
+  /** Jaccard THRESHOLD decision table — the knob sweep for the
+    * near-dup threshold itself, completing the tuning-report family
+    * (band geometry → `dedup_lsh_tuning`, probe depth →
+    * `sim_ivf_tuning`, threshold → here): for each t ∈ {0.50 … 0.90}
+    * the count of qualifying pairs, the count of affected documents,
+    * and the mean similarity of what qualifies — what a curation owner
+    * reads to pick the dedup threshold, i.e. how much of the corpus
+    * each setting would touch. One scan of the ALREADY-MATERIALIZED
+    * verified pair relation ([[Dedup.sharedPairs]], which stores pairs
+    * at the J ≥ 0.5 floor) — no shingle work, no joins against the
+    * corpus. The mean rides a ×2⁴⁰ fixed-point BIGINT sum (a raw
+    * double sum would be accumulation-order-dependent); thresholds
+    * compare as CAST(pct)/100.0 — the identical division on both
+    * engines of the identical oracle-verified sim doubles. */
+  val thresholdCurve: Q = Q(
+    "dedup_threshold_curve",
+    s"""WITH RECURSIVE jp AS (${Dedup.duckJaccardPairs}),
+       |ts AS (SELECT UNNEST(ARRAY[${CurvePcts.mkString(", ")}]) AS pct),
+       |pt AS (
+       |  SELECT ts.pct, jp.a_id, jp.b_id, jp.sim
+       |  FROM jp JOIN ts ON jp.sim >= CAST(ts.pct AS DOUBLE) / 100.0::DOUBLE),
+       |st AS (
+       |  SELECT pct, COUNT(*)::BIGINT AS n_pairs,
+       |    CAST(SUM(CAST(FLOOR(sim * ${TextAnalysis3.FixScale}::DOUBLE
+       |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS qs
+       |  FROM pt GROUP BY 1),
+       |dc AS (
+       |  SELECT pct, COUNT(DISTINCT doc)::BIGINT AS n_docs
+       |  FROM (SELECT pct, a_id AS doc FROM pt
+       |        UNION ALL SELECT pct, b_id FROM pt)
+       |  GROUP BY 1)
+       |SELECT CAST(st.pct AS BIGINT) AS pct, st.n_pairs, dc.n_docs,
+       |  (CAST(st.qs AS DOUBLE) / ${TextAnalysis3.FixScale}::DOUBLE)
+       |    / CAST(st.n_pairs AS DOUBLE) AS mean_sim
+       |FROM st JOIN dc ON dc.pct = st.pct
+       |ORDER BY pct""".stripMargin) { (s, d) =>
+    val pt = Dedup.sharedPairs(s, d)
+      .select(col("a_id"), col("b_id"), col("sim"),
+        explode(array(CurvePcts.map(p => lit(p)): _*)).as("pct"))
+      .filter(col("sim") >= col("pct").cast("double") / 100.0)
+      .localCheckpoint(true) // pair-bounded; feeds two aggs
+    val st = pt.groupBy("pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("sim") * TextAnalysis3.FixScale + 0.5).cast("long"))
+          .cast("long").as("qs"))
+    val dc = pt.select(col("pct"), explode(array(col("a_id"), col("b_id")))
+        .as("doc"))
+      .groupBy("pct").agg(countDistinct("doc").as("n_docs"))
+    st.join(dc, "pct")
+      .select(col("pct").cast("long").as("pct"), col("n_pairs"),
+        col("n_docs"),
+        ((col("qs").cast("double") / TextAnalysis3.FixScale) /
+          col("n_pairs").cast("double")).as("mean_sim"))
+      .orderBy("pct")
+  }
+
   val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate,
-    lshTuning)
+    lshTuning, thresholdCurve)
 }
