@@ -19,6 +19,31 @@ import graft.functions.VectorFunctions
   * generation is a hash join; embedding near-dup's scale path is the
   * LSH-bucketed variant in [[Similarity]]. All hashing is computed
   * per-row with codegen'd expressions — no UDFs, no driver loops.
+  *
+  * EXACT-vs-LSH CROSSOVER, three measured decades (r08 records,
+  * full-registry bench at sf0.1 / sf1=10× / sf2=20×, seconds; the
+  * "route to LSH at scale" contract cites these numbers, not vibes):
+  * {{{
+  *   tier                         sf0.1   sf1    sf2   sf2/sf1
+  *   exact hash (dedup_exact)      0.22   0.23   0.34   1.5
+  *   ngram Jaccard (pair scan)     0.06   0.09   0.09   1.1
+  *   edit distance (PPJoin+Myers)  1.57   8.16  18.63   2.28
+  *   MinHash-LSH                   1.03   2.29   3.11   1.36
+  *   SimHash                       1.28   2.16   3.02   1.40
+  *   embedding cosine (cells)      1.38   6.47  12.50   1.93
+  * }}}
+  * The exact pair tier itself (the one-time [[sharedRanked]] +
+  * [[sharedPairs]] builds that `ngram Jaccard` above merely scans;
+  * excluded from per-query times by the Bench one-time-corpus-work
+  * policy) grows super-linearly by corpus design — pair counts scale
+  * ~×100 per data decade — while the banded tiers hold ≤ 1.4× per
+  * doubling. The recorded contract: below ~sf1 the exact tier is
+  * cheaper end-to-end; past it, route candidate generation through
+  * MinHash-LSH/SimHash banding and keep the exact verify only on
+  * band-bucketed candidates (what [[minhashLsh]]/[[simhashPairs]]
+  * already do); `dedup_edit_distance` stays the honest exact-tier cost
+  * bound and [[Dedup2.thresholdCurve]]'s knob table prices the
+  * threshold choice against it.
   */
 object Dedup {
 

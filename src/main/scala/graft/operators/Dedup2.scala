@@ -439,7 +439,7 @@ object Dedup2 {
        |st AS (
        |  SELECT pct, COUNT(*)::BIGINT AS n_pairs,
        |    CAST(SUM(CAST(FLOOR(sim * ${TextAnalysis3.FixScale}::DOUBLE
-       |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS qs
+       |      + 0.5::DOUBLE) AS HUGEINT)) AS HUGEINT) AS qs
        |  FROM pt GROUP BY 1),
        |dc AS (
        |  SELECT pct, COUNT(DISTINCT doc)::BIGINT AS n_docs
@@ -456,10 +456,13 @@ object Dedup2 {
         explode(array(CurvePcts.map(p => lit(p)): _*)).as("pct"))
       .filter(col("sim") >= col("pct").cast("double") / 100.0)
       .localCheckpoint(true) // pair-bounded; feeds two aggs
+    // qs accumulates in DECIMAL(38,0) ≡ HUGEINT: ×2⁴⁰ per pair wraps a
+    // silent BIGINT sum past ~8.4 M qualifying pairs (the q101 r2
+    // rank-sum lesson) while DuckDB's SUM promotes to HUGEINT
     val st = pt.groupBy("pct")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(floor(col("sim") * TextAnalysis3.FixScale + 0.5).cast("long"))
-          .cast("long").as("qs"))
+        sum(floor(col("sim") * TextAnalysis3.FixScale + 0.5)
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("qs"))
     val dc = pt.select(col("pct"), explode(array(col("a_id"), col("b_id")))
         .as("doc"))
       .groupBy("pct").agg(countDistinct("doc").as("n_docs"))
