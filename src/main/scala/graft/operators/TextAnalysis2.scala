@@ -249,6 +249,124 @@ object TextAnalysis2 {
       .limit(50)
   }
 
+  /** Bigram LLR (Dunning's G² collocation test) — the
+    * robust-to-rare-events companion of [[bigramPmi]] (PMI explodes
+    * for low counts; G² weights by evidence and is THE standard
+    * collocation score). Per candidate bigram (a, b), the 2×2
+    * contingency over the bigram-event stream (N = all bigram slots,
+    * rows = "first word is a", cols = "second word is b"):
+    * k₁₁ = c_ab, k₁₂ = c_a• − c_ab, k₂₁ = c_•b − c_ab,
+    * k₂₂ = N − c_a• − c_•b + c_ab, and
+    * G² = 2·Σ k·ln(k·N / (R·C)). Each cell's ratio is ONE double
+    * division of exact BIGINT products (< 2^53 here; DECIMAL beyond
+    * ~10¹⁵ tokens, the PMI caveat), its ln runs the
+    * [[graft.functions.PortableLn]] ladder, and zero cells feed x = 1
+    * (ln 1 = 0) BEFORE the multiply — `0 · ln(0/…)` must be 0, and an
+    * unguarded 0 · (−∞) is NaN on both engines. The four terms sum in
+    * one fixed expression chain — no cross-row accumulation.
+    *
+    * 100 TB shape: identical to PMI — bigram/marginal counts are
+    * map-combined hash aggs; the candidate relation (c_ab ≥ 5) joins
+    * vocab-sized marginals; the ladder runs over candidates only. */
+  val bigramLlr: Q = {
+    val keep0 = Seq("bigram", "c_ab", "k11", "k12", "k21", "k22",
+      "x12", "x21", "x22")
+    val s1 = graft.functions.PortableLn.sqlStages(
+      "cells", keep0, "x11", "l11")
+    val s2 = graft.functions.PortableLn.sqlStages(
+      "l1", keep0.filterNot(_ == "x12") :+ "l11", "x12", "l12")
+    val s3 = graft.functions.PortableLn.sqlStages(
+      "l2", Seq("bigram", "c_ab", "k11", "k12", "k21", "k22",
+        "x21", "x22", "l11", "l12").filterNot(_ == "x21"), "x21", "l21")
+    val s4 = graft.functions.PortableLn.sqlStages(
+      "l3", Seq("bigram", "c_ab", "k11", "k12", "k21", "k22",
+        "l11", "l12", "l21"), "x22", "l22")
+    Q(
+      "text_bigram_llr",
+      s"""WITH ws AS (SELECT STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+         |bg AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+         |         i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+         |bc AS (SELECT bigram, COUNT(*)::BIGINT AS c_ab FROM bg GROUP BY bigram),
+         |w1 AS (SELECT SPLIT_PART(bigram, ' ', 1) AS tok, COUNT(*)::BIGINT AS ca
+         |       FROM bg GROUP BY 1),
+         |w2 AS (SELECT SPLIT_PART(bigram, ' ', 2) AS tok, COUNT(*)::BIGINT AS cb
+         |       FROM bg GROUP BY 1),
+         |nb AS (SELECT COUNT(*)::BIGINT AS n FROM bg),
+         |cells AS (
+         |  SELECT bc.bigram, bc.c_ab,
+         |    bc.c_ab AS k11, a.ca - bc.c_ab AS k12, b.cb - bc.c_ab AS k21,
+         |    nb.n - a.ca - b.cb + bc.c_ab AS k22,
+         |    CASE WHEN bc.c_ab = 0 THEN 1.0::DOUBLE
+         |      ELSE CAST(bc.c_ab * nb.n AS DOUBLE) / CAST(a.ca * b.cb AS DOUBLE) END AS x11,
+         |    CASE WHEN a.ca - bc.c_ab = 0 THEN 1.0::DOUBLE
+         |      ELSE CAST((a.ca - bc.c_ab) * nb.n AS DOUBLE)
+         |        / CAST(a.ca * (nb.n - b.cb) AS DOUBLE) END AS x12,
+         |    CASE WHEN b.cb - bc.c_ab = 0 THEN 1.0::DOUBLE
+         |      ELSE CAST((b.cb - bc.c_ab) * nb.n AS DOUBLE)
+         |        / CAST((nb.n - a.ca) * b.cb AS DOUBLE) END AS x21,
+         |    CASE WHEN nb.n - a.ca - b.cb + bc.c_ab = 0 THEN 1.0::DOUBLE
+         |      ELSE CAST((nb.n - a.ca - b.cb + bc.c_ab) * nb.n AS DOUBLE)
+         |        / CAST((nb.n - a.ca) * (nb.n - b.cb) AS DOUBLE) END AS x22
+         |  FROM bc
+         |  JOIN w1 a ON a.tok = SPLIT_PART(bc.bigram, ' ', 1)
+         |  JOIN w2 b ON b.tok = SPLIT_PART(bc.bigram, ' ', 2)
+         |  CROSS JOIN nb
+         |  WHERE bc.c_ab >= 5),
+         |l1 AS ($s1),
+         |l2 AS ($s2),
+         |l3 AS ($s3),
+         |l4 AS ($s4)
+         |SELECT bigram, c_ab,
+         |  2.0::DOUBLE * (CAST(k11 AS DOUBLE) * l11 + CAST(k12 AS DOUBLE) * l12
+         |    + CAST(k21 AS DOUBLE) * l21 + CAST(k22 AS DOUBLE) * l22) AS llr
+         |FROM l4
+         |ORDER BY llr DESC, bigram
+         |LIMIT 50""".stripMargin) { (s, d) =>
+      val ws = documents(s, d).select(split(trim(col("text")), " ").as("w"))
+      val bg = ws.select(
+        explode(graft.functions.WordShingles(col("w"), 2)).as("bigram"))
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      val w1 = bg.groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("tok"))
+        .agg(count(lit(1)).as("ca"))
+      val w2 = bg.groupBy(split_part(col("bigram"), lit(" "), lit(2)).as("tok"))
+        .agg(count(lit(1)).as("cb"))
+      val nb = bg.agg(count(lit(1)).as("n"))
+      def cellX(k: Column, num: Column, den: Column): Column =
+        when(k === 0, lit(1.0)).otherwise(num.cast("double") / den.cast("double"))
+      val cells = bc.filter(col("c_ab") >= 5)
+        .join(w1.as("a"),
+          col("a.tok") === split_part(col("bigram"), lit(" "), lit(1)))
+        .join(w2.as("b"),
+          col("b.tok") === split_part(col("bigram"), lit(" "), lit(2)))
+        .crossJoin(broadcast(nb))
+        .select(col("bigram"), col("c_ab"),
+          col("c_ab").as("k11"),
+          (col("ca") - col("c_ab")).as("k12"),
+          (col("cb") - col("c_ab")).as("k21"),
+          (col("n") - col("ca") - col("cb") + col("c_ab")).as("k22"),
+          cellX(col("c_ab"), col("c_ab") * col("n"),
+            col("ca") * col("cb")).as("x11"),
+          cellX(col("ca") - col("c_ab"), (col("ca") - col("c_ab")) * col("n"),
+            col("ca") * (col("n") - col("cb"))).as("x12"),
+          cellX(col("cb") - col("c_ab"), (col("cb") - col("c_ab")) * col("n"),
+            (col("n") - col("ca")) * col("cb")).as("x21"),
+          cellX(col("n") - col("ca") - col("cb") + col("c_ab"),
+            (col("n") - col("ca") - col("cb") + col("c_ab")) * col("n"),
+            (col("n") - col("ca")) * (col("n") - col("cb"))).as("x22"))
+      val l1 = graft.functions.PortableLn.withLn(cells, "x11", "l11")
+      val l2 = graft.functions.PortableLn.withLn(l1, "x12", "l12")
+      val l3 = graft.functions.PortableLn.withLn(l2, "x21", "l21")
+      val l4 = graft.functions.PortableLn.withLn(l3, "x22", "l22")
+      l4.select(col("bigram"), col("c_ab"),
+          (lit(2.0) * (col("k11").cast("double") * col("l11") +
+            col("k12").cast("double") * col("l12") +
+            col("k21").cast("double") * col("l21") +
+            col("k22").cast("double") * col("l22"))).as("llr"))
+        .orderBy(col("llr").desc, col("bigram"))
+        .limit(50)
+    }
+  }
+
   val all: Seq[Q] = Seq(chunking, normalize, tfidf, bm25, histogram,
-    bigramPmi)
+    bigramPmi, bigramLlr)
 }
