@@ -119,5 +119,68 @@ object Similarity8 {
     }
   }
 
-  val all: Seq[Q] = Seq(ivfTuning)
+  private val RrfK = 60L // the standard RRF damping constant
+
+  /** Reciprocal Rank Fusion of the LSH and IVF ANN tiers — the
+    * standard hybrid-retrieval ensemble (Cormack et al.): each
+    * neighbor appearing in either tier's top-k scores
+    * Σ 1/(60 + rank_tier), missing ranks contribute 0, and the fused
+    * top-k re-ranks by that sum. Two independent approximate indexes
+    * disagree exactly where each is weakest, so the fusion recovers
+    * neighbors either alone drops — the same reason production search
+    * fuses BM25 with dense retrieval. Both inputs are the engine's own
+    * fully-oracled registered queries (`sim_ann_lsh`, `sim_ann_ivf`),
+    * so the oracle is the same composition of their SQL bodies as CTEs
+    * (the `sim_ann_recall` precedent); the RRF score is a fixed chain
+    * of two double divisions of exact integers.
+    *
+    * 100 TB shape: both inputs are (|Q|·k)-bounded; the full-outer
+    * join, scoring, and re-rank window are driver-trivial. The cost is
+    * the two underlying index pipelines, each already shaped for
+    * scale. */
+  val rrfFusion: Q = Q(
+    "sim_rrf_fusion",
+    s"""WITH lshq AS (${Similarity.annLsh.oracle.get}),
+       |ivfq AS (${Similarity.annIvf.oracle.get}),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, i.q_id) AS q_id,
+       |    COALESCE(l.n_id, i.n_id) AS n_id,
+       |    (CASE WHEN l.rank IS NOT NULL
+       |       THEN 1.0::DOUBLE / CAST($RrfK + l.rank AS DOUBLE)
+       |       ELSE 0.0::DOUBLE END)
+       |    + (CASE WHEN i.rank IS NOT NULL
+       |       THEN 1.0::DOUBLE / CAST($RrfK + i.rank AS DOUBLE)
+       |       ELSE 0.0::DOUBLE END) AS rrf
+       |  FROM lshq l FULL OUTER JOIN ivfq i
+       |    ON i.q_id = l.q_id AND i.n_id = l.n_id)
+       |SELECT q_id, n_id, rrf, rank FROM (
+       |  SELECT q_id, n_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, n_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= ${Similarity.K}
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val l = Similarity.annLsh.run(s, d)
+      .select(col("q_id").as("lq"), col("n_id").as("ln"),
+        col("rank").as("lr"))
+    val i = Similarity.annIvf.run(s, d)
+      .select(col("q_id").as("iq"), col("n_id").as("in"),
+        col("rank").as("ir"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id"))
+    l.join(i, col("iq") === col("lq") && col("in") === col("ln"), "full_outer")
+      .select(coalesce(col("lq"), col("iq")).as("q_id"),
+        coalesce(col("ln"), col("in")).as("n_id"),
+        (when(col("lr").isNotNull,
+          lit(1.0) / (lit(RrfK) + col("lr")).cast("double"))
+          .otherwise(lit(0.0)) +
+          when(col("ir").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("ir")).cast("double"))
+            .otherwise(lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Similarity.K)
+      .select("q_id", "n_id", "rrf", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(ivfTuning, rrfFusion)
 }
