@@ -106,6 +106,22 @@ object EventAnalytics14 {
     val pu = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(min("ts").as("p_ts"))
     val mx = ev.agg(max("ts").as("m_ts"))
+    survivalFromState(su, pu, mx)
+  }
+
+  /** [[q143SurvivalKm]]'s tail over already-built state relations —
+    * per-user first signup (`user_id, s_ts`), per-user first purchase
+    * (`user_id, p_ts`), and the single-row observation end
+    * (`m_ts`) — factored out so the ST6 incremental twin
+    * (`Streams.survivalIncrementalBatch`) runs the IDENTICAL
+    * estimator over cumulative per-batch state: golden ≡ one-shot
+    * holds structurally. The state is a JOIN-SEMILATTICE
+    * (min, min, max), so the twin absorbs both arrival order AND
+    * duplicate delivery, the HLL-twin contract. */
+  private[graft] def survivalFromState(
+      su: org.apache.spark.sql.DataFrame,
+      pu: org.apache.spark.sql.DataFrame,
+      mx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val subj = su.join(pu, Seq("user_id"), "left")
       .crossJoin(broadcast(mx))
       .filter(col("p_ts").isNull || col("p_ts") >= col("s_ts"))

@@ -854,4 +854,39 @@ object Streams {
       .groupBy("event_type", "v4").agg(sum("c").as("c"))
     EventAnalytics13.quantileFromValueCounts(spark, all)
   }
+
+  /** ST6 incremental twin of `q143_survival_km`: per micro-batch the
+    * per-user (min signup ts, min purchase ts) and the batch max ts
+    * land as overwrite-own-partition parquet state; the cumulative
+    * state is min/min/max across batches — a JOIN-SEMILATTICE, so
+    * arrival ORDER and DUPLICATE DELIVERY are both absorbed (the HLL
+    * twin's contract, stronger than the count-monoid quantile twin) —
+    * and the output runs the IDENTICAL factored estimator
+    * (`EventAnalytics14.survivalFromState`). The censoring end is the
+    * running max over ALL events, exactly the one-shot's `mx`, so the
+    * curve after the final batch equals the one-shot on the same
+    * corpus. */
+  def survivalIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    import graft.operators.EventAnalytics14
+    val spark = batch.sparkSession
+    val uB = batch.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"),
+        max(col("ts")).as("b_mx"))
+    uB.write.mode("overwrite").parquet(s"$stateDir/users/batch_id=$batchId")
+    val all = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(s"$stateDir/users").toString)
+      .filter(col("batch_id") < batchId)
+      .select("user_id", "s_ts", "p_ts", "b_mx")
+      .unionByName(uB)
+      .groupBy("user_id")
+      .agg(min("s_ts").as("s_ts"), min("p_ts").as("p_ts"),
+        max("b_mx").as("b_mx"))
+      .localCheckpoint(true) // three consumers below
+    val su = all.filter(col("s_ts").isNotNull).select("user_id", "s_ts")
+    val pu = all.filter(col("p_ts").isNotNull).select("user_id", "p_ts")
+    val mx = all.agg(max("b_mx").as("m_ts"))
+    EventAnalytics14.survivalFromState(su, pu, mx)
+  }
 }
