@@ -432,6 +432,141 @@ object EventAnalytics14 {
       .orderBy("user_id")
   }
 
+  /** Difference-in-differences — the workhorse causal estimator a
+    * product team runs on any staged rollout: treatment = odd user_id
+    * (the deterministic assignment a hash-bucketed experiment gives),
+    * pre/post = first vs second half of the calendar month, outcome =
+    * purchase value. The 2×2 cell means are exact DECIMAL sums over
+    * exact counts (one double division each, the `Tables.davg`
+    * discipline), and the DiD effect
+    * (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * is a fixed chain over those four doubles — mirrored op-for-op.
+    * Output: the four cells (each carrying n and mean) plus the effect
+    * repeated per row, so the table reads as the standard DiD panel.
+    *
+    * 100 TB shape: ONE map-combined hash agg to 4 cells; everything
+    * after is constant-size. */
+  val q148DiffInDiff: Q = Q(
+    "q148_diff_in_diff",
+    """WITH cells AS (
+      |  SELECT (user_id % 2)::BIGINT AS treat,
+      |    CASE WHEN EXTRACT(DAY FROM ts)::BIGINT <= 15
+      |         THEN 'pre' ELSE 'post' END AS period,
+      |    COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |      AS mean_val
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |eff AS (
+      |  SELECT
+      |    (MAX(CASE WHEN treat = 1 AND period = 'post' THEN mean_val END)
+      |     - MAX(CASE WHEN treat = 1 AND period = 'pre' THEN mean_val END))
+      |    - (MAX(CASE WHEN treat = 0 AND period = 'post' THEN mean_val END)
+      |       - MAX(CASE WHEN treat = 0 AND period = 'pre' THEN mean_val END))
+      |      AS did_effect
+      |  FROM cells)
+      |SELECT treat, period, n, mean_val, eff.did_effect
+      |FROM cells CROSS JOIN eff
+      |ORDER BY treat, period""".stripMargin) { (s, d) =>
+    val cells = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy((col("user_id") % 2).cast("long").as("treat"),
+        when(dayofmonth(col("ts")).cast("long") <= 15, "pre")
+          .otherwise("post").as("period"))
+      .agg(count(lit(1)).as("n"), davg(val4(col("value"))).as("mean_val"))
+    val eff = cells.agg(
+      ((max(when(col("treat") === 1 && col("period") === "post",
+        col("mean_val"))) -
+        max(when(col("treat") === 1 && col("period") === "pre",
+          col("mean_val")))) -
+        (max(when(col("treat") === 0 && col("period") === "post",
+          col("mean_val"))) -
+          max(when(col("treat") === 0 && col("period") === "pre",
+            col("mean_val"))))).as("did_effect"))
+    cells.crossJoin(broadcast(eff))
+      .select("treat", "period", "n", "mean_val", "did_effect")
+      .orderBy("treat", "period")
+  }
+
+  /** Marketing-touch attribution: every purchase is attributed to the
+    * LAST and to the FIRST non-purchase event in the 48 h lookback
+    * window before it (the two canonical single-touch models; their
+    * disagreement per channel is exactly what a marketing team
+    * inspects before buying a multi-touch model). The "which event"
+    * question is answered INSIDE one window pass: each candidate
+    * event packs into a fixed-width sortable tag
+    * `%020d(t) ‖ %020d(event_id) ‖ type`, so MIN/MAX of the tag over
+    * the RANGE frame [t−48h, t) ARE the first/last touch (string order
+    * ≡ (t, event_id) order at fixed width), and the channel comes back
+    * out with one SUBSTR — no argmax window primitive needed, no
+    * self-join against the event stream (both engines lack a windowed
+    * max_by; the q89 anchor machinery would need a join to recover the
+    * type). Conversions with an empty lookback window attribute to
+    * neither model.
+    *
+    * 100 TB shape: ONE user-partitioned RANGE window pass over the
+    * event stream, then a map-combined channel agg; the two models'
+    * counts full-outer join on the ≤|event_types| channel table. */
+  val q149Attribution: Q = Q(
+    "q149_attribution",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, EPOCH_US(ts) AS t, event_id
+       |  FROM events),
+       |tagged AS (
+       |  SELECT user_id, event_type, t,
+       |    MAX(CASE WHEN event_type <> 'purchase'
+       |        THEN printf('%020d', t) || printf('%020d', event_id)
+       |             || event_type END)
+       |      OVER (PARTITION BY user_id ORDER BY t
+       |            RANGE BETWEEN $FunnelWindowUs PRECEDING AND 1 PRECEDING)
+       |      AS lt,
+       |    MIN(CASE WHEN event_type <> 'purchase'
+       |        THEN printf('%020d', t) || printf('%020d', event_id)
+       |             || event_type END)
+       |      OVER (PARTITION BY user_id ORDER BY t
+       |            RANGE BETWEEN $FunnelWindowUs PRECEDING AND 1 PRECEDING)
+       |      AS ft
+       |  FROM e),
+       |conv AS (
+       |  SELECT SUBSTR(lt, 41) AS last_ch, SUBSTR(ft, 41) AS first_ch
+       |  FROM tagged WHERE event_type = 'purchase'),
+       |lc AS (SELECT last_ch AS channel, COUNT(*)::BIGINT AS n_last
+       |       FROM conv WHERE last_ch IS NOT NULL GROUP BY 1),
+       |fc AS (SELECT first_ch AS channel, COUNT(*)::BIGINT AS n_first
+       |       FROM conv WHERE first_ch IS NOT NULL GROUP BY 1)
+       |SELECT COALESCE(lc.channel, fc.channel) AS channel,
+       |  CAST(COALESCE(lc.n_last, 0) AS BIGINT) AS n_last_touch,
+       |  CAST(COALESCE(fc.n_first, 0) AS BIGINT) AS n_first_touch
+       |FROM lc FULL OUTER JOIN fc ON fc.channel = lc.channel
+       |ORDER BY channel""".stripMargin) { (s, d) =>
+    val wr = Window.partitionBy("user_id").orderBy("t")
+      .rangeBetween(-FunnelWindowUs, -1)
+    val tag = when(col("event_type") =!= "purchase",
+      concat(format_string("%020d", col("t")),
+        format_string("%020d", col("event_id")), col("event_type")))
+    val tagged = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("lt", max(tag).over(wr))
+      .withColumn("ft", min(tag).over(wr))
+    val conv = tagged.filter(col("event_type") === "purchase")
+      .select(substring(col("lt"), 41, 1000).as("last_ch"),
+        substring(col("ft"), 41, 1000).as("first_ch"))
+      .localCheckpoint(true) // conversion-bounded; feeds two aggs
+    val lc = conv.filter(col("last_ch").isNotNull)
+      .groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    val fc = conv.filter(col("first_ch").isNotNull)
+      .groupBy(col("first_ch").as("fchannel"))
+      .agg(count(lit(1)).as("n_first"))
+    lc.join(fc, col("channel") === col("fchannel"), "full_outer")
+      .select(coalesce(col("channel"), col("fchannel")).as("channel"),
+        coalesce(col("n_last"), lit(0L)).cast("long").as("n_last_touch"),
+        coalesce(col("n_first"), lit(0L)).cast("long").as("n_first_touch"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift,
-    q145WindowFunnelStrict, q147HoltLinear)
+    q145WindowFunnelStrict, q147HoltLinear, q148DiffInDiff,
+    q149Attribution)
 }
