@@ -566,7 +566,110 @@ object EventAnalytics14 {
       .orderBy("channel")
   }
 
+  /** CUPED variance reduction — [[q148DiffInDiff]]'s modern A/B
+    * companion (Deng et al.): the pre-period covariate (each user's
+    * first-half purchase value) absorbs between-user variance from the
+    * post-period metric via θ = cov(pre, post)/var(pre), and the
+    * report shows each treatment group's raw vs adjusted mean plus the
+    * theoretical variance reduction ρ². The key to exactness: the
+    * per-user adjusted VALUES are never materialized (a double per
+    * user, then a mean = order-dependent float sum) — group-mean
+    * algebra gives the identical adjusted mean from exact sums alone,
+    * adj_g = ȳ_g − θ·(x̄_g − x̄), so every cross-user accumulation is
+    * an exact DECIMAL(38,0) moment (the q97 discipline: ×10⁴ BIGINT
+    * per-user totals, 128-bit-class products BEFORE the sum) and θ,
+    * ρ², and the means are fixed chains of double ops over those
+    * sums. ρ² is formed from double-cast components (its exact
+    * numerator n·Σxy − ΣxΣy squared would overflow DECIMAL(38,0)).
+    *
+    * 100 TB shape: ONE user-keyed map-combined agg, then a 2-group
+    * and a 1-row moment agg over the user relation; constant-size
+    * everything after. */
+  val q150Cuped: Q = Q(
+    "q150_cuped",
+    """WITH u AS (
+      |  SELECT user_id, (user_id % 2)::BIGINT AS treat,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |          AND EXTRACT(DAY FROM ts)::BIGINT <= 15
+      |          THEN CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS pre4,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |          AND EXTRACT(DAY FROM ts)::BIGINT > 15
+      |          THEN CAST(FLOOR(value * 10000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS post4
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT COUNT(*)::BIGINT AS n,
+      |    SUM(pre4)::HUGEINT AS sx, SUM(post4)::HUGEINT AS sy,
+      |    SUM(CAST(pre4 AS HUGEINT) * CAST(pre4 AS HUGEINT)) AS sxx,
+      |    SUM(CAST(pre4 AS HUGEINT) * CAST(post4 AS HUGEINT)) AS sxy,
+      |    SUM(CAST(post4 AS HUGEINT) * CAST(post4 AS HUGEINT)) AS syy
+      |  FROM u),
+      |t AS (
+      |  SELECT n, sx, sy,
+      |    n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS denx,
+      |    n * syy - sy * sy AS deny
+      |  FROM g),
+      |gr AS (
+      |  SELECT treat, COUNT(*)::BIGINT AS n_users,
+      |    SUM(pre4)::HUGEINT AS sxg, SUM(post4)::HUGEINT AS syg
+      |  FROM u GROUP BY 1)
+      |SELECT gr.treat, gr.n_users,
+      |  CAST(gr.syg AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
+      |    AS mean_post,
+      |  CAST(gr.syg AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
+      |    - (CAST(t.num AS DOUBLE) / CAST(t.denx AS DOUBLE))
+      |      * (CAST(gr.sxg AS DOUBLE) / CAST(gr.n_users AS DOUBLE)
+      |         - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |      / 10000.0::DOUBLE AS adj_mean,
+      |  CAST(t.num AS DOUBLE) / CAST(t.denx AS DOUBLE) AS theta,
+      |  (CAST(t.num AS DOUBLE) * CAST(t.num AS DOUBLE))
+      |    / (CAST(t.denx AS DOUBLE) * CAST(t.deny AS DOUBLE))
+      |    AS var_reduction
+      |FROM gr CROSS JOIN t
+      |ORDER BY gr.treat""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v4 = floor(col("value") * 10000.0 + 0.5).cast("long")
+    val u = events(s, d).groupBy(col("user_id"),
+        (col("user_id") % 2).cast("long").as("treat"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")).cast("long") <= 15, v4).otherwise(0L))
+          .cast("long").as("pre4"),
+        sum(when(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")).cast("long") > 15, v4).otherwise(0L))
+          .cast("long").as("post4"))
+      .localCheckpoint(true) // user-bounded; feeds the 2 moment aggs
+    val g = u.agg(count(lit(1)).as("n"),
+      sum("pre4").cast(dec).as("sx"), sum("post4").cast(dec).as("sy"),
+      sum((col("pre4") * col("pre4")).cast(dec)).as("sxx"),
+      sum((col("pre4").cast(dec) * col("post4").cast(dec))).as("sxy"),
+      sum((col("post4") * col("post4")).cast(dec)).as("syy"))
+    val t = g.select(col("n"), col("sx"), col("sy"),
+      (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("denx"),
+      (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("deny"))
+    val gr = u.groupBy("treat")
+      .agg(count(lit(1)).as("n_users"),
+        sum("pre4").cast(dec).as("sxg"), sum("post4").cast(dec).as("syg"))
+    val theta = col("num").cast("double") / col("denx").cast("double")
+    gr.crossJoin(broadcast(t))
+      .select(col("treat"), col("n_users"),
+        (col("syg").cast("double") / col("n_users").cast("double") / 10000.0)
+          .as("mean_post"),
+        (col("syg").cast("double") / col("n_users").cast("double") / 10000.0 -
+          theta * (col("sxg").cast("double") / col("n_users").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")) / 10000.0)
+          .as("adj_mean"),
+        theta.as("theta"),
+        ((col("num").cast("double") * col("num").cast("double")) /
+          (col("denx").cast("double") * col("deny").cast("double")))
+          .as("var_reduction"))
+      .orderBy("treat")
+  }
+
   val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift,
     q145WindowFunnelStrict, q147HoltLinear, q148DiffInDiff,
-    q149Attribution)
+    q149Attribution, q150Cuped)
 }
