@@ -167,6 +167,62 @@ object Relational12 {
       .orderBy("event_type")
   }
 
+  /** SKYLINE (Pareto-frontier) operator — the classic database-research
+    * operator (Börzsönyi et al.'s SKYLINE OF): per brand, the parts not
+    * dominated in (size ↑, price ↓) — "no other part of the brand is at
+    * least as large AND at least as cheap, strictly better in one".
+    * The scalable shape is NOT a quadratic dominance self-join and NOT
+    * a window over the parts table: one map-combined agg collapses to
+    * the per-(brand, size) MIN-price spine (≤ |brands|·|sizes| rows —
+    * dominance within a size class is decided by the min), a strict
+    * running-min window over STRICTLY-larger sizes (RANGE frame on
+    * size DESC excludes ties, unlike ROWS) marks frontier sizes, and a
+    * semi-join back picks every part ON the frontier point — ties in
+    * (size, price) are all reported, as skyline semantics require.
+    * Prices compare in exact cents (×100 BIGINT).
+    *
+    * 100 TB shape: fact table touched twice (agg + the join-back),
+    * both map-combined/hash; windows run over the bounded value spine
+    * only. */
+  val q151Skyline: Q = Q(
+    "q151_skyline",
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey, p_size,
+      |    CAST(FLOOR(p_retailprice * 100.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)
+      |      AS cents
+      |  FROM part),
+      |spine AS (
+      |  SELECT p_brand, p_size, MIN(cents) AS minc
+      |  FROM p GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT p_brand, p_size, minc,
+      |    MIN(minc) OVER (PARTITION BY p_brand ORDER BY p_size DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+      |  FROM spine),
+      |frontier AS (
+      |  SELECT p_brand, p_size, minc FROM marked
+      |  WHERE m1 IS NULL OR minc < m1)
+      |SELECT p.p_brand, p.p_partkey, p.p_size, p.cents
+      |FROM p JOIN frontier f
+      |  ON f.p_brand = p.p_brand AND f.p_size = p.p_size
+      |     AND f.minc = p.cents
+      |ORDER BY p.p_brand, p.p_size DESC, p.p_partkey""".stripMargin) { (s, d) =>
+    val p = part(s, d).select(col("p_brand"), col("p_partkey"), col("p_size"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val spine = p.groupBy("p_brand", "p_size").agg(min("cents").as("minc"))
+    val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = spine
+      .withColumn("m1", min("minc").over(w))
+      .filter(col("m1").isNull || col("minc") < col("m1"))
+      .select(col("p_brand").as("fb"), col("p_size").as("fs"),
+        col("minc").as("fc"))
+    p.join(frontier, col("p_brand") === col("fb") &&
+        col("p_size") === col("fs") && col("cents") === col("fc"))
+      .select("p_brand", "p_partkey", "p_size", "cents")
+      .orderBy(col("p_brand"), col("p_size").desc, col("p_partkey"))
+  }
+
   val all: Seq[Q] = Seq(q140InformationValue, q141AsofTolerance,
-    q142SampleKeyAudit)
+    q142SampleKeyAudit, q151Skyline)
 }
