@@ -669,7 +669,116 @@ object EventAnalytics14 {
       .orderBy("treat")
   }
 
+  /** Pettitt changepoint test — the RANK-based (distribution-free)
+    * sibling of [[EventAnalytics12.q134CusumChangepoint]]'s mean CUSUM:
+    * per event type, U_t = 2·S_t − t·(n+1) with S_t the sum of the
+    * first t observations' tie-averaged ranks, the changepoint is
+    * argmax |U_t|, and significance uses the standard approximation
+    * p ≈ 2·exp(−6K²/(n³+n²)) ≤ 0.05 — rearranged to the INTEGER test
+    * 600000·K² ≥ 368888·(n³+n²) (the quantized ln 40 ≈ 3.68888, a hair
+    * stricter than 3.688879…; both engines compare the identical exact
+    * integers, no exp/ln anywhere). Tie-averaged ranks stay integer by
+    * doubling: R2(v) = 2·cum_before(v) + c(v) + 1, so U_t = S2_t −
+    * t·(n+1) exactly.
+    *
+    * 100 TB shape: ranks come from the per-type VALUE spine (one
+    * map-combined agg + a value-bounded window), the time-ordered
+    * prefix S2 rides ONE [[ScalableWindows.globalRunningSum]] pass
+    * with per-type exclusive offsets subtracted (the q134 pattern —
+    * no corpus-sized per-type window partition), and the K² products
+    * run in DECIMAL(38,0) ≡ HUGEINT (headroom to n ≈ 10¹¹ per type
+    * on the cubic term). */
+  val q152PettittChangepoint: Q = Q(
+    "q152_pettitt_changepoint",
+    """WITH v AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events),
+      |vc AS (SELECT event_type, v4, COUNT(*)::BIGINT AS c
+      |       FROM v GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, v4,
+      |    2 * (CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v4
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) - c) + c + 1 AS r2
+      |  FROM vc),
+      |tot AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM v GROUP BY 1),
+      |pre AS (
+      |  SELECT v.event_type, v.ts, v.event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY v.event_type
+      |                       ORDER BY v.ts, v.event_id) AS t,
+      |    CAST(SUM(rk.r2) OVER (PARTITION BY v.event_type
+      |      ORDER BY v.ts, v.event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s2
+      |  FROM v JOIN rk ON rk.event_type = v.event_type AND rk.v4 = v.v4),
+      |u AS (
+      |  SELECT p.event_type, p.ts, p.t, tot.n,
+      |    p.s2 - p.t * (tot.n + 1) AS ut
+      |  FROM pre p JOIN tot ON tot.event_type = p.event_type
+      |  WHERE p.t < tot.n),
+      |best AS (
+      |  SELECT event_type, ts AS change_ts, t AS pos, n,
+      |    ABS(ut)::HUGEINT AS k, ut,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY ABS(ut) DESC, t ASC) AS rnk
+      |  FROM u)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, change_ts,
+      |  CAST(pos AS BIGINT) AS pos, CAST(ut AS BIGINT) AS u_peak,
+      |  600000::HUGEINT * k * k >=
+      |    368888::HUGEINT * (CAST(n AS HUGEINT) * n * n
+      |                       + CAST(n AS HUGEINT) * n) AS significant
+      |FROM best WHERE rnk = 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = events(s, d).select(col("event_type"), col("ts"), col("event_id"),
+      floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
+    val vc = v.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy("event_type").orderBy("v4")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = vc.select(col("event_type"), col("v4"),
+      (lit(2L) * (sum("c").over(wv).cast("long") - col("c")) +
+        col("c") + 1L).as("r2"))
+    val tot = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val vr = v.join(rk, Seq("event_type", "v4"))
+    // one global two-pass running sum of r2 over (type, ts, id);
+    // within-type prefixes recovered by the per-type exclusive offsets
+    // (the q134 pattern — never a corpus-sized per-type window)
+    val g = ScalableWindows.globalRunningSum(vr,
+      Seq(col("event_type"), col("ts"), col("event_id")),
+      col("r2"), "grn", "gs2")
+    val offW = Window.orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤5-row relation: bounded by event-type cardinality
+    val sums = vr.groupBy("event_type").agg(sum("r2").as("sr2"),
+      count(lit(1)).as("cnt"))
+    val offs = sums
+      .withColumn("rnoff", coalesce(sum("cnt").over(offW), lit(0L)))
+      .withColumn("s2off", coalesce(sum("sr2").over(offW), lit(0L)))
+      .select("event_type", "rnoff", "s2off")
+    val u = g.join(broadcast(offs), "event_type")
+      .join(broadcast(tot), "event_type")
+      .withColumn("t", col("grn") - col("rnoff"))
+      .withColumn("s2", col("gs2") - col("s2off"))
+      .withColumn("ut", col("s2") - col("t") * (col("n") + 1L))
+      .filter(col("t") < col("n"))
+    u.groupBy("event_type")
+      .agg(max(struct(abs(col("ut")).as("a"), (-col("t")).as("negt"),
+        col("ut").as("ut"), col("ts").as("ts"), col("n").as("n"))).as("m"))
+      .select(col("event_type"),
+        col("m.n").cast("long").as("n"),
+        col("m.ts").as("change_ts"),
+        (-col("m.negt")).cast("long").as("pos"),
+        col("m.ut").cast("long").as("u_peak"),
+        (lit(600000L).cast(dec) * abs(col("m.ut")).cast(dec) *
+          abs(col("m.ut")).cast(dec) >=
+          lit(368888L).cast(dec) *
+            (col("m.n").cast(dec) * col("m.n") * col("m.n") +
+              col("m.n").cast(dec) * col("m.n"))).as("significant"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q143SurvivalKm, q144DecileLift,
     q145WindowFunnelStrict, q147HoltLinear, q148DiffInDiff,
-    q149Attribution, q150Cuped)
+    q149Attribution, q150Cuped, q152PettittChangepoint)
 }

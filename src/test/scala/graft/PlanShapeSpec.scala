@@ -213,7 +213,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q134_cusum_changepoint" ->
         "per-event-type offset rows (≤ 5; the corpus-sized prefix sums ride ScalableWindows)",
       "q144_decile_lift" ->
-        "score VALUE spine (bounded by distinct per-user view counts) and the ≤ 10-row decile table")
+        "score VALUE spine (bounded by distinct per-user view counts) and the ≤ 10-row decile table",
+      "q152_pettitt_changepoint" ->
+        "per-event-type offset rows (≤ 5; the corpus-sized rank prefix rides ScalableWindows — the q134 pattern)")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)
