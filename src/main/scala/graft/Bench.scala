@@ -12,19 +12,36 @@ object Bench {
       // (the former MLlib k-means warmup left with the seeded-k-means
       // ANN tiers — the whole library is now MLlib-free)
     } catch { case _: Throwable => () }
-    // ONE-TIME CORPUS WORK EXCLUSION POLICY: min-of-2 per-query times
+    // ONE-TIME CORPUS WORK EXCLUSION POLICY: per-query times
     // deliberately exclude builds that a lake pipeline amortizes across
     // a corpus snapshot — the q84 bucketed layout below, and the shared
     // per-(session, corpus) materializations (Dedup.sharedPairs/
     // sharedRanked/sharedLabels, Dedup2.sharedContainment,
     // TextAnalysis3.nllPerDoc, GraphAnalytics's copurchase_edges
-    // table): their build cost lands in the first
-    // consumer's FIRST run and min() drops it, exactly as a production
-    // deployment pays it once per snapshot, not per query.
+    // table), exactly as a production deployment pays them once per
+    // snapshot, not per query. Since r09 the builds run HERE, before
+    // the timed sweep, and their aggregate cost is MEASURED and
+    // reported as "shared_build_sec" in the output JSON — per-query
+    // numbers are pure query time, and the one-time cost is disclosed
+    // alongside them rather than silently dropped by min-of-2.
     // the q84 bucketed-table landing write is one-time layout work, not
     // query time — do it here so the timed run measures the join
     try operators.Relational8.ensureBucketedTables(spark, sfDir)
     catch { case _: Throwable => () }
+    val sharedT0 = System.nanoTime()
+    try {
+      operators.Dedup.sharedRanked(spark, sfDir).count()
+      operators.Dedup.sharedPairs(spark, sfDir).count()
+      operators.Dedup.sharedLabels(spark, sfDir).count()
+      operators.Dedup.sharedEditPairs(spark, sfDir).count()
+      operators.Dedup2.sharedContainment(spark, sfDir).count()
+      operators.TextAnalysis3.nllPerDoc(spark, sfDir).count()
+      operators.GraphAnalytics.edges(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shared prebuild failed: ${e.getMessage}")
+    }
+    val sharedBuildSec = (System.nanoTime() - sharedT0) / 1e9
+    System.err.println(f"[bench] shared materialization build: $sharedBuildSec%.2fs")
     def settle(): Unit = {
       // drop leftover cached/checkpointed blocks so iterative queries
       // don't tax their successors (storage + GC pressure)
@@ -48,7 +65,8 @@ object Bench {
         if (!sfOk) Map.empty
         else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => k != "value" }.toMap
+          .filter { case (k, _) => k != "value" && k != "shared_build_sec" }
+          .toMap
       } catch { case _: Throwable => Map.empty }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
@@ -120,9 +138,9 @@ object Bench {
     // cross-round comparisons don't conflate a scheme change with a
     // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()

@@ -31,8 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 object SignMatrix {
 
-  /** Plane capacity (annLsh 0..31, IVF 32..35, PQ 36..51, JL 52..67). */
-  val MaxPlanes = 68
+  /** Plane capacity (annLsh 0..31, IVF 32..35, PQ 36..51, JL 52..67,
+    * embedding-dedup LSH bands 68..323 — see
+    * [[graft.operators.Dedup.bandedCosinePairs]]). The matrix costs
+    * 8 bytes × MaxPlanes × MaxDim once per JVM (~166 KB at 324). */
+  val MaxPlanes = 324
+
+  /** First plane of the 32×8 banded-cosine allocation. */
+  val CosineBandBase = 68
   /** Max vector length any plane is applied over. */
   val MaxDim = 64
 

@@ -137,7 +137,7 @@ object Dedup2 {
     * pattern (and same store) as [[Dedup.sharedPairs]]: both registry
     * consumers ([[containment]], [[containmentAsym]]) scan the snapshot
     * instead of re-running candidates + verify. */
-  private def sharedContainment(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
     Dedup.sharedMat(s, d, "containment") {
       val ranked = Dedup.sharedRanked(s, d)
       verifyContainment(ranked.select("doc_id", "shingle"),

@@ -643,9 +643,9 @@ object EventAnalytics14 {
       .localCheckpoint(true) // user-bounded; feeds the 2 moment aggs
     val g = u.agg(count(lit(1)).as("n"),
       sum("pre4").cast(dec).as("sx"), sum("post4").cast(dec).as("sy"),
-      sum((col("pre4") * col("pre4")).cast(dec)).as("sxx"),
+      sum(col("pre4").cast(dec) * col("pre4").cast(dec)).as("sxx"),
       sum((col("pre4").cast(dec) * col("post4").cast(dec))).as("sxy"),
-      sum((col("post4") * col("post4")).cast(dec)).as("syy"))
+      sum(col("post4").cast(dec) * col("post4").cast(dec)).as("syy"))
     val t = g.select(col("n"), col("sx"), col("sy"),
       (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
       (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("denx"),

@@ -218,9 +218,13 @@ object EventAnalytics6 {
     * cluster): per bucket, the retained point maximizes the triangle
     * area against the ADJACENT BUCKETS' truncated-integer centroids
     * (x̄ = Σx÷n, ȳ = Σy÷n in BIGINT — truncation toward zero on BOTH
-    * engines: Spark `div` truncates natively, the oracle sign-splits
-    * its flooring `//` so negative Σy buckets agree too, the
-    * Similarity7 idiom), and the global first/last points
+    * engines: Spark `div` truncates natively and DuckDB's integer `//`
+    * ALSO truncates toward zero (−7 // 2 = −3; it floors only for
+    * DOUBLE operands — the q147_holt_linear engine-fact note). The
+    * oracle's sign-split CASE around Σ÷n is therefore defensive
+    * documentation only — a no-op that makes the
+    * truncation-toward-zero contract explicit in the SQL itself),
+    * and the global first/last points
     * anchor the series exactly as in the reference algorithm. Because
     * the area is translation-invariant, the centroid differences stay
     * span-bounded, so 2·area = |(x̄₋−x̄₊)(y−ȳ₋) − (x̄₋−x)(ȳ₊−ȳ₋)| is

@@ -44,7 +44,7 @@ object GraphAnalytics {
     * scan it, the `shingle_postings`/`dedup_pairs` pattern: at 100 TB
     * a co-purchase graph is materialized once per corpus snapshot, not
     * per query). */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private[graft] def edges(s: SparkSession, d: String): DataFrame =
     Dedup.sharedMat(s, d, "copurchase_edges") {
       val op = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

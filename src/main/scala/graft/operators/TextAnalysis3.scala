@@ -451,7 +451,7 @@ object TextAnalysis3 {
     * `doc_surprisal` lake table): both registry consumers scan the
     * snapshot instead of re-running the two-count LM build + ln ladder
     * (~4–6 s each at sf2). */
-  private[operators] def nllPerDoc(s: SparkSession, d: String): DataFrame =
+  private[graft] def nllPerDoc(s: SparkSession, d: String): DataFrame =
     Dedup.sharedMat(s, d, "nll")(nllPerDocBuild(s, d))
 
   private def nllPerDocBuild(s: SparkSession, d: String): DataFrame = {

@@ -1,9 +1,10 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
-/** Stage timing for the edit-distance dedup pipeline — dev tool. */
+/** Stage timing for the edit-distance dedup pipeline — dev tool.
+  * r09: times the REAL shared materializations (ranked postings, then
+  * the verified `edit_pairs` build with the hash-key candidate join)
+  * plus both registry consumers' scan-time, instead of mirroring the
+  * candidate stages inline. */
 object ProfileEdit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,37 +17,16 @@ object ProfileEdit {
       System.err.println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
-    // mirror editDistance's candidate stages
-    val sh = graft.operators.Dedup.shingleRows(docs)
-    val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= 10000)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-    val edOMin = (n: org.apache.spark.sql.Column) =>
-      greatest(lit(3L), floor((n + lit(4)) / lit(5)).cast("long"))
-    val prefix = ranked.filter(col("rn") <= col("n") - edOMin(col("n")) + 3)
-      .join(broadcast(docs.select(col("doc_id"),
-        length(col("text")).as("len"))), "doc_id")
-    time("prefix rows")(println("  rows=" + prefix.count()))
-    val pCand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (lit(3) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
-            greatest(lit(3L), floor((greatest(col("a.n"), col("b.n")) + lit(4)) / lit(5)).cast("long"))) &&
-          (lit(10) * abs(col("a.len") - col("b.len")) <=
-            lit(3) * greatest(col("a.len"), col("b.len"))) &&
-          (lit(5) * least(col("a.n"), col("b.n")) >=
-            greatest(col("a.n"), col("b.n"))))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
-      .select("a_id", "b_id")
-    val pM = time("pCand + checkpoint")(pCand.localCheckpoint(true))
-    println("  pairs=" + pM.count())
-    val full = time("full editDistance query")(
+    time("sharedRanked build")(
+      graft.operators.Dedup.sharedRanked(spark, sfDir).count())
+    val n = time("edit_pairs build (cand+verify+write)")(
+      graft.operators.Dedup.sharedEditPairs(spark, sfDir).count())
+    println(s"  pairs=$n")
+    time("dedup_edit_distance consumer scan")(
       graft.operators.Dedup.editDistance.run(spark, sfDir).count())
-    println("  out=" + full)
+    val k = time("dedup_edit_topk consumer scan")(
+      graft.operators.Dedup.editTopk.run(spark, sfDir).count())
+    println(s"  topk=$k")
+    spark.stop()
   }
 }

@@ -205,6 +205,39 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.autoCellBits(2000L * (1L << 14), maxBits = 14) === 14)
   }
 
+  test("cosinePairs routes by corpus size: cell and banded routes are " +
+    "pair-identical across a forced straddle of the ceiling") {
+    // planted corpus: 150 base vectors (deterministic LCG), each with a
+    // tiny-perturbation near-dup (cos ≥ ~0.999); distinct bases are
+    // mutually near-orthogonal in expectation at dim 64, far below the
+    // 0.9 threshold. n = 300 > 100·2^1, so maxBits = 1 forces the
+    // banded route while the default ceiling keeps the cell route —
+    // the signature planes are seeded, so recall here is a
+    // deterministic fact of this corpus, not a probabilistic hope.
+    val dim = 64
+    def lcg(s0: Long): Iterator[Long] =
+      Iterator.iterate(s0)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val rows = (0 until 150).flatMap { b =>
+      val base = lcg(b + 7L).take(dim)
+        .map(h => ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat)
+        .toArray
+      val dup = base.zipWithIndex
+        .map { case (x, i) => if (i % 16 == 0) x + 0.001f else x }
+      Seq((b.toLong * 2, base.toSeq), (b.toLong * 2 + 1, dup.toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val viaCell = ids(Dedup.cosinePairs(emb, 0.9)) // n=300 ≤ 100·2^12
+    val viaBanded = ids(Dedup.cosinePairs(emb, 0.9, maxBits = 1))
+    val brute = ids(Dedup.bruteForceCosinePairs(emb, 0.9))
+    assert(viaCell === brute)
+    assert(viaBanded === brute,
+      "banded route must recover every planted pair on this corpus")
+    assert(brute.size >= 150, "every planted near-dup pair must be found")
+  }
+
   test("exact dedup collapses identical normalized text") {
     val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
