@@ -57,6 +57,25 @@ object Joins {
       .agg(sketch(col("__k")).as("top"))
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       .take(maxHotKeys).map(_.getString(0).toLong)
+    saltedJoinForced(big, small, keys, saltFactor, joinType, hotKeys)
+  }
+
+  /** [[saltedJoin]] with the hot set INJECTED instead of detected —
+    * the correctness claim that makes detection quality a pure
+    * performance knob: for ANY hot set (empty = detection failure,
+    * everything = over-detection, a wrong key = mis-detection) the
+    * output equals the plain join, because hot/cold is an exact
+    * partition of the key space and both branches compute the same
+    * join. `JoinsSpec` proves all three mis-detection modes on a
+    * skewed corpus. */
+  private[graft] def saltedJoinForced(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String,
+      hotKeys: Seq[Long]): DataFrame = {
+    val keyHash = xxhash64(keys.map(col).toIndexedSeq: _*)
     if (hotKeys.isEmpty) return big.join(small, keys, joinType)
     val isHot = keyHash.isin(hotKeys: _*)
     val salted = big.filter(isHot).withColumn("__graft_salt",

@@ -22,6 +22,41 @@ class JoinsSpec extends AnyFunSuite {
     assert(plain.size === 1802) // 1800 hot-key rows + keys 20 and 1000
   }
 
+  test("saltedJoin is answer-identical under FORCED mis-detection: " +
+    "empty hot set, over-detection, and a wrong hot key") {
+    // skewed corpus with a boundary key: key 7 is hot (60%), key 9 sits
+    // just under a 1/capacity share (the detection-miss regime the
+    // sketch cannot guarantee), the rest are cold singletons
+    val big = (1 to 3000).map { i =>
+      val k = if (i % 5 != 0) 7L else if (i % 25 == 0) 9L else (i % 40).toLong
+      (k, i)
+    }.toDF("k", "v")
+    val small = Seq((7L, "hot"), (9L, "edge"), (20L, "a"), (35L, "b"),
+      (9999L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "v", "name").collect().toSet
+      def forced(hot: Seq[Long]) =
+        Joins.saltedJoinForced(big, small, Seq("k"), 8, jt, hot)
+          .select("k", "v", "name").collect().toSet
+      val allKeyHashes = big.select(xxhash64(col("k")))
+        .distinct().as[Long].collect().toSeq
+      // detection FAILURE: nothing salted, plain path must carry it
+      assert(forced(Seq.empty) === plain, s"$jt: empty hot set")
+      // OVER-detection: every key salted, including unmatched ones
+      assert(forced(allKeyHashes) === plain, s"$jt: all keys hot")
+      // MIS-detection: a cold key flagged, the true hot key missed
+      val coldHash = big.filter(col("k") === 20L)
+        .select(xxhash64(col("k"))).as[Long].head()
+      assert(forced(Seq(coldHash)) === plain, s"$jt: wrong key hot")
+      // and the real detector on the same corpus (key 9 at the sketch
+      // boundary may or may not be flagged — either way, same answer)
+      assert(Joins.saltedJoin(big, small, Seq("k"), 8, jt)
+        .select("k", "v", "name").collect().toSet === plain,
+        s"$jt: detected path at the skew boundary")
+    }
+  }
+
   test("saltedJoin left_outer keeps unmatched big-side rows exactly once") {
     val big = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val small = Seq((1L, "m")).toDF("k", "name")
