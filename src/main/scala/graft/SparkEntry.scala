@@ -25,6 +25,7 @@ object SparkEntry {
       EventAnalytics8.all ++ EventAnalytics9.all ++ EventAnalytics10.all ++
       EventAnalytics11.all ++ EventAnalytics12.all ++
       EventAnalytics13.all ++ EventAnalytics14.all ++
+      EventAnalytics15.all ++
       Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++

@@ -378,5 +378,55 @@ object Curation {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges, dupInflation)
+  /** Token-budget curation pack: the greedy selection a training-data
+    * pipeline runs when the next training stage has a fixed token
+    * budget — rank documents by an integer quality score (type-token
+    * ratio in permille: distinct tokens per token, the cheapest
+    * redundancy proxy), take documents in (score desc, doc_id) order
+    * while the running token total fits, budget = ¼ of the corpus's
+    * tokens. Everything is exact integers; the kept set is a PREFIX of
+    * a total order, so the output is deterministic at any scale.
+    *
+    * 100 TB shape: the global ordered running sum rides ONE
+    * [[ScalableWindows.globalRunningSum]] two-pass (range partition +
+    * per-partition offsets) — no single-task global window — and the
+    * budget is a 1-row broadcast. */
+  val tokenBudget: Q = Q(
+    "curation_token_budget",
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS n_tok,
+      |    LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' ')))::BIGINT
+      |      AS n_uniq
+      |  FROM documents),
+      |sc AS (SELECT doc_id, n_tok,
+      |         (1000 * n_uniq) // n_tok AS score FROM tk),
+      |b AS (SELECT SUM(n_tok) // 4 AS budget FROM sc),
+      |r AS (
+      |  SELECT doc_id, n_tok, score,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+      |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+      |  FROM sc)
+      |SELECT rn, doc_id, n_tok, score, CAST(cum AS BIGINT) AS cum
+      |FROM r CROSS JOIN b WHERE cum <= budget
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    val ws = split(trim(col("text")), " ")
+    val sc = documents(s, d)
+      .select(col("doc_id"), size(ws).cast("long").as("n_tok"),
+        size(array_distinct(ws)).cast("long").as("n_uniq"))
+      .withColumn("score", expr("(1000 * n_uniq) div n_tok"))
+      .select("doc_id", "n_tok", "score")
+    val budget = broadcast(
+      sc.agg(expr("sum(n_tok) div 4").as("budget")))
+    ScalableWindows.globalRunningSum(sc,
+        Seq(col("score").desc, col("doc_id")), col("n_tok"), "rn", "cum")
+      .crossJoin(budget)
+      .filter(col("cum") <= col("budget"))
+      .select(col("rn"), col("doc_id"), col("n_tok"), col("score"),
+        col("cum"))
+      .orderBy("rn")
+  }
+
+  val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges,
+    dupInflation, tokenBudget)
 }

@@ -344,6 +344,67 @@ object GraphAnalytics {
       .orderBy("brand")
   }
 
+  /** Common-neighbor link prediction over the co-purchase graph: for
+    * every NON-adjacent part pair with a common neighbor, the
+    * neighborhood-Jaccard score cn / (deg_a + deg_b − cn); top 50 by
+    * (score desc, pa, pb) — the "parts likely to be co-purchased next"
+    * recommendation readout. The score is ONE division of exact
+    * integers (correctly rounded identically on both engines), so the
+    * ORDER BY is cross-engine stable.
+    *
+    * 100 TB shape: candidate enumeration is the standard wedge join
+    * (Σ deg² over the SUPPORT-THRESHOLDED graph — the same density knob
+    * that bounds the triangle count), the existing-edge exclusion is a
+    * broadcast-able anti join against the thresholded edge list, and
+    * the top-50 is TakeOrderedAndProject, never a global sort. The
+    * oracle's edge CTE is MATERIALIZED — three consumers would
+    * otherwise re-derive the order→pair explosion per reference (the
+    * q135 lesson). */
+  val q157LinkPrediction: Q = Q(
+    "q157_link_prediction",
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |       FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.pk AS pa, b.pk AS pb
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $SupportThreshold),
+       |adj AS (SELECT pa AS x, pb AS y FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |deg AS (SELECT x, COUNT(*)::BIGINT AS dg FROM adj GROUP BY 1),
+       |cn AS (
+       |  SELECT a.x AS pa, b.x AS pb, COUNT(*)::BIGINT AS cn
+       |  FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x
+       |  GROUP BY 1, 2),
+       |nc AS (
+       |  SELECT cn.pa, cn.pb, cn.cn FROM cn
+       |  LEFT JOIN e ON e.pa = cn.pa AND e.pb = cn.pb
+       |  WHERE e.pa IS NULL)
+       |SELECT nc.pa, nc.pb, nc.cn, da.dg AS deg_a, db.dg AS deg_b,
+       |  CAST(nc.cn AS DOUBLE) / CAST(da.dg + db.dg - nc.cn AS DOUBLE)
+       |    AS score
+       |FROM nc JOIN deg da ON da.x = nc.pa JOIN deg db ON db.x = nc.pb
+       |ORDER BY score DESC, nc.pa, nc.pb LIMIT 50""".stripMargin) { (s, d) =>
+    val e = edges(s, d)
+    val adj = e.select(col("pa").as("x"), col("pb").as("y"))
+      .unionAll(e.select(col("pb").as("x"), col("pa").as("y")))
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("dg"))
+    val cn = adj.as("a").join(adj.as("b"),
+        col("a.y") === col("b.y") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("pa"), col("b.x").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+    val nc = cn.join(e, Seq("pa", "pb"), "left_anti")
+    nc.join(broadcast(deg.select(col("x").as("pa"), col("dg").as("deg_a"))),
+        "pa")
+      .join(broadcast(deg.select(col("x").as("pb"), col("dg").as("deg_b"))),
+        "pb")
+      .select(col("pa"), col("pb"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("score"))
+      .orderBy(col("score").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(q121Triangles, q122Pagerank, q135Kcore,
-    q146BrandModularity)
+    q146BrandModularity, q157LinkPrediction)
 }

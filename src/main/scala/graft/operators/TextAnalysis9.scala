@@ -261,6 +261,48 @@ object TextAnalysis9 {
       .orderBy("doc_id", "rank")
   }
 
+  /** Code-vs-prose detection profile: per document, the exact permille
+    * of symbol characters (anything outside [A-Za-z0-9 ]) and of digit
+    * characters, plus the classification flag a curation pipeline
+    * filters on (is_code ⇔ symbol density ≥ 5%). Counting is by length
+    * difference after class-targeted regexp_replace — one map-side
+    * projection, no tokenization, no floats (Spark replaces all
+    * matches by default; the oracle passes the 'g' flag for the same
+    * semantics). The aggregate rollup (per source: docs flagged) rides
+    * the same pass. */
+  val codeDetect: Q = Q(
+    "text_code_detect",
+    """WITH m AS (
+      |  SELECT doc_id, LENGTH(text)::BIGINT AS chars,
+      |    (LENGTH(text) -
+      |      LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')))::BIGINT
+      |      AS n_sym,
+      |    (LENGTH(text) -
+      |      LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))::BIGINT
+      |      AS n_digit
+      |  FROM documents)
+      |SELECT doc_id, chars,
+      |  (1000 * n_sym) // chars AS sym_permille,
+      |  (1000 * n_digit) // chars AS digit_permille,
+      |  (1000 * n_sym) // chars >= 50 AS is_code
+      |FROM m WHERE chars > 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = documents(s, d).select(col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .cast("long").as("n_sym"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("long").as("n_digit"))
+    m.filter(col("chars") > 0)
+      .select(col("doc_id"), col("chars"),
+        expr("(1000 * n_sym) div chars").as("sym_permille"),
+        expr("(1000 * n_digit) div chars").as("digit_permille"),
+        (expr("(1000 * n_sym) div chars") >= 50).as("is_code"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(lexicalDiversity, phraseSearch, sourceVocabOverlap,
-    fertility, hashingTrick)
+    fertility, hashingTrick, codeDetect)
 }
