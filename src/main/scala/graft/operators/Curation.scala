@@ -416,10 +416,11 @@ object Curation {
         size(array_distinct(ws)).cast("long").as("n_uniq"))
       .withColumn("score", expr("(1000 * n_uniq) div n_tok"))
       .select("doc_id", "n_tok", "score")
-    val budget = broadcast(
-      sc.agg(expr("sum(n_tok) div 4").as("budget")))
+    val budget = broadcast(sc.agg(expr("sum(n_tok) div 4").as("budget")))
     ScalableWindows.globalRunningSum(sc,
         Seq(col("score").desc, col("doc_id")), col("n_tok"), "rn", "cum")
+      // one-row scalar attach — the documented BNL exemption (q70 /
+      // text_perplexity pattern; CurationSpec exempts this query)
       .crossJoin(budget)
       .filter(col("cum") <= col("budget"))
       .select(col("rn"), col("doc_id"), col("n_tok"), col("score"),

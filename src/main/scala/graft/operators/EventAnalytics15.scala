@@ -223,6 +223,106 @@ object EventAnalytics15 {
       .orderBy("event_type", "dow")
   }
 
+  /** Mann–Kendall monotone-trend test per event type, over the DAILY
+    * mean-value series: S = Σ_{i<j} sign(m_j − m_i) and Kendall's
+    * τ = S / (n(n−1)/2), reported as the exact permille. The daily
+    * means are truncating integer quotients (both engines' div/`//`
+    * truncate toward zero — the q147 engine fact), so the pairwise
+    * comparison is integer-exact; the day spine is calendar-bounded
+    * (≤ 31 rows per type at any corpus size), so the i<j self-join is
+    * a constant-size cross product per type, NOT a corpus-scaling
+    * join — raw rows are touched once, in the daily hash agg. */
+  val q158MannKendall: Q = Q(
+    "q158_mann_kendall",
+    """WITH e AS (
+      |  SELECT event_type AS t, EPOCH_US(ts) // 86400000000 AS dd,
+      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events),
+      |dm AS (
+      |  SELECT t, dd, SUM(v4) // COUNT(*) AS m
+      |  FROM e GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.t,
+      |    CASE WHEN b.m > a.m THEN 1
+      |         WHEN b.m < a.m THEN -1 ELSE 0 END AS sg
+      |  FROM dm a JOIN dm b ON b.t = a.t AND b.dd > a.dd),
+      |g AS (
+      |  SELECT t, COUNT(*)::BIGINT AS n_pairs, SUM(sg)::BIGINT AS s
+      |  FROM pairs GROUP BY 1)
+      |SELECT t AS event_type, n_pairs, s,
+      |  (1000 * s) // n_pairs AS tau_permille
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = events(s, d).select(col("event_type").as("t"),
+      expr("unix_micros(ts) div 86400000000").as("dd"), v4.as("v4"))
+    val dm = e.groupBy("t", "dd")
+      .agg(expr("sum(v4) div count(*)").as("m"))
+      .localCheckpoint(true) // ≤31 rows/type; both self-join sides
+    val pairs = dm.as("a").join(dm.as("b"),
+        col("b.t") === col("a.t") && col("b.dd") > col("a.dd"))
+      .select(col("a.t").as("t"),
+        when(col("b.m") > col("a.m"), 1L)
+          .when(col("b.m") < col("a.m"), -1L).otherwise(0L).as("sg"))
+    pairs.groupBy("t")
+      .agg(count(lit(1)).as("n_pairs"), sum("sg").as("s"))
+      .select(col("t").as("event_type"), col("n_pairs"), col("s"),
+        expr("(1000 * s) div n_pairs").as("tau_permille"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen robust trend slope per event type — the median of all
+    * pairwise daily-mean slopes (m_j − m_i)/(d_j − d_i), the
+    * outlier-immune alternative to least squares. Each slope is ONE
+    * division of exact integers (correctly rounded identically on
+    * both engines), the median is the lower-median element by exact
+    * rank over (slope, day pair) — fully deterministic, no averaging
+    * of two middle doubles. Same calendar-bounded pair spine as
+    * [[q158MannKendall]]: ≤ C(31,2) slopes per type at any scale. */
+  val q159TheilSen: Q = Q(
+    "q159_theil_sen",
+    """WITH e AS (
+      |  SELECT event_type AS t, EPOCH_US(ts) // 86400000000 AS dd,
+      |    CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      |  FROM events),
+      |dm AS (
+      |  SELECT t, dd, SUM(v4) // COUNT(*) AS m
+      |  FROM e GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT a.t,
+      |    CAST(b.m - a.m AS DOUBLE) / CAST(b.dd - a.dd AS DOUBLE)
+      |      AS slope,
+      |    a.dd AS di, b.dd AS dj
+      |  FROM dm a JOIN dm b ON b.t = a.t AND b.dd > a.dd),
+      |rk AS (
+      |  SELECT t, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY t
+      |      ORDER BY slope, di, dj) AS rn,
+      |    COUNT(*) OVER (PARTITION BY t) AS n
+      |  FROM sl)
+      |SELECT t AS event_type, CAST(n AS BIGINT) AS n_slopes,
+      |  slope AS median_slope
+      |FROM rk WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = events(s, d).select(col("event_type").as("t"),
+      expr("unix_micros(ts) div 86400000000").as("dd"), v4.as("v4"))
+    val dm = e.groupBy("t", "dd")
+      .agg(expr("sum(v4) div count(*)").as("m"))
+      .localCheckpoint(true)
+    val sl = dm.as("a").join(dm.as("b"),
+        col("b.t") === col("a.t") && col("b.dd") > col("a.dd"))
+      .select(col("a.t").as("t"),
+        ((col("b.m") - col("a.m")).cast("double") /
+          (col("b.dd") - col("a.dd")).cast("double")).as("slope"),
+        col("a.dd").as("di"), col("b.dd").as("dj"))
+    val w = Window.partitionBy("t").orderBy("slope", "di", "dj")
+    val wt = Window.partitionBy("t")
+    sl.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("t").as("event_type"), col("n").cast("long").as("n_slopes"),
+        col("slope").as("median_slope"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q153Gini, q154Benford, q155WinsorizedMean,
-    q156SeasonalDow)
+    q156SeasonalDow, q158MannKendall, q159TheilSen)
 }

@@ -182,5 +182,101 @@ object Similarity8 {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(ivfTuning, rrfFusion)
+  /** Rocchio pseudo-relevance feedback (the standard second-pass IR
+    * retrieval ensemble beside [[rrfFusion]]'s rank fusion): each query
+    * vector is EXPANDED by the mean of its top-3 first-pass neighbors,
+    * q' = q + (n₁+n₂+n₃)/3, then the corpus is re-ranked against q'.
+    * Float determinism end-to-end: the neighbor sum is an explicitly
+    * parenthesized fixed-order chain ((n₁+n₂)+n₃) per element, the
+    * expanded vector is rounded back to FLOAT on both engines (IEEE
+    * round-to-nearest, identical), and both cosine passes are the
+    * sequential-fold double dot ([[VectorFunctions]] contract) — so
+    * ranks and scores hash-match.
+    *
+    * 100 TB shape: pass 1 is the broadcast-queries brute-force scan
+    * (10 queries; the ANN tiers are the indexed alternative), the
+    * 3-neighbor pivot is three 10-row broadcast joins, and pass 2 is
+    * ONE more corpus scan against the 10 expanded vectors — 2 scans
+    * total, no corpus×corpus join anywhere. The 30-row top3 relation
+    * is localCheckpointed: three pivot consumers would otherwise
+    * re-run the first-pass scan each. */
+  val rocchioPrf: Q = Q(
+    "sim_rocchio_prf", {
+      import VectorFunctions.{duckCosine => dc}
+      val dim = 64
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < ${Similarity.NumQueries}),
+         |top3 AS MATERIALIZED (
+         |  SELECT q_id, rnk, c_emb FROM (
+         |    SELECT q.q_id, c.embedding AS c_emb,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dc("q.q_emb", "c.embedding", dim)} DESC,
+         |                 c.vec_id) AS rnk
+         |    FROM q JOIN embeddings c ON c.vec_id <> q.q_id)
+         |  WHERE rnk <= 3),
+         |piv AS (
+         |  SELECT a.q_id, a.c_emb AS n1, b.c_emb AS n2, c.c_emb AS n3
+         |  FROM top3 a JOIN top3 b ON b.q_id = a.q_id AND b.rnk = 2
+         |       JOIN top3 c ON c.q_id = a.q_id AND c.rnk = 3
+         |  WHERE a.rnk = 1),
+         |qp AS MATERIALIZED (
+         |  SELECT p.q_id,
+         |    LIST_TRANSFORM(RANGE(1, ${dim + 1}),
+         |      i -> CAST(qq.q_emb[i]::DOUBLE +
+         |        ((p.n1[i]::DOUBLE + p.n2[i]::DOUBLE) + p.n3[i]::DOUBLE)
+         |          / 3.0::DOUBLE AS FLOAT)) AS e_emb
+         |  FROM piv p JOIN q qq ON qq.q_id = p.q_id)
+         |SELECT q_id, n_id, rank, sim FROM (
+         |  SELECT qp.q_id, c.vec_id AS n_id,
+         |    ${dc("qp.e_emb", "c.embedding", dim)} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qp.q_id
+         |      ORDER BY ${dc("qp.e_emb", "c.embedding", dim)} DESC,
+         |               c.vec_id) AS rank
+         |  FROM qp JOIN embeddings c ON c.vec_id <> qp.q_id)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, d) =>
+    import VectorFunctions.{dot, norm}
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val top3 = e
+      .select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(w1))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "rnk", "c_emb")
+      .localCheckpoint(true) // 3·|queries| rows; three pivot consumers
+    def nth(k: Int, as: String) = top3.filter(col("rnk") === k)
+      .select(col("q_id"), col("c_emb").as(as))
+    val qp = nth(1, "n1").join(nth(2, "n2"), "q_id")
+      .join(nth(3, "n3"), "q_id")
+      .join(q.select("q_id", "q_emb"), "q_id")
+      .withColumn("t12", zip_with(col("n1"), col("n2"),
+        (a, b) => a.cast("double") + b.cast("double")))
+      .withColumn("t", zip_with(col("t12"), col("n3"),
+        (a, b) => a + b.cast("double")))
+      .withColumn("e_emb", zip_with(col("q_emb"), col("t"),
+        (x, sm) => (x.cast("double") + sm / lit(3.0)).cast("float")))
+      .select(col("q_id"), col("e_emb"), norm(col("e_emb")).as("e_nrm"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(qp), col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        dot(col("e_emb"), col("c_emb")) / (col("e_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= Similarity.K)
+      .select("q_id", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(ivfTuning, rrfFusion, rocchioPrf)
 }

