@@ -474,6 +474,58 @@ object Dedup2 {
       .orderBy("pct")
   }
 
+  /** Prefix-truncation duplicates: document pairs whose first 8 tokens
+    * are IDENTICAL — the truncated/cut-off copy family common in web
+    * crawls (same page captured to different depths), which
+    * whole-document exact dedup misses whenever the tails differ and
+    * the Jaccard tier under-scores when the truncation is deep. Pairs
+    * are annotated with both token counts and whether the shorter doc
+    * is a VERBATIM prefix of the longer (the certain-truncation
+    * signal; equal-length pairs qualify iff the texts are identical).
+    *
+    * 100 TB shape: one map-side prefix projection, a hash self-join on
+    * the 8-token prefix with the same hot-group cap as every banded
+    * index here ([[Dedup.capGroups]] — a boilerplate header prefix
+    * can't go quadratic), and the verbatim check is a STARTSWITH on
+    * the two texts of an already-candidate pair. The cap is mirrored
+    * in the oracle's QUALIFY, the DF-cap idiom. */
+  val prefixTrunc: Q = Q(
+    "dedup_prefix_trunc",
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS n_tok,
+       |    ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[1:8], ' ')
+       |      AS pfx
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, text, n_tok, pfx FROM t
+       |  WHERE n_tok >= 8
+       |  QUALIFY COUNT(*) OVER (PARTITION BY pfx)
+       |    <= ${Dedup.BandBucketCap})
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.n_tok AS a_tok, b.n_tok AS b_tok,
+       |  (CASE WHEN a.n_tok <= b.n_tok
+       |        THEN STARTS_WITH(TRIM(b.text), TRIM(a.text))
+       |        ELSE STARTS_WITH(TRIM(a.text), TRIM(b.text)) END)
+       |    AS verbatim
+       |FROM p a JOIN p b ON b.pfx = a.pfx AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val ws = split(trim(col("text")), " ")
+    val t = documents(s, d).select(col("doc_id"), trim(col("text")).as("tx"),
+        size(ws).cast("long").as("n_tok"),
+        array_join(slice(ws, 1, 8), " ").as("pfx"))
+      .filter(col("n_tok") >= 8)
+    val p = Dedup.capGroups(t, Dedup.BandBucketCap, "pfx")
+    p.as("a").join(p.as("b"),
+        col("b.pfx") === col("a.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_tok").as("a_tok"), col("b.n_tok").as("b_tok"),
+        when(col("a.n_tok") <= col("b.n_tok"),
+          col("b.tx").startsWith(col("a.tx")))
+          .otherwise(col("a.tx").startsWith(col("b.tx"))).as("verbatim"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate,
-    lshTuning, thresholdCurve)
+    lshTuning, thresholdCurve, prefixTrunc)
 }
