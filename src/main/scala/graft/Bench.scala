@@ -36,6 +36,7 @@ object Bench {
       operators.Dedup.sharedEditPairs(spark, sfDir).count()
       operators.Dedup2.sharedContainment(spark, sfDir).count()
       operators.TextAnalysis3.nllPerDoc(spark, sfDir).count()
+      operators.GraphAnalytics.pairCounts(spark, sfDir).count()
       operators.GraphAnalytics.edges(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared prebuild failed: ${e.getMessage}")

