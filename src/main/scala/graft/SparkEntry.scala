@@ -18,6 +18,7 @@ object SparkEntry {
       Relational4.all ++ Relational5.all ++ Relational6.all ++
       Relational7.all ++ Relational8.all ++ Relational9.all ++
       Relational10.all ++ Relational11.all ++ Relational12.all ++
+      Relational13.all ++
       GraphAnalytics.all ++
       EventAnalytics.all ++
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
