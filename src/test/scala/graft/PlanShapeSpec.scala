@@ -147,6 +147,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("rollup/cube/grouping-sets plan ONE Expand pass, no union of " +
+    "re-aggregations; q157 top-50 plans TakeOrderedAndProject") {
+    for (q <- graft.operators.Relational13.all) {
+      val df = q.run(spark, TestSpark.tiny)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"),
+        s"${q.name} lost the Expand grouping-analytics shape:\n$plan")
+      assert(!plan.contains("Union"),
+        s"${q.name} plans a union of re-aggregations:\n$plan")
+    }
+    val lp = graft.operators.GraphAnalytics.q157LinkPrediction
+      .run(spark, TestSpark.tiny).queryExecution.executedPlan.toString
+    assert(lp.contains("TakeOrderedAndProject"), lp)
+  }
+
   test("text_bpe_merges top-30 plans TakeOrderedAndProject, no window") {
     // the r05 `weak`: a global rank window over the pair vocabulary is a
     // single task holding 10⁷⁺ rows on a multilingual corpus. The fixed
