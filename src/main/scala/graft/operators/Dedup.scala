@@ -191,6 +191,32 @@ object Dedup {
       .filter(col("__gn") <= cap)
       .drop("__gn")
 
+  /** Sub-split hot (keys) groups instead of dropping them: every row of
+    * a group of size g gets a deterministic salt in [0, ⌈g/cap⌉) from
+    * xxhash64(idCol, keys...), emitted as `saltName` for the caller's
+    * join condition to include. Groups ≤ cap keep salt 0 (identical to
+    * no cap). Unlike [[capGroups]] — which EXCLUDES every row of an
+    * over-cap group — no row is dropped, so a near-identical cluster
+    * larger than the cap (the duplicate-heavy case a near-dup tool
+    * exists for, where the SAME signature goes hot in every band) still
+    * generates intra-cluster candidates, at 1/⌈g/cap⌉ per-band
+    * completeness instead of zero. Including the key columns in the
+    * hash makes sub-bucket assignment independent across bands, so a
+    * multi-band index recovers the cluster w.p. 1−(1−1/⌈g/cap⌉)^bands
+    * per pair. Per-band candidate volume from a hot group is bounded by
+    * ~g·cap/2 — output-proportional for a real duplicate cluster (whose
+    * exact pair relation is g²/2), never all-pairs for a coincidental
+    * signature collision. */
+  private[graft] def saltSplitGroups(rel: DataFrame, cap: Int, idCol: String,
+      saltName: String, keys: String*): DataFrame =
+    rel.withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn(saltName,
+        when(col("__gn") <= cap, lit(0L))
+          .otherwise(pmod(xxhash64((col(idCol) +: keys.map(col)): _*),
+            floor((col("__gn") + lit(cap - 1)) / lit(cap)).cast("long"))))
+      .drop("__gn")
+
   /** [[shingleRows]] restricted to the sub-cap vocabulary — what every
     * near-dup join consumes. The window's shuffle leaves the relation
     * hash-partitioned by shingle, which the self-join then reuses. */
@@ -362,11 +388,19 @@ object Dedup {
     // r09: join on xxhash64(shingle), not the ~30-byte shingle STRING —
     // the self-join's inner loop compares/carries only 8-byte longs
     // (sf2: 489M enumerated prefix pairs; measured in DebugEditTier).
-    // EXACTNESS: equal shingles ⇒ equal hashes, so the hash join emits
-    // a SUPERSET of the string join's pairs; a collision can only ADD
-    // phantom witnesses, never drop one, and every candidate is
-    // re-verified downstream against exact shared counts on FULL
-    // sorted-hash sets plus the Myers keep rule — output unchanged.
+    // EXACTNESS (w.h.p.): equal shingles ⇒ equal hashes, so the hash
+    // join emits a SUPERSET of the string join's pairs — a collision
+    // can only ADD phantom candidates at this stage. The downstream
+    // verify also operates on hashed sets (collect_set of xxhash64 +
+    // SortedIntersectCount), so a 64-bit collision COULD inflate a
+    // shared count there; at ~n distinct shingles the chance of any
+    // collision in the corpus is ~n²/2⁶⁵ (< 1e-7 even at billions of
+    // shingles) — negligible, the same caveat class as the repo's
+    // other hash-keyed claims, but w.h.p. rather than exact: a
+    // colliding pair would still need a genuine Myers edit-distance
+    // hit (checked on real text) to reach the output, yet its overlap
+    // gate would have passed on inflated counts where a string-keyed
+    // engine's would not.
     val prefix = ranked.filter(col("rn") <= col("n") - edOMin(col("n")) + 3)
       // char length rides along for the length-compatibility prune
       .join(broadcast(docs.select(col("doc_id"),
@@ -724,22 +758,32 @@ object Dedup {
   /** Banded sign-LSH near-dup over embeddings — the LARGE-corpus route
     * of [[cosinePairs]]: 32 bands × 8 hyperplane sign bits (the same
     * seeded [[graft.functions.SignMatrix]] planes as the ANN tier) →
-    * co-bucket candidate join (hot buckets capped like every other
-    * banded index here) → exact cosine verify. Candidate volume is
-    * output-sensitive (Σ bucket²), never all-pairs, and nothing is
-    * collected on the driver — the property the cell route loses past
-    * its bound-matrix ceiling.
+    * co-bucket candidate join (hot buckets SUB-SPLIT by a salted
+    * secondary hash, [[saltSplitGroups]] — never dropped) → exact
+    * cosine verify. Candidate volume is output-sensitive (Σ bucket²,
+    * hot buckets bounded to ~g·cap per band), never all-pairs, and
+    * nothing is collected on the driver — the property the cell route
+    * loses past its bound-matrix ceiling.
     *
     * Recall contract (w.h.p., NOT exact — why this is the >ceiling
     * route, not the registered default): a pair at cosine s co-buckets
     * in one band with p_band = (1 − θ/π)^8, θ = arccos s; miss
     * probability (1 − p_band)^32 ≈ 1.7e-5 at s = 0.9 and ≈ 1e-30 at
     * s = 0.999, but ≈ 0.44 at s = 0.4 — sign-LSH is a HIGH-threshold
-    * tool, which is exactly the near-dup regime. The signature is
-    * seeded and deterministic, so on any FIXED corpus the output is
-    * stable (the straddle spec in DedupSpec is deterministic). */
+    * tool, which is exactly the near-dup regime. A near-identical
+    * cluster LARGER than `cap` keeps the same signature in every band
+    * (every band's bucket hot); dropping hot buckets would exclude the
+    * entire cluster deterministically, so instead each hot bucket is
+    * salt-split into ⌈g/cap⌉ sub-buckets with per-band-independent
+    * assignment — an intra-cluster pair then survives w.p.
+    * 1 − (1 − 1/⌈g/cap⌉)^bands (≈ 1 − 2⁻³² at g ≤ 2·cap), on top of
+    * the p_band geometry above. The signature AND the salt are seeded
+    * and deterministic, so on any FIXED corpus the output is stable
+    * (the straddle + hot-cluster specs in DedupSpec are
+    * deterministic). */
   def bandedCosinePairs(emb: DataFrame, threshold: Double,
-      bands: Int = 32, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 32, rowsPerBand: Int = 8,
+      cap: Int = BandBucketCap): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"))
     val withBands = e.select(col("vec_id"),
@@ -748,9 +792,11 @@ object Dedup {
           graft.functions.SignMatrix.CosineBandBase + j * rowsPerBand,
           rowsPerBand)): _*))
         .as(Seq("band", "bsig")))
-    val capped = capGroups(withBands, BandBucketCap, "band", "bsig")
+    val capped = saltSplitGroups(withBands, cap, "vec_id", "salt",
+      "band", "bsig")
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()

@@ -480,8 +480,12 @@ object Dedup2 {
     * whole-document exact dedup misses whenever the tails differ and
     * the Jaccard tier under-scores when the truncation is deep. Pairs
     * are annotated with both token counts and whether the shorter doc
-    * is a VERBATIM prefix of the longer (the certain-truncation
-    * signal; equal-length pairs qualify iff the texts are identical).
+    * is a VERBATIM TOKEN-ALIGNED prefix of the longer: the longer text
+    * equals the shorter, or starts with the shorter followed by a
+    * space — so "… foo ba" vs "… foo bar" is NOT verbatim (a mid-token
+    * character prefix is a different token sequence, r09-ADVICE), and
+    * pairs with equal token counts are verbatim iff the texts are
+    * identical.
     *
     * 100 TB shape: one map-side prefix projection, a hash self-join on
     * the 8-token prefix with the same hot-group cap as every banded
@@ -505,8 +509,10 @@ object Dedup2 {
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  a.n_tok AS a_tok, b.n_tok AS b_tok,
        |  (CASE WHEN a.n_tok <= b.n_tok
-       |        THEN STARTS_WITH(TRIM(b.text), TRIM(a.text))
-       |        ELSE STARTS_WITH(TRIM(a.text), TRIM(b.text)) END)
+       |        THEN (TRIM(b.text) = TRIM(a.text)
+       |              OR STARTS_WITH(TRIM(b.text), TRIM(a.text) || ' '))
+       |        ELSE (TRIM(a.text) = TRIM(b.text)
+       |              OR STARTS_WITH(TRIM(a.text), TRIM(b.text) || ' ')) END)
        |    AS verbatim
        |FROM p a JOIN p b ON b.pfx = a.pfx AND a.doc_id < b.doc_id
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
@@ -521,8 +527,11 @@ object Dedup2 {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_tok").as("a_tok"), col("b.n_tok").as("b_tok"),
         when(col("a.n_tok") <= col("b.n_tok"),
-          col("b.tx").startsWith(col("a.tx")))
-          .otherwise(col("a.tx").startsWith(col("b.tx"))).as("verbatim"))
+          col("b.tx") === col("a.tx") ||
+            col("b.tx").startsWith(concat(col("a.tx"), lit(" "))))
+          .otherwise(col("a.tx") === col("b.tx") ||
+            col("a.tx").startsWith(concat(col("b.tx"), lit(" "))))
+          .as("verbatim"))
       .orderBy("a_id", "b_id")
   }
 

@@ -77,11 +77,16 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(failed, "first run must fail on the injected mid-batch crash")
     assert(crashed.get())
     // the partial slice really landed before the crash (id=3 present,
-    // id=1 still at version 1) — the state a naive sink cannot heal
+    // id=1 NOT at v2) — the state a naive sink cannot heal. id=1's v2
+    // row rides the crashed batch's DROPPED slice, so regardless of
+    // which file the source listed first, id=1 is either still at v1
+    // (its f0 batch already applied) or absent (f0 not yet processed);
+    // it must never be at v2 here.
     val partial = readTable(url, "crash_latest")
       .select("id", "version").as[(Long, Long)].collect().toMap
     assert(partial(3L) === 1L)
-    assert(partial(1L) === 1L, "id=1's v2 update must NOT have applied yet")
+    assert(partial.get(1L).forall(_ === 1L),
+      "id=1's v2 update must NOT have applied yet (v1 or absent only)")
 
     // run 2: restart from the same checkpoint; the failed batch replays
     // (its offsets were never committed) and the remaining file lands

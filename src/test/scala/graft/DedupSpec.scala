@@ -238,6 +238,42 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.size >= 150, "every planted near-dup pair must be found")
   }
 
+  test("bandedCosinePairs recovers a near-identical cluster LARGER than " +
+    "the bucket cap (hot buckets sub-split, not dropped — r09 ADVICE)") {
+    // planted corpus: one 30-vector near-identical cluster (same sign
+    // signature in EVERY band, so with cap=10 every band's bucket is
+    // hot) + 50 mutually near-orthogonal background vectors. A drop-cap
+    // (capGroups) excludes the whole cluster from candidates in every
+    // band — systematic zero recall on exactly the duplicate-heavy case
+    // a near-dup tool targets. The salt sub-split keeps each pair in a
+    // band w.p. 1/⌈30/10⌉; across 32 independent bands the per-pair
+    // miss probability is (2/3)³² ≈ 2e-6. Planes and salts are seeded,
+    // so the outcome on this fixed corpus is deterministic.
+    val dim = 64
+    def lcg(s0: Long): Iterator[Long] =
+      Iterator.iterate(s0)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+    def vec(seed: Long): Array[Float] = lcg(seed).take(dim)
+      .map(h => ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat)
+      .toArray
+    val base = vec(99L)
+    val cluster = (0 until 30).map { i =>
+      // tiny per-member wiggle on one coordinate: near-identical
+      // (cos ≥ ~0.999), not bit-identical
+      val v = base.clone(); v(i % dim) += 0.0005f * ((i % 3) + 1)
+      (1000L + i, v.toSeq)
+    }
+    val background = (0 until 50).map(b => (b.toLong, vec(b + 7L).toSeq))
+    val emb = (cluster ++ background).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val banded = ids(Dedup.bandedCosinePairs(emb, 0.9, cap = 10))
+    val brute = ids(Dedup.bruteForceCosinePairs(emb, 0.9))
+    assert(brute.size >= 435, "the planted cluster must be all-pairs similar")
+    assert(banded === brute,
+      "sub-split banding must recover every pair of the over-cap cluster")
+  }
+
   test("exact dedup collapses identical normalized text") {
     val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
