@@ -18,7 +18,7 @@ object SparkEntry {
       Relational4.all ++ Relational5.all ++ Relational6.all ++
       Relational7.all ++ Relational8.all ++ Relational9.all ++
       Relational10.all ++ Relational11.all ++ Relational12.all ++
-      Relational13.all ++
+      Relational13.all ++ Relational14.all ++
       GraphAnalytics.all ++
       EventAnalytics.all ++
       EventAnalytics2.all ++ EventAnalytics3.all ++ EventAnalytics4.all ++
@@ -26,15 +26,16 @@ object SparkEntry {
       EventAnalytics8.all ++ EventAnalytics9.all ++ EventAnalytics10.all ++
       EventAnalytics11.all ++ EventAnalytics12.all ++
       EventAnalytics13.all ++ EventAnalytics14.all ++
-      EventAnalytics15.all ++
+      EventAnalytics15.all ++ EventAnalytics16.all ++
       Cdc.all ++ Scd.all ++
       TextAnalysis.all ++ TextAnalysis2.all ++ TextAnalysis3.all ++
       TextAnalysis4.all ++ TextAnalysis5.all ++ TextAnalysis6.all ++
       TextAnalysis7.all ++ TextAnalysis8.all ++ TextAnalysis9.all ++
+      TextAnalysis10.all ++
       Dedup.all ++ Dedup2.all ++ Curation.all ++
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
       Similarity4.all ++ Similarity5.all ++ Similarity6.all ++
-      Similarity7.all ++ Similarity8.all ++
+      Similarity7.all ++ Similarity8.all ++ Similarity9.all ++
       Multimodal.all ++ Multimodal2.all ++ Multimodal3.all ++
       Multimodal4.all
 

@@ -535,6 +535,42 @@ object Dedup2 {
       .orderBy("a_id", "b_id")
   }
 
+  /** Cluster-size histogram of the near-dup component graph: how many
+    * duplicate clusters exist at each size, and how many documents they
+    * absorb — the dedup-impact summary an operator reads BEFORE pruning
+    * (a corpus dominated by a few giant clusters dedups very
+    * differently from one with many pairs). Rides the SAME shared
+    * component labels as `dedup_components` (one more consumer of the
+    * [[Dedup.sharedLabels]] materialization — two vocabulary-bounded
+    * hash aggs on top, no new corpus pass). Singleton documents never
+    * enter the pair graph, so sizes start at 2. */
+  val clusterSizeHist: Q = Q(
+    "dedup_cluster_size_hist",
+    s"""WITH RECURSIVE jp AS (${Dedup.duckJaccardPairs}),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep_id
+       |  FROM reach GROUP BY src),
+       |sz AS (SELECT rep_id, COUNT(*)::BIGINT AS cluster_size
+       |       FROM comp GROUP BY 1)
+       |SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+       |  (cluster_size * COUNT(*))::BIGINT AS n_docs
+       |FROM sz GROUP BY 1
+       |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    Dedup.sharedLabels(s, d)
+      .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate,
-    lshTuning, thresholdCurve, prefixTrunc)
+    lshTuning, thresholdCurve, prefixTrunc, clusterSizeHist)
 }

@@ -42,23 +42,23 @@ object Similarity2 {
   private val K = Similarity.K
 
   /** First sign-matrix plane of the PQ code planes (4 per subspace). */
-  private val PqPlaneBase = 36
-  private val PqM = 4
-  private val PqBits = 4
+  private[operators] val PqPlaneBase = 36
+  private[operators] val PqM = 4
+  private[operators] val PqBits = 4
   /** Fixed-point scale for order-independent centroid sums. */
-  private val PqFp = 1048576.0 // 2^20
+  private[operators] val PqFp = 1048576.0 // 2^20
   /** ADC shortlist depth — shared by [[pqTopk]]'s default AND the oracle
     * SQL, so they cannot silently diverge (r06 advice). */
   private val Shortlist = 150
 
-  private def sub = EmbDim / PqM // 16 dims per subspace
+  private[operators] def sub = EmbDim / PqM // 16 dims per subspace
 
   /** 4-bit LSH code of subspace j: sign bits of planes
     * PqPlaneBase+4j..+3 over the 16-dim subvector (locally indexed) —
     * one codegen'd single-pass walk ([[graft.functions.SignMatrix]]),
     * bit-parity with the interpreted foldLeft shape it replaces
     * (proven in SignMatrixSpec). */
-  private def codeCol(j: Int): Column =
+  private[operators] def codeCol(j: Int): Column =
     graft.functions.SignMatrix.bitsCol(
       slice(col("embedding"), j * sub + 1, sub), PqPlaneBase + j * PqBits,
       PqBits)
@@ -66,7 +66,7 @@ object Similarity2 {
   /** Ordered sequential fold Σ field over array_sort(collect_list(
     * struct(ord, field))) — the order-pinned double sum both engines
     * reproduce exactly (plain SUM over doubles is order-unspecified). */
-  private def orderedSum(ord: Column, value: Column, field: String): Column =
+  private[operators] def orderedSum(ord: Column, value: Column, field: String): Column =
     aggregate(array_sort(collect_list(struct(ord, value.as(field)))),
       lit(0.0), (acc, x) => acc + x.getField(field))
 
@@ -139,7 +139,11 @@ object Similarity2 {
     * ordered-fold LUT/ADC → shortlist → exact cosine re-rank. Every
     * float reduction is the identical sequential fold, so the whole
     * approximate pipeline is hash-checked exactly. */
-  private lazy val duckAnnPq: String = {
+  /** The PQ encode CTE chain (proj → enc → codes → comp) shared by
+    * [[duckAnnPq]] and Similarity9's distortion audit — factoring it
+    * keeps the two oracles encoding with the SAME planes/codes by
+    * construction. */
+  private[operators] lazy val duckCompCtes: String = {
     def planes(j: Int) = (0 until PqBits).map(b => PqPlaneBase + j * PqBits + b)
     val projCols = (0 until PqM).flatMap { j =>
       val sl = s"list_slice(embedding, ${j * sub + 1}, ${(j + 1) * sub})"
@@ -154,7 +158,7 @@ object Similarity2 {
     }.mkString(",\n    ")
     val codeCase = (0 until PqM)
       .map(j => s"WHEN $j THEN code_$j").mkString(" ")
-    s"""WITH proj AS (
+    s"""proj AS (
        |  SELECT vec_id, embedding,
        |    $projCols
        |  FROM embeddings),
@@ -170,7 +174,11 @@ object Similarity2 {
        |  SELECT vec_id, j, code,
        |    UNNEST(RANGE(0, $sub)) AS pos,
        |    UNNEST(list_slice(embedding, j * $sub + 1, (j + 1) * $sub)) AS comp
-       |  FROM codes),
+       |  FROM codes)""".stripMargin
+  }
+
+  private lazy val duckAnnPq: String = {
+    s"""WITH $duckCompCtes,
        |cent AS (
        |  SELECT j, code, pos,
        |    CAST(CAST(SUM(CAST(FLOOR(comp::DOUBLE * $PqFp + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)

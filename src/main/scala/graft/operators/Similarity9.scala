@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.Tables._
+
+/** Ninth similarity batch: the PQ codebook distortion audit — the
+  * quality-control companion to `sim_ann_pq`. Product quantization
+  * trades recall for memory through its reconstruction error; this
+  * report puts a number on that trade per (subspace, code) cell, which
+  * is how an index operator decides whether the codebook geometry fits
+  * the corpus (hot cells with high MSE ⇒ add bits or re-seed planes;
+  * the decision-table discipline of `sim_ivf_tuning`/`dedup_lsh_tuning`).
+  * Reference scope: SURVEY.md §2.5 X2. */
+object Similarity9 {
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Per-cell PQ reconstruction error: for every (subspace j, code)
+    * cell, the within-cell sum of squared deviations from the cell
+    * centroid — computed from exact fixed-point moments per
+    * (j, code, pos): SSE_pos = Σv² − (Σv)²/n with v the ×2²⁰ quantized
+    * component (the SAME quantization the sim_ann_pq codebook means
+    * use), then an ordered fold over the 16 positions. Nothing floats
+    * until the per-pos moment division, and the only cross-row float
+    * sum is the 16-element position fold — order-pinned in both
+    * engines. At most m·2^bits = 64 output rows, from one hash
+    * aggregation over the exploded component relation: one corpus
+    * pass, map-side combinable, at any scale. */
+  val pqDistortion: Q = Q(
+    "sim_pq_distortion",
+    s"""WITH ${Similarity2.duckCompCtes},
+       |cells AS (
+       |  SELECT j, code, pos, COUNT(*)::BIGINT AS n,
+       |    SUM(CAST(FLOOR(comp::DOUBLE * ${Similarity2.PqFp} + 0.5)
+       |      AS BIGINT))::HUGEINT AS s,
+       |    SUM(CAST(CAST(FLOOR(comp::DOUBLE * ${Similarity2.PqFp} + 0.5)
+       |        AS BIGINT) AS HUGEINT)
+       |      * CAST(FLOOR(comp::DOUBLE * ${Similarity2.PqFp} + 0.5)
+       |        AS BIGINT))::HUGEINT AS ss
+       |  FROM comp GROUP BY 1, 2, 3),
+       |percell AS (
+       |  SELECT j, code, MIN(n)::BIGINT AS n_vecs,
+       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
+       |      LIST((CAST(ss AS DOUBLE)
+       |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+       |        / (${Similarity2.PqFp} * ${Similarity2.PqFp}) ORDER BY pos)),
+       |      (acc, x) -> acc + x) AS sse
+       |  FROM cells GROUP BY 1, 2)
+       |SELECT CAST(j AS BIGINT) AS j, code, n_vecs, sse,
+       |  sse / (n_vecs * ${Similarity2.sub}) AS mse
+       |FROM percell
+       |ORDER BY j, code""".stripMargin) { (s, d) =>
+    val emb = embeddings(s, d)
+    val enc = emb.select(
+      Seq(col("vec_id"), col("embedding")) ++
+        (0 until Similarity2.PqM).map(j =>
+          Similarity2.codeCol(j).as(s"code_$j")): _*)
+    val codes = enc.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until Similarity2.PqM)
+        .map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
+    val comp = codes.select(col("j"), col("code"),
+      posexplode(slice(col("embedding"),
+        col("j") * Similarity2.sub + 1, lit(Similarity2.sub)))
+        .as(Seq("pos", "comp")))
+    val fp = floor(col("comp").cast("double") * Similarity2.PqFp + 0.5)
+      .cast("long")
+    val cells = comp.groupBy("j", "code", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(fp.cast(dec)).as("s"),
+        sum(fp.cast(dec) * fp.cast(dec)).as("ss"))
+    val ssePos = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / col("n")) /
+      (Similarity2.PqFp * Similarity2.PqFp)
+    cells.groupBy("j", "code")
+      .agg(min("n").as("n_vecs"),
+        Similarity2.orderedSum(col("pos"), ssePos, "v").as("sse"))
+      .select(col("j").cast("long").as("j"), col("code"), col("n_vecs"),
+        col("sse"),
+        (col("sse") / (col("n_vecs") * Similarity2.sub)).as("mse"))
+      .orderBy("j", "code")
+  }
+
+  val all: Seq[Q] = Seq(pqDistortion)
+}
