@@ -211,7 +211,41 @@ object Cdc {
       .orderBy("user_id")
   }
 
+  /** Key-skew audit of the change stream: the histogram of
+    * changes-per-key plus each multiplicity's share of total traffic —
+    * the replication-planning readout (a handful of hot rows receiving
+    * most updates is what melts a partition-by-PK sink; the reference
+    * topology inherits whatever skew the Postgres workload has, and an
+    * operator needs to SEE it before choosing sink partitioning /
+    * salting). Two hash aggregations: per-key counts, then the
+    * multiplicity spine — output bounded by the max per-key
+    * multiplicity, never by corpus size; the share is one exact
+    * integer division surfaced as double. */
+  val keySkewAudit: Q = Q(
+    "cdc_key_skew_audit",
+    """WITH pk AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+      |tot AS (SELECT SUM(c)::BIGINT AS total, COUNT(*)::BIGINT AS n_keys
+      |        FROM pk)
+      |SELECT pk.c AS changes_per_key, COUNT(*)::BIGINT AS n_keys,
+      |  (pk.c * COUNT(*))::BIGINT AS n_changes,
+      |  CAST(pk.c * COUNT(*) AS DOUBLE) / MIN(tot.total) AS traffic_share
+      |FROM pk CROSS JOIN tot
+      |GROUP BY pk.c
+      |ORDER BY changes_per_key""".stripMargin) { (s, d) =>
+    val pk = events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val tot = broadcast(pk.agg(sum("c").as("total")))
+    pk.crossJoin(tot)
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_keys"), min("total").as("total"))
+      .select(col("c").as("changes_per_key"), col("n_keys"),
+        (col("c") * col("n_keys")).as("n_changes"),
+        ((col("c") * col("n_keys")).cast("double") / col("total"))
+          .as("traffic_share"))
+      .orderBy("changes_per_key")
+  }
+
   val all: Seq[Q] = Seq(
     upsertLatest, tombstoneState, dedupRedelivery, envelopeUnwrap,
-    microTsRoundtrip, orderInversions)
+    microTsRoundtrip, orderInversions, keySkewAudit)
 }

@@ -380,6 +380,53 @@ object EventAnalytics16 {
       .orderBy("p_brand")
   }
 
+  /** Minimum sample size for a two-proportion conversion test — the
+    * ClickHouse `minSampleSizeConversion` planning function: per event
+    * type, the per-arm n needed to detect an absolute +1pp shift of
+    * that type's traffic share at α = 0.05 (two-sided), power = 0.8:
+    * n = (z_{0.975}·√(2·p̄·(1−p̄)) + z_{0.8}·√(p₁q₁ + p₂q₂))² / mde².
+    * The z quantiles are fixed literals in BOTH engines (no erf/Φ⁻¹ at
+    * runtime), p₁ is an exact count ratio, and the whole statistic is
+    * one mirrored double tree over the k-row type relation. */
+  val q170MinSampleSize: Q = Q(
+    "q170_min_sample_size",
+    """WITH m AS (
+      |  SELECT event_type AS t, COUNT(*)::BIGINT AS n FROM events
+      |  GROUP BY 1),
+      |g AS (SELECT SUM(n)::BIGINT AS total FROM m),
+      |p AS (
+      |  SELECT m.t, m.n, CAST(m.n AS DOUBLE) / g.total AS p1,
+      |    CAST(m.n AS DOUBLE) / g.total + 0.01::DOUBLE AS p2
+      |  FROM m CROSS JOIN g)
+      |SELECT t AS event_type, n AS n_events, p1,
+      |  (1.9599639845400545::DOUBLE
+      |     * SQRT(2.0::DOUBLE * ((p1 + p2) / 2.0::DOUBLE)
+      |       * (1.0::DOUBLE - (p1 + p2) / 2.0::DOUBLE))
+      |   + 0.8416212335729143::DOUBLE
+      |     * SQRT(p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2)))
+      |  * (1.9599639845400545::DOUBLE
+      |     * SQRT(2.0::DOUBLE * ((p1 + p2) / 2.0::DOUBLE)
+      |       * (1.0::DOUBLE - (p1 + p2) / 2.0::DOUBLE))
+      |   + 0.8416212335729143::DOUBLE
+      |     * SQRT(p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2)))
+      |  / (0.01::DOUBLE * 0.01::DOUBLE) AS n_per_arm
+      |FROM p ORDER BY event_type""".stripMargin) { (s, d) =>
+    val m = events(s, d).groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val g = broadcast(m.agg(sum("n").as("total")))
+    val p1 = col("n").cast("double") / col("total")
+    val p2 = p1 + 0.01
+    val pBar = (p1 + p2) / 2.0
+    val root = lit(1.9599639845400545) *
+      sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      lit(0.8416212335729143) *
+        sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    m.crossJoin(g)
+      .select(col("t").as("event_type"), col("n").as("n_events"),
+        p1.as("p1"), (root * root / (lit(0.01) * lit(0.01))).as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q163AnovaF, q164KendallTau, q165CohensD,
-    q166LeveneBf, q168Hhi, q169PriceElasticity)
+    q166LeveneBf, q168Hhi, q169PriceElasticity, q170MinSampleSize)
 }

@@ -81,5 +81,52 @@ object Similarity9 {
       .orderBy("j", "code")
   }
 
-  val all: Seq[Q] = Seq(pqDistortion)
+  /** Filtered similarity search — exact top-k cosine UNDER a metadata
+    * predicate (same label as the query): the "in-category nearest
+    * neighbors" shape every production vector store must serve, where
+    * the filter composes with the index rather than post-filtering a
+    * fixed-k result (post-filtering returns < k rows whenever the
+    * neighborhood is label-diverse — the classic filtered-ANN bug).
+    * Here the predicate is applied BEFORE ranking (join condition
+    * `n_label = q_label`), so every query gets its true k in-category
+    * neighbors; at scale the same composition holds for the IVF tier
+    * (probe lists are label-agnostic, the filter prunes candidates
+    * before the rank window). Scores are sequential-fold doubles →
+    * bit-identical to DuckDB; ties pinned by n_id. */
+  val filteredTopk: Q = Q(
+    "sim_filtered_topk",
+    s"""SELECT q_id, q_label, n_id, rank, sim FROM (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
+       |    ${graft.functions.VectorFunctions.duckCosine(
+            "q.embedding", "c.embedding", 64)} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${graft.functions.VectorFunctions.duckCosine(
+            "q.embedding", "c.embedding", 64)} DESC, c.vec_id) AS rank
+       |  FROM embeddings q
+       |  JOIN embeddings c
+       |    ON c.vec_id <> q.vec_id AND c.label = q.label
+       |  WHERE q.vec_id < 10)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, norm}
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      col("label"), norm(col("embedding")).as("nrm"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        col("label").as("n_label"), col("nrm").as("c_nrm"))
+      .join(broadcast(queries),
+        col("n_id") =!= col("q_id") && col("n_label") === col("q_label"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "q_label", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(pqDistortion, filteredTopk)
 }

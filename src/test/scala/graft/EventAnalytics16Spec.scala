@@ -177,6 +177,49 @@ class EventAnalytics16Spec extends AnyFunSuite {
     }
   }
 
+  test("q170 min sample size ≡ driver-side two-proportion power formula; " +
+    "monotone decreasing in baseline distance from 1/2") {
+    val got = EventAnalytics16.q170MinSampleSize.run(spark, TestSpark.tiny)
+      .as[(String, Long, Double, Double)].collect()
+    val byType = evts.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val total = evts.length.toLong
+    assert(got.length === byType.size)
+    got.foreach { case (t, n, p1, nArm) =>
+      assert(n === byType(t), t)
+      val p1Ref = n.toDouble / total
+      assert(math.abs(p1 - p1Ref) <= 1e-15, t)
+      val p2 = p1Ref + 0.01
+      val pBar = (p1Ref + p2) / 2.0
+      val root = 1.9599639845400545 * math.sqrt(2.0 * pBar * (1.0 - pBar)) +
+        0.8416212335729143 *
+          math.sqrt(p1Ref * (1.0 - p1Ref) + p2 * (1.0 - p2))
+      val ref = root * root / (0.01 * 0.01)
+      assert(math.abs(nArm - ref) <= 1e-6 * ref, t)
+      assert(nArm > 0, t)
+    }
+  }
+
+  test("cdc_key_skew_audit: histogram partitions keys and traffic exactly") {
+    val got = graft.operators.Cdc.keySkewAudit.run(spark, TestSpark.tiny)
+      .as[(Long, Long, Long, Double)].collect()
+    val byUser = Tables.events(spark, TestSpark.tiny)
+      .select("user_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = byUser.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = byUser.values.sum
+    assert(got.length === hist.size)
+    got.foreach { case (c, nKeys, nChanges, share) =>
+      assert(hist(c) === nKeys, s"c=$c")
+      assert(nChanges === c * nKeys, s"c=$c")
+      assert(math.abs(share - nChanges.toDouble / total) <= 1e-15, s"c=$c")
+    }
+    assert(got.map(_._2).sum === byUser.size.toLong,
+      "histogram must partition the key set")
+    assert(got.map(_._3).sum === total,
+      "histogram must partition total traffic")
+  }
+
   test("q167 ANY JOIN picks exactly the min-ordered line per order and " +
     "keeps every order") {
     val got = Relational14.q167AnyJoin.run(spark, TestSpark.tiny)

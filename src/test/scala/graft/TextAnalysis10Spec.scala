@@ -119,6 +119,39 @@ class TextAnalysis10Spec extends AnyFunSuite {
     }
   }
 
+  test("sim_filtered_topk: every neighbor shares the query's label, " +
+    "ranks are the label-restricted brute-force order") {
+    val got = Similarity9.filteredTopk.run(spark, TestSpark.tiny)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val emb = Tables.embeddings(spark, TestSpark.tiny)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Long)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // sequential fold in index order, like the engine
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === emb.filter(_._1 < 10).map(_._1).toSet)
+    byQ.foreach { case (qId, rows) =>
+      val q = emb.find(_._1 == qId).get
+      val inLabel = emb.filter(e => e._1 != qId && e._3 == q._3)
+      val ref = inLabel.map(e => (e._1, cos(q._2, e._2)))
+        .sortBy { case (id, sim) => (-sim, id) }.take(5)
+      assert(rows.length === math.min(5, inLabel.length), s"q=$qId")
+      rows.sortBy(_._4).zip(ref).foreach { case ((_, ql, nId, _, sim), (refId, refSim)) =>
+        assert(ql === q._3, s"q=$qId")
+        assert(nId === refId, s"q=$qId")
+        assert(math.abs(sim - refSim) <= 1e-9, s"q=$qId")
+      }
+    }
+  }
+
   test("sim_pq_distortion ≡ driver-side per-cell SSE; cells partition " +
     "the corpus per subspace") {
     val got = Similarity9.pqDistortion.run(spark, TestSpark.tiny)
