@@ -274,6 +274,26 @@ class DedupSpec extends AnyFunSuite {
       "sub-split banding must recover every pair of the over-cap cluster")
   }
 
+  test("saltSplitGroups: never drops a row; sub-cap groups keep salt 0 " +
+    "(≡ uncapped); hot groups spread across ceil(g/cap) salts") {
+    val rows = (0 until 250).map(i =>
+      (i.toLong, if (i < 200) "hot" else s"cold${i % 10}"))
+      .toDF("id", "key")
+    val salted = Dedup.saltSplitGroups(rows, 30, "id", "salt", "key")
+      .select(col("id"), col("key"), col("salt"))
+      .as[(Long, String, Long)].collect()
+    assert(salted.length === 250, "no row may be dropped")
+    val bySalt = salted.filter(_._2 == "hot").groupBy(_._3)
+    val nSub = (200 + 29) / 30 // ceil(g/cap) = 7
+    assert(bySalt.keySet.subsetOf((0L until nSub).toSet),
+      "hot salts must lie in [0, ceil(g/cap))")
+    assert(bySalt.size > 1, "a hot group must actually split")
+    assert(bySalt.values.map(_.size).max <= 200,
+      "sub-buckets are a partition of the hot group")
+    assert(salted.filter(_._2 != "hot").forall(_._3 == 0L),
+      "groups at or under the cap keep salt 0 — behavior unchanged")
+  }
+
   test("exact dedup collapses identical normalized text") {
     val docs = Seq((10L, "Same Text "), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")

@@ -230,7 +230,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q144_decile_lift" ->
         "score VALUE spine (bounded by distinct per-user view counts) and the ≤ 10-row decile table",
       "q152_pettitt_changepoint" ->
-        "per-event-type offset rows (≤ 5; the corpus-sized rank prefix rides ScalableWindows — the q134 pattern)")
+        "per-event-type offset rows (≤ 5; the corpus-sized rank prefix rides ScalableWindows — the q134 pattern)",
+      "text_topk_coverage" ->
+        "top-1000 types via TakeOrderedAndProject BEFORE the rank window (≤ 1000 rows; the vocabulary never enters a window)")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (q <- SparkEntry.registry) {
       val global = q.run(spark, TestSpark.tiny)
