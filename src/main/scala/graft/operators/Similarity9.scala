@@ -128,5 +128,82 @@ object Similarity9 {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(pqDistortion, filteredTopk)
+  /** Filtered ANN, the SCALE path: the same IVF multi-probe tier as
+    * `sim_ann_ivf`, with the label predicate composed into the
+    * candidate relation BEFORE the rank window — probe lists stay
+    * label-agnostic (one coarse quantizer serves every filter), the
+    * filter prunes candidates right after the cell join, and the
+    * window then ranks only in-category candidates, so k survivors are
+    * returned whenever the probed cells hold k label-mates.
+    * `sim_filtered_topk` is this query's exact (brute-force) baseline;
+    * `Similarity9Spec`-style recall lives in TextAnalysis10Spec via
+    * the brute tier. Approximation contract identical to sim_ann_ivf:
+    * deterministic seeded planes, penalty-ordered probes, exact cosine
+    * on candidates — the oracle hash-checks the full output. */
+  val filteredIvf: Q = Q(
+    "sim_filtered_ivf", {
+      val bits = Similarity.IvfBits
+      val projCols = (0 until bits)
+        .map(b => s"${Similarity.duckProj(Similarity.IvfPlaneBase + b)} AS proj_$b")
+        .mkString(",\n    ")
+      val cellExpr = (0 until bits)
+        .map(b => s"(CASE WHEN proj_$b >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << $b)")
+        .mkString(" | ")
+      val penaltyExpr = (0 until bits)
+        .map(b => s"(CASE WHEN ((q.q_cell >> $b) & 1) <> ((c.cell >> $b) & 1) THEN ABS(q.proj_$b) ELSE 0.0 END)")
+        .mkString(" + ")
+      val cos = graft.functions.VectorFunctions.duckCosine("qe", "ce", 64)
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding, label,
+         |    $projCols
+         |  FROM embeddings),
+         |sig AS (SELECT vec_id, embedding, label, $cellExpr AS cell,
+         |        ${(0 until bits).map(b => s"proj_$b").mkString(", ")}
+         |        FROM proj),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, label AS q_label,
+         |    cell AS q_cell,
+         |    ${(0 until bits).map(b => s"proj_$b").mkString(", ")}
+         |  FROM sig WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, qe, q_label, cell FROM (
+         |    SELECT q.q_id, q.qe, q.q_label, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY $penaltyExpr, c.cell) AS prank
+         |    FROM q CROSS JOIN (SELECT UNNEST(RANGE(0, ${1 << bits})) AS cell) c)
+         |  WHERE prank <= ${Similarity.IvfNProbe}),
+         |cand AS (
+         |  SELECT p.q_id, p.qe, p.q_label, s.vec_id AS n_id,
+         |    s.embedding AS ce
+         |  FROM probes p JOIN sig s
+         |    ON s.cell = p.cell AND s.vec_id <> p.q_id
+         |    AND s.label = p.q_label)
+         |SELECT q_id, q_label, n_id, rank, sim FROM (
+         |  SELECT q_id, q_label, n_id, $cos AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY $cos DESC, n_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLabels = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label")))
+    val cand = Similarity.ivfCandidates(emb, numQueries = 10,
+      bits = Similarity.IvfBits, maxProbe = Similarity.IvfNProbe)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    cand
+      .join(qLabels, "q_id")
+      .join(labels.select(col("vec_id").as("n_id"),
+        col("label").as("n_label")), "n_id")
+      .filter(col("n_label") === col("q_label"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= Similarity.K)
+      .select("q_id", "q_label", "n_id", "rank", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(pqDistortion, filteredTopk, filteredIvf)
 }

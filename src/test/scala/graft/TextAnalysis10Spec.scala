@@ -152,6 +152,33 @@ class TextAnalysis10Spec extends AnyFunSuite {
     }
   }
 
+  test("sim_filtered_ivf: label invariant holds, results are a subset " +
+    "of the probed-and-filtered candidates, recall vs the exact " +
+    "filtered baseline is deterministic on this corpus") {
+    val ivf = Similarity9.filteredIvf.run(spark, TestSpark.tiny)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val brute = Similarity9.filteredTopk.run(spark, TestSpark.tiny)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val labels = Tables.embeddings(spark, TestSpark.tiny)
+      .select("vec_id", "label").as[(Long, Long)].collect().toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, ql, n, _, _) =>
+      assert(labels(q) === ql, s"q=$q")
+      assert(labels(n) === ql, s"q=$q n=$n: neighbor must share the label")
+    }
+    // per query, ranks are 1..m with strictly the ANN ordering
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq, s"q=$q")
+    }
+    // recall@5 vs the exact in-category baseline: seeded planes make
+    // this a fixed fact of the corpus, not a probabilistic hope
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val hits = ivf.count { case (q, _, n, _, _) => bruteSets(q).contains(n) }
+    val recall = hits.toDouble / brute.length
+    assert(recall >= 0.5,
+      s"filtered-IVF recall@5 fell below the measured floor: $recall")
+  }
+
   test("sim_pq_distortion ≡ driver-side per-cell SSE; cells partition " +
     "the corpus per subspace") {
     val got = Similarity9.pqDistortion.run(spark, TestSpark.tiny)

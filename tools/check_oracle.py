@@ -16,7 +16,7 @@ hold) and sha256'd. This is the failure class that bit q54 in r03: equal
 values, divergent DECIMAL serialization. A query only PASSes when both
 the cell compare AND the hash compare are green.
 """
-import duckdb, json, math, sys
+import duckdb, json, math, os, sys
 from decimal import Decimal
 import hashlib
 import numpy as np
@@ -145,8 +145,13 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships flat files; ScaleUp output (/tmp/sf1,
+        # /tmp/sf2) is a Spark directory of part files — glob it
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     if len(sys.argv) > 3:  # optional name-regex filter for local iteration
         import re
