@@ -57,7 +57,19 @@ object EventAnalytics9 {
     * ACF — the `seriesPeriodDetectFFT` stand-in: the ACF peak IS the
     * period estimate, computed exactly instead of via FFT). Pearson r
     * at each lag from exact decimal sums over lag-joined day pairs;
-    * one double formula at the end. */
+    * one double formula at the end.
+    *
+    * Oracle-side conversion hazard (r10, found by the FIRST sf1 oracle
+    * sweep): DuckDB's direct HUGEINT→DOUBLE cast is NOT correctly
+    * rounded — it computes upper·2⁶⁴ + lower in floats, off by 1 ulp on
+    * ~0.6% of integers beyond 2⁵³ (measured: 226390760955107000000 →
+    * …0702e20 instead of …07e20), while Spark's DECIMAL(38,0)→double
+    * (BigInteger.doubleValue) rounds correctly. This query's daily-sum
+    * squares reach ~10²⁵ at sf1, so the oracle routes every big moment
+    * through CAST(CAST(x AS VARCHAR) AS DOUBLE) — strtod IS correctly
+    * rounded (verified over 3000 random 54–100-bit integers: 19/3000
+    * direct-cast mismatches, 0 via varchar). Same values at the gate
+    * SFs (< 2⁵³ there), so this only changes sf1+ behavior. */
   val q118Autocorr: Q = Q(
     "q118_autocorr",
     s"""WITH $DailySpineSql,
@@ -75,12 +87,15 @@ object EventAnalytics9 {
       |  GROUP BY 1, 2),
       |r AS (
       |  SELECT t, k, n,
-      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |    (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+      |    / (SQRT(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |            - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+      |              * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |       * SQRT(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |              - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |                * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS acf
       |  FROM p WHERE n >= 3)
       |SELECT t AS event_type, k AS lag, n AS n_pairs, acf,
       |  k = MIN(CASE WHEN acf = mx THEN k END)
