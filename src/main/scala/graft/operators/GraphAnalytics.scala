@@ -28,10 +28,15 @@ object GraphAnalytics {
   private val U = 1000000000000L
   private val Iterations = 5
 
+  // AS MATERIALIZED on both CTEs (r10): DuckDB inlines plain CTEs per
+  // REFERENCE, and the unrolled-iteration oracles (q122's it_k chain)
+  // reference e/und/deg once per round — without materialization the
+  // order-pair self-join re-evaluates per iteration and the sf1 sweep
+  // stalled >30 min inside q122 (the sim_pca_power lesson, §6 r07).
   private val EdgeSql =
-    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    s"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |       FROM lineitem),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT a.pk AS pa, b.pk AS pb
       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $SupportThreshold)""".stripMargin
@@ -174,11 +179,11 @@ object GraphAnalytics {
     Q(
       "q122_pagerank",
       s"""WITH $EdgeSql,
-        |und AS (SELECT pa AS x, pb AS y FROM e
+        |und AS MATERIALIZED (SELECT pa AS x, pb AS y FROM e
         |        UNION ALL SELECT pb, pa FROM e),
-        |deg AS (SELECT x AS node, COUNT(*)::BIGINT AS degree
+        |deg AS MATERIALIZED (SELECT x AS node, COUNT(*)::BIGINT AS degree
         |        FROM und GROUP BY 1),
-        |nn AS (SELECT COUNT(*)::BIGINT AS n,
+        |nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n,
         |         (15 * $U) // (100 * COUNT(*)) AS base FROM deg),
         |it0 AS (
         |  SELECT node, degree, $U // nn.n AS r FROM deg CROSS JOIN nn),
