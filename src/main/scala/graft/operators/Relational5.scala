@@ -43,25 +43,32 @@ object Relational5 {
     * shape too: one map-side-combined aggregation, no second pass. */
   val q56StatsMoments: Q = Q(
     "q56_stats_moments",
+    // moments as exact INTEGER-cents sums; big HUGEINT→DOUBLE casts
+    // route through varchar (strtod) because DuckDB's direct cast
+    // mis-rounds ~0.6% of integers past 2⁵³ — caught by the r10 sf1
+    // oracle sweep as a 1-ulp corr divergence (the q118 finding; scaled
+    // DECIMAL→DOUBLE double-rounds on BOTH engines, so the conversion
+    // happens from scale-0 integers only)
     """WITH m AS (
       |  SELECT l_returnflag,
       |    COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))::HUGEINT AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)::HUGEINT * CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))::HUGEINT AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))::HUGEINT AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)::HUGEINT * CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))::HUGEINT AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)::HUGEINT * CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))::HUGEINT AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem
       |  GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  sx / n AS mean_price,
-      |  SQRT((sxx - (sx * sx) / n) / (n - 1)) AS std_price,
+      |  sx / n / 100.0::DOUBLE AS mean_price,
+      |  SQRT((sxx - (sx * sx) / n) / (n - 1)) / 100.0::DOUBLE AS std_price,
       |  ((sxy - (sx * sy) / n) / (n - 1)) /
       |    (SQRT((sxx - (sx * sx) / n) / (n - 1)) * SQRT((syy - (sy * sy) / n) / (n - 1))) AS corr_price_qty
       |FROM m
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val x = money(col("l_extendedprice"))
-    val y = money(col("l_quantity"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").cast(dec38)
+    val y = floor(col("l_quantity") * 100.0 + 0.5).cast("long").cast(dec38)
     val m = lineitem(s, d).groupBy("l_returnflag").agg(
       count(lit(1)).as("n"),
       sum(x).cast("double").as("sx"),
@@ -74,8 +81,8 @@ object Relational5 {
     val varX = (sxx - (sx * sx) / n) / (n - 1)
     val varY = (syy - (sy * sy) / n) / (n - 1)
     m.select(col("l_returnflag"), n,
-        (sx / n).as("mean_price"),
-        sqrt(varX).as("std_price"),
+        (sx / n / 100.0).as("mean_price"),
+        (sqrt(varX) / 100.0).as("std_price"),
         (((sxy - (sx * sy) / n) / (n - 1)) / (sqrt(varX) * sqrt(varY)))
           .as("corr_price_qty"))
       .orderBy("l_returnflag")
