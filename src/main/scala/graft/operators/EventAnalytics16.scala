@@ -52,9 +52,11 @@ object EventAnalytics16 {
       |  FROM events GROUP BY 1),
       |g AS (
       |  SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS nn,
-      |    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(ss) AS DOUBLE) AS ssd,
+      |    CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS sd,
+      |    CAST(CAST(SUM(ss) AS VARCHAR) AS DOUBLE) AS ssd,
       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
-      |      LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY t)),
+      |      LIST(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+      |           * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n ORDER BY t)),
       |      (acc, x) -> acc + x) AS a
       |  FROM m)
       |SELECT k, nn AS n,
@@ -89,7 +91,10 @@ object EventAnalytics16 {
     * calendar-bounded (≤31 rows at any corpus size — the q158/q159
     * precedent), so the pair join is a constant-size cross product
     * under the documented BNL exemption, NOT a corpus-scaling join;
-    * raw rows are touched once, in the daily hash aggregation. */
+    * raw rows are touched once, in the daily hash aggregation. The
+    * fully-tied degenerate case (n0=n1 or n0=n2 ⇒ zero denominator) is
+    * NULLIF-guarded identically in both engines, so τ_b is NULL — not
+    * an engine-dependent Inf/NaN — on constant series. */
   val q164KendallTau: Q = Q(
     "q164_kendall_tau",
     """WITH e AS (
@@ -113,8 +118,8 @@ object EventAnalytics16 {
       |nd AS (SELECT COUNT(*)::BIGINT AS n_days FROM dm)
       |SELECT nd.n_days, g.n0 AS n_pairs, g.c AS concordant,
       |  g.d AS discordant, g.n1 AS ties_x, g.n2 AS ties_y,
-      |  (g.c - g.d) / SQRT(CAST((g.n0 - g.n1) AS DOUBLE)
-      |    * CAST((g.n0 - g.n2) AS DOUBLE)) AS tau_b
+      |  (g.c - g.d) / NULLIF(SQRT(CAST((g.n0 - g.n1) AS DOUBLE)
+      |    * CAST((g.n0 - g.n2) AS DOUBLE)), 0.0::DOUBLE) AS tau_b
       |FROM g CROSS JOIN nd""".stripMargin) { (s, d) =>
     val e = events(s, d).select(
       expr("unix_micros(ts) div 86400000000").as("dd"), v4.as("v4"))
@@ -138,8 +143,8 @@ object EventAnalytics16 {
         col("c").as("concordant"), col("d").as("discordant"),
         col("n1").as("ties_x"), col("n2").as("ties_y"),
         ((col("c") - col("d")) /
-          sqrt((col("n0") - col("n1")).cast("double") *
-            (col("n0") - col("n2")).cast("double"))).as("tau_b"))
+          nullif(sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), lit(0.0))).as("tau_b"))
   }
 
   /** Cohen's d and Hedges' g effect sizes of each event type vs the
@@ -158,19 +163,19 @@ object EventAnalytics16 {
       |  FROM events GROUP BY 1),
       |b AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM m WHERE t = 'view')
       |SELECT m.t AS event_type, m.n AS n1, b.n2,
-      |  ((CAST(m.s AS DOUBLE) / m.n - CAST(b.s2 AS DOUBLE) / b.n2)
+      |  ((CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / m.n - CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE) / b.n2)
       |     / 10000.0::DOUBLE)
-      |   / SQRT(((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)
-      |        * CAST(m.s AS DOUBLE) / m.n)
-      |      + (CAST(b.ss2 AS DOUBLE) - CAST(b.s2 AS DOUBLE)
-      |         * CAST(b.s2 AS DOUBLE) / b.n2))
+      |   / SQRT(((CAST(CAST(m.ss AS VARCHAR) AS DOUBLE) - CAST(CAST(m.s AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / m.n)
+      |      + (CAST(CAST(b.ss2 AS VARCHAR) AS DOUBLE) - CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE) / b.n2))
       |     / (m.n + b.n2 - 2) / 100000000.0::DOUBLE) AS cohens_d,
-      |  (((CAST(m.s AS DOUBLE) / m.n - CAST(b.s2 AS DOUBLE) / b.n2)
+      |  (((CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / m.n - CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE) / b.n2)
       |     / 10000.0::DOUBLE)
-      |   / SQRT(((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)
-      |        * CAST(m.s AS DOUBLE) / m.n)
-      |      + (CAST(b.ss2 AS DOUBLE) - CAST(b.s2 AS DOUBLE)
-      |         * CAST(b.s2 AS DOUBLE) / b.n2))
+      |   / SQRT(((CAST(CAST(m.ss AS VARCHAR) AS DOUBLE) - CAST(CAST(m.s AS VARCHAR) AS DOUBLE)
+      |        * CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / m.n)
+      |      + (CAST(CAST(b.ss2 AS VARCHAR) AS DOUBLE) - CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(b.s2 AS VARCHAR) AS DOUBLE) / b.n2))
       |     / (m.n + b.n2 - 2) / 100000000.0::DOUBLE))
       |   * (1.0::DOUBLE - 3.0::DOUBLE / (4.0::DOUBLE * (m.n + b.n2)
       |      - 9.0::DOUBLE)) AS hedges_g
@@ -233,9 +238,11 @@ object EventAnalytics16 {
       |  FROM z GROUP BY 1),
       |g AS (
       |  SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS nn,
-      |    CAST(SUM(s) AS DOUBLE) AS sd, CAST(SUM(ss) AS DOUBLE) AS ssd,
+      |    CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS sd,
+      |    CAST(CAST(SUM(ss) AS VARCHAR) AS DOUBLE) AS ssd,
       |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
-      |      LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY t)),
+      |      LIST(CAST(CAST(s AS VARCHAR) AS DOUBLE)
+      |           * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n ORDER BY t)),
       |      (acc, x) -> acc + x) AS a
       |  FROM m)
       |SELECT k, nn AS n,
@@ -298,9 +305,11 @@ object EventAnalytics16 {
       |    MAX(cents)::HUGEINT AS mx
       |  FROM rev GROUP BY 1)
       |SELECT r_name, n_customers,
-      |  10000.0::DOUBLE * CAST(sq AS DOUBLE)
-      |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi,
-      |  CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS cr1
+      |  10000.0::DOUBLE * CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi,
+      |  CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS cr1
       |FROM g ORDER BY r_name""".stripMargin) { (s, d) =>
     val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
     val r = region(s, d); val n = nation(s, d); val c = customer(s, d)
@@ -348,12 +357,12 @@ object EventAnalytics16 {
       |    SUM(CAST(lq6 AS HUGEINT) * lq6)::HUGEINT AS syy
       |  FROM x GROUP BY 1)
       |SELECT p_brand, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS elasticity,
-      |  (CAST(n * sxy - sx * sy AS DOUBLE)
-      |    * CAST(n * sxy - sx * sy AS DOUBLE))
-      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |       * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+      |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS elasticity,
+      |  (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+      |    / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r2
       |FROM m ORDER BY p_brand""".stripMargin) { (s, d) =>
     import graft.functions.MathExpressions.lnLibm
     val l = lineitem(s, d); val p = part(s, d)
@@ -387,7 +396,9 @@ object EventAnalytics16 {
     * n = (z_{0.975}·√(2·p̄·(1−p̄)) + z_{0.8}·√(p₁q₁ + p₂q₂))² / mde².
     * The z quantiles are fixed literals in BOTH engines (no erf/Φ⁻¹ at
     * runtime), p₁ is an exact count ratio, and the whole statistic is
-    * one mirrored double tree over the k-row type relation. */
+    * one mirrored double tree over the k-row type relation. p₂ is
+    * LEAST-clamped to 1.0 in both engines so a >99%-share type cannot
+    * push sqrt's argument negative (engine-dependent NaN handling). */
   val q170MinSampleSize: Q = Q(
     "q170_min_sample_size",
     """WITH m AS (
@@ -396,7 +407,8 @@ object EventAnalytics16 {
       |g AS (SELECT SUM(n)::BIGINT AS total FROM m),
       |p AS (
       |  SELECT m.t, m.n, CAST(m.n AS DOUBLE) / g.total AS p1,
-      |    CAST(m.n AS DOUBLE) / g.total + 0.01::DOUBLE AS p2
+      |    LEAST(CAST(m.n AS DOUBLE) / g.total + 0.01::DOUBLE,
+      |      1.0::DOUBLE) AS p2
       |  FROM m CROSS JOIN g)
       |SELECT t AS event_type, n AS n_events, p1,
       |  (1.9599639845400545::DOUBLE
@@ -415,7 +427,7 @@ object EventAnalytics16 {
       .agg(count(lit(1)).as("n"))
     val g = broadcast(m.agg(sum("n").as("total")))
     val p1 = col("n").cast("double") / col("total")
-    val p2 = p1 + 0.01
+    val p2 = least(p1 + 0.01, lit(1.0))
     val pBar = (p1 + p2) / 2.0
     val root = lit(1.9599639845400545) *
       sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +

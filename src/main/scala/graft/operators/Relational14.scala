@@ -19,7 +19,10 @@ object Relational14 {
   /** LEFT ANY JOIN orders → lineitem: each order annotated with its
     * FIRST line (min l_linenumber; the synthetic lineitem table reuses
     * line numbers within an order, so the pick is made total with the
-    * (l_partkey, l_suppkey, l_extendedprice) tie-break). The right side collapses BEFORE the join via a
+    * (l_partkey, l_suppkey, l_extendedprice, l_quantity) tie-break —
+    * every OUTPUT column is in the ordering key, so the pick is total
+    * by construction, not by a uniqueness accident of the generator).
+    * The right side collapses BEFORE the join via a
     * min_by hash aggregation — map-side combinable, one shuffle on the
     * join key, strictly cheaper than the window-rank formulation
     * (which must shuffle the full lineitem relation and then sort each
@@ -34,7 +37,8 @@ object Relational14 {
       |  SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
       |  FROM lineitem
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
-      |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+      |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+      |      l_quantity)
       |    = 1) f
       |ON f.l_orderkey = o.o_orderkey
       |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
@@ -42,7 +46,7 @@ object Relational14 {
       .agg(min_by(
         struct(col("l_partkey"), col("l_quantity"), col("l_extendedprice")),
         struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          col("l_extendedprice"))).as("f"))
+          col("l_extendedprice"), col("l_quantity"))).as("f"))
       .select(col("l_orderkey"), col("f.l_partkey").as("first_partkey"),
         col("f.l_quantity").as("first_quantity"),
         col("f.l_extendedprice").as("first_price"))

@@ -42,8 +42,9 @@ object Similarity9 {
        |percell AS (
        |  SELECT j, code, MIN(n)::BIGINT AS n_vecs,
        |    LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE,
-       |      LIST((CAST(ss AS DOUBLE)
-       |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+       |      LIST((CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+       |          - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+       |            * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
        |        / (${Similarity2.PqFp} * ${Similarity2.PqFp}) ORDER BY pos)),
        |      (acc, x) -> acc + x) AS sse
        |  FROM cells GROUP BY 1, 2)
