@@ -24,24 +24,92 @@ object Bench {
     // reported as "shared_build_sec" in the output JSON — per-query
     // numbers are pure query time, and the one-time cost is disclosed
     // alongside them rather than silently dropped by min-of-2.
-    // the q84 bucketed-table landing write is one-time layout work, not
-    // query time — do it here so the timed run measures the join
-    try operators.Relational8.ensureBucketedTables(spark, sfDir)
-    catch { case _: Throwable => () }
-    val sharedT0 = System.nanoTime()
-    try {
-      operators.Dedup.sharedRanked(spark, sfDir).count()
-      operators.Dedup.sharedPairs(spark, sfDir).count()
-      operators.Dedup.sharedLabels(spark, sfDir).count()
-      operators.Dedup.sharedEditPairs(spark, sfDir).count()
-      operators.Dedup2.sharedContainment(spark, sfDir).count()
-      operators.TextAnalysis3.nllPerDoc(spark, sfDir).count()
-      operators.GraphAnalytics.pairCounts(spark, sfDir).count()
-      operators.GraphAnalytics.edges(spark, sfDir).count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] shared prebuild failed: ${e.getMessage}")
+    // BOX-DRIFT CALIBRATION KERNEL: three fixed synthetic probes
+    // (hash-agg, shuffle join, partitioned window), SF-INDEPENDENT by
+    // construction (spark.range inputs, no files), timed min-of-2 and
+    // recorded in every bench JSON. Cross-round comparisons divide by
+    // calibration_sec to separate box drift (probe moves with the
+    // queries) from plan regressions (queries move, probe doesn't) —
+    // the sf0.1 headline has moved 10–30% across rounds on unchanged
+    // code, and this pins whether the box or the code moved.
+    def probe(name: String, f: () => Unit): (String, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      val dt = math.min(once(), once())
+      System.err.println(f"[bench] calib $name%-20s $dt%8.2fs")
+      name -> dt
     }
-    val sharedBuildSec = (System.nanoTime() - sharedT0) / 1e9
+    val calib: Seq[(String, Double)] =
+      try Seq(
+        probe("agg", { () =>
+          spark.range(0, 50000000L, 1, 32)
+            .selectExpr("id % 9973 AS k", "id % 131 AS v")
+            .groupBy("k").agg(
+              org.apache.spark.sql.functions.sum("v"),
+              org.apache.spark.sql.functions.avg("v"),
+              org.apache.spark.sql.functions.max("v"))
+            .count(); ()
+        }),
+        probe("join", { () =>
+          val a = spark.range(0, 4000000L, 1, 32)
+            .selectExpr("id % 1000003 AS k", "id AS va")
+          val b = spark.range(0, 4000000L, 1, 32)
+            .selectExpr("(id * 7) % 1000003 AS k", "id AS vb")
+          a.join(b, "k")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))).count(); ()
+        }),
+        probe("window", { () =>
+          spark.range(0, 8000000L, 1, 32)
+            .selectExpr("id % 4096 AS p",
+              "(id * 2654435761) % 1000000007 AS v")
+            .selectExpr("p", "v",
+              "row_number() OVER (PARTITION BY p ORDER BY v) AS r")
+            .filter("r <= 10").count(); ()
+        }))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val calibrationSec = calib.map(_._2).sum
+    System.err.println(f"[bench] calibration total: $calibrationSec%.2fs")
+    // the q84 bucketed-table landing write is one-time layout work, not
+    // query time — do it here so the timed run measures the join.
+    // Each one-time build is timed INDIVIDUALLY (shared_builds in the
+    // JSON) so the dominant build is visible, not hidden in a total.
+    def build(name: String, f: () => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[bench] shared build $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] build $name%-22s $dt%8.2fs")
+      name -> dt
+    }
+    val buckets = build("bucketed_tables",
+      () => operators.Relational8.ensureBucketedTables(spark, sfDir))
+    val sharedBuilds: Seq[(String, Double)] = Seq(
+      build("dedup_ranked",
+        () => { operators.Dedup.sharedRanked(spark, sfDir).count(); () }),
+      build("dedup_pairs",
+        () => { operators.Dedup.sharedPairs(spark, sfDir).count(); () }),
+      build("dedup_labels",
+        () => { operators.Dedup.sharedLabels(spark, sfDir).count(); () }),
+      build("edit_pairs",
+        () => { operators.Dedup.sharedEditPairs(spark, sfDir).count(); () }),
+      build("containment",
+        () => { operators.Dedup2.sharedContainment(spark, sfDir).count(); () }),
+      build("nll_per_doc",
+        () => { operators.TextAnalysis3.nllPerDoc(spark, sfDir).count(); () }),
+      build("graph_pair_counts",
+        () => { operators.GraphAnalytics.pairCounts(spark, sfDir).count(); () }),
+      build("graph_edges",
+        () => { operators.GraphAnalytics.edges(spark, sfDir).count(); () }))
+    // shared_build_sec keeps its cross-round meaning: the seven shared
+    // materializations, EXCLUDING the bucketed-layout write (excluded
+    // from it since r09)
+    val sharedBuildSec = sharedBuilds.map(_._2).sum
     System.err.println(f"[bench] shared materialization build: $sharedBuildSec%.2fs")
     def settle(): Unit = {
       // drop leftover cached/checkpointed blocks so iterative queries
@@ -139,9 +207,9 @@ object Bench {
     // cross-round comparisons don't conflate a scheme change with a
     // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()
