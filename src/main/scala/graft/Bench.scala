@@ -1,5 +1,19 @@
 package graft
 object Bench {
+  /** Queries whose FINAL recorded time (post-redo) still exceeds 3x
+    * their recorded prior AND 0.5s absolute — the same thresholds as
+    * the redo trigger, applied after its rescue attempt. Emitted as
+    * `"suspect":[…]` so a contention-contaminated artifact identifies
+    * itself (r11: q108 read 12.87s under sustained box contention
+    * through min-of-2 and the redo; a quiet-box re-run read 0.39s). */
+  def suspects(results: Seq[(String, Double)],
+      prior: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (name, dt)
+          if dt > 0.5 && prior.get(name).exists(p => dt > 3 * p) =>
+        name
+    }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,16 +46,27 @@ object Bench {
     // queries) from plan regressions (queries move, probe doesn't) —
     // the sf0.1 headline has moved 10–30% across rounds on unchanged
     // code, and this pins whether the box or the code moved.
-    def probe(name: String, f: () => Unit): (String, Double) = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    // per-probe try/catch (a failed probe must not discard its
+    // predecessors' timings) and one DISCARDED warm-up iteration per
+    // probe before the timed min-of-2 — the probes are the first real
+    // Spark jobs of a cold JVM, and without the discard the codegen/
+    // JIT warm-up lands in calibration_sec, biasing the box-drift
+    // divisor high relative to the warmed query timings it normalizes
+    def probe(name: String, f: () => Unit): Option[(String, Double)] =
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        once() // discarded: absorbs first-run codegen/JIT cost
+        val dt = math.min(once(), once())
+        System.err.println(f"[bench] calib $name%-20s $dt%8.2fs")
+        Some(name -> dt)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calib $name failed: ${e.getMessage}")
+        None
       }
-      val dt = math.min(once(), once())
-      System.err.println(f"[bench] calib $name%-20s $dt%8.2fs")
-      name -> dt
-    }
     val calib: Seq[(String, Double)] =
-      try Seq(
+      Seq[Option[(String, Double)]](
         probe("agg", { () =>
           spark.range(0, 50000000L, 1, 32)
             .selectExpr("id % 9973 AS k", "id % 131 AS v")
@@ -67,11 +92,7 @@ object Bench {
             .selectExpr("p", "v",
               "row_number() OVER (PARTITION BY p ORDER BY v) AS r")
             .filter("r <= 10").count(); ()
-        }))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
-        Seq.empty
-      }
+        })).flatten
     val calibrationSec = calib.map(_._2).sum
     System.err.println(f"[bench] calibration total: $calibrationSec%.2fs")
     // the q84 bucketed-table landing write is one-time layout work, not
@@ -186,6 +207,10 @@ object Bench {
         case _ => name -> dt
       }
     }
+    val suspect = suspects(results, prior)
+    if (suspect.nonEmpty)
+      System.err.println(s"[bench] SUSPECT (>3x prior even after redo): " +
+        suspect.mkString(", "))
     def fmt(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -193,6 +218,11 @@ object Bench {
     val failJson =
       if (failures.isEmpty) ""
       else failures.sorted.map("\"" + _ + "\"").mkString(",\"failures\":[", ",", "]")
+    // self-diagnosis: a contention-contaminated artifact should say so
+    // itself instead of requiring a judge re-run (r11's q108 case —
+    // sustained box contention survived min-of-2 AND the redo pass)
+    val suspectJson =
+      suspect.map("\"" + _ + "\"").mkString(",\"suspect\":[", ",", "]")
     // The full per-query map (119 entries) makes a >3 KB line that
     // overflows the driver's stdout tail capture (BENCH_r02 recorded
     // "parsed": null). Print a compact line — total + headline subset —
@@ -207,9 +237,9 @@ object Bench {
     // cross-round comparisons don't conflate a scheme change with a
     // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson$suspectJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson$suspectJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()

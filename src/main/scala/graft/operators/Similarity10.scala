@@ -130,7 +130,7 @@ object Similarity10 {
          |FROM grid g
          |LEFT JOIN counts c ON c.m = g.m AND c.nprobe = g.nprobe
          |LEFT JOIN hits h ON h.m = g.m AND h.nprobe = g.nprobe
-         |JOIN nexact x ON x.m = g.m
+         |LEFT JOIN nexact x ON x.m = g.m
          |ORDER BY sel_mod, nprobe""".stripMargin) { (s, d) =>
       import s.implicits._
       val cand = Similarity.ivfCandidates(embeddings(s, d),
@@ -177,7 +177,10 @@ object Similarity10 {
       grid
         .join(counts, Seq("m", "nprobe"), "left")
         .join(hits, Seq("m", "nprobe"), "left")
-        .join(broadcast(nexact), Seq("m"))
+        // LEFT: a selectivity modulus with zero exact in-category mates
+        // (possible for m=100 on a tiny corpus) must stay VISIBLE as a
+        // NULL-recall row, not silently vanish with its sanity tier
+        .join(broadcast(nexact), Seq("m"), "left")
         .select(col("m").cast("long").as("sel_mod"),
           col("nprobe").cast("long").as("nprobe"),
           coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
