@@ -616,16 +616,16 @@ object EventAnalytics14 {
       |    SUM(pre4)::HUGEINT AS sxg, SUM(post4)::HUGEINT AS syg
       |  FROM u GROUP BY 1)
       |SELECT gr.treat, gr.n_users,
-      |  CAST(gr.syg AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
+      |  CAST(CAST(gr.syg AS VARCHAR) AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
       |    AS mean_post,
-      |  CAST(gr.syg AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
-      |    - (CAST(t.num AS DOUBLE) / CAST(t.denx AS DOUBLE))
-      |      * (CAST(gr.sxg AS DOUBLE) / CAST(gr.n_users AS DOUBLE)
-      |         - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |  CAST(CAST(gr.syg AS VARCHAR) AS DOUBLE) / CAST(gr.n_users AS DOUBLE) / 10000.0::DOUBLE
+      |    - (CAST(CAST(t.num AS VARCHAR) AS DOUBLE) / CAST(CAST(t.denx AS VARCHAR) AS DOUBLE))
+      |      * (CAST(CAST(gr.sxg AS VARCHAR) AS DOUBLE) / CAST(gr.n_users AS DOUBLE)
+      |         - CAST(CAST(t.sx AS VARCHAR) AS DOUBLE) / CAST(t.n AS DOUBLE))
       |      / 10000.0::DOUBLE AS adj_mean,
-      |  CAST(t.num AS DOUBLE) / CAST(t.denx AS DOUBLE) AS theta,
-      |  (CAST(t.num AS DOUBLE) * CAST(t.num AS DOUBLE))
-      |    / (CAST(t.denx AS DOUBLE) * CAST(t.deny AS DOUBLE))
+      |  CAST(CAST(t.num AS VARCHAR) AS DOUBLE) / CAST(CAST(t.denx AS VARCHAR) AS DOUBLE) AS theta,
+      |  (CAST(CAST(t.num AS VARCHAR) AS DOUBLE) * CAST(CAST(t.num AS VARCHAR) AS DOUBLE))
+      |    / (CAST(CAST(t.denx AS VARCHAR) AS DOUBLE) * CAST(CAST(t.deny AS VARCHAR) AS DOUBLE))
       |    AS var_reduction
       |FROM gr CROSS JOIN t
       |ORDER BY gr.treat""".stripMargin) { (s, d) =>

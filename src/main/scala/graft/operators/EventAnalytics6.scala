@@ -170,9 +170,9 @@ object EventAnalytics6 {
       |    SUM(CAST(rv2 AS HUGEINT) * rk2) AS sxy
       |  FROM j GROUP BY t)
       |SELECT t AS event_type, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-      |       * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+      |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+      |       * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) AS spearman_rho
       |FROM s
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     val ev = events(s, d)
