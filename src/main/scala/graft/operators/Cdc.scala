@@ -245,7 +245,62 @@ object Cdc {
       .orderBy("changes_per_key")
   }
 
+  /** Payload schema-drift audit: per JSON key appearing in the change
+    * payload (`events.props` stands in for the Debezium `after` image,
+    * whose column set drifts when the captured table's DDL changes —
+    * the reference inherits new columns silently via schema-registry
+    * evolution, schema.avsc / registry config in docker-compose), the
+    * key's lifetime (first/last day seen), day coverage, event count
+    * and share, and its value-domain width (distinct serialized
+    * values, lexicographic min/max). A key whose first_day is recent =
+    * a NEW column arrived upstream; a key whose last_day stalls = a
+    * DROPPED column — both need sink-DDL action before the upsert
+    * MERGE starts silently nulling.
+    *
+    * Exact integers/strings everywhere; the one share division is a
+    * single mirrored double op. 100 TB shape: one generator-explode of
+    * the key map (map-side), one hash agg keyed by (key) with
+    * map-side-combinable counts/min/max, plus a broadcast 1-row total;
+    * COUNT(DISTINCT day/val) shuffles only (key, day)/(key, val)
+    * pairs — bounded by key-cardinality × domain, never corpus-wide
+    * state. */
+  val propsDrift: Q = Q(
+    "cdc_props_drift",
+    """WITH t AS (SELECT COUNT(*)::BIGINT AS total FROM events),
+      |e AS (SELECT CAST(ts AS DATE) AS day, props,
+      |        UNNEST(json_keys(props)) AS key FROM events),
+      |v AS (SELECT day, key,
+      |        json_extract_string(props, '$.' || key) AS val FROM e)
+      |SELECT key, COUNT(*)::BIGINT AS n_events,
+      |  COUNT(DISTINCT day)::BIGINT AS n_days,
+      |  MIN(day) AS first_day, MAX(day) AS last_day,
+      |  COUNT(DISTINCT val)::BIGINT AS n_values,
+      |  MIN(val) AS min_val, MAX(val) AS max_val,
+      |  CAST(COUNT(*) AS DOUBLE) / MIN(t.total) AS coverage
+      |FROM v CROSS JOIN t
+      |GROUP BY key
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val ev = events(s, d)
+    val tot = broadcast(ev.agg(count(lit(1)).as("total")))
+    val v = ev
+      .select(to_date(col("ts")).as("day"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+          .as(Seq("key", "val")))
+    v.crossJoin(tot)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("day").as("n_days"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        countDistinct("val").as("n_values"),
+        min("val").as("min_val"), max("val").as("max_val"),
+        (count(lit(1)).cast("double") / min("total")).as("coverage"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] = Seq(
     upsertLatest, tombstoneState, dedupRedelivery, envelopeUnwrap,
-    microTsRoundtrip, orderInversions, keySkewAudit)
+    microTsRoundtrip, orderInversions, keySkewAudit, propsDrift)
 }
