@@ -257,6 +257,17 @@ object Cdc {
     * DROPPED column — both need sink-DDL action before the upsert
     * MERGE starts silently nulling.
     *
+    * Oracle robustness: the DuckDB side extracts each value via a
+    * QUOTED json path (`'$."' || key || '"'`) so keys containing `.`
+    * or `[` — which an unquoted `'$.' || key` would mis-parse as path
+    * structure — extract correctly. Remaining documented assumptions
+    * (held by the `events.props` generator and asserted sufficient by
+    * the hash gate): keys contain no `"` (a quoted-path escape has no
+    * portable spelling across both engines) and objects carry no
+    * duplicate keys (Spark's `from_json` map keeps the LAST duplicate;
+    * JSON semantics for duplicates are undefined, so parity there is
+    * out of scope for a drift audit).
+    *
     * Exact integers/strings everywhere; the one share division is a
     * single mirrored double op. 100 TB shape: one generator-explode of
     * the key map (map-side), one hash agg keyed by (key) with
@@ -270,7 +281,8 @@ object Cdc {
       |e AS (SELECT CAST(ts AS DATE) AS day, props,
       |        UNNEST(json_keys(props)) AS key FROM events),
       |v AS (SELECT day, key,
-      |        json_extract_string(props, '$.' || key) AS val FROM e)
+      |        json_extract_string(props, '$."' || key || '"') AS val
+      |      FROM e)
       |SELECT key, COUNT(*)::BIGINT AS n_events,
       |  COUNT(DISTINCT day)::BIGINT AS n_days,
       |  MIN(day) AS first_day, MAX(day) AS last_day,

@@ -25,9 +25,13 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
   * the concatenated arrivals counts it twice too (that contract stays
   * on the upstream dedup stage, `Streams.dedupEvents`).
   *
-  * Per batch it emits each updated key's full (event_type, v4, count)
-  * snapshot in Update mode; the final emission per key feeds the
-  * IDENTICAL factored estimator tail
+  * Per batch it emits ONLY the updated (event_type, v4, new_total)
+  * entries in Update mode — O(batch delta), never O(state): the
+  * downstream keeps latest-per-(event_type, v4), so re-emitting the
+  * untouched tail of a potentially-10⁶-entry MapState per 1-row delta
+  * would be semantically identical but O(state) I/O per batch. The
+  * union of latest emissions per (key, v4) IS the full value-count
+  * relation, and it feeds the IDENTICAL factored estimator tail
   * ([[graft.operators.EventAnalytics13.quantileFromValueCounts]]), so
   * golden ≡ one-shot holds structurally, not by re-implementation.
   *
@@ -58,11 +62,16 @@ object QuantileState {
       rows.foreach { case (_, v4) =>
         delta.update(v4, delta.getOrElse(v4, 0L) + 1L)
       }
+      // apply updates EAGERLY (state writes must not hide behind a lazy
+      // iterator) and emit only the freshly-written totals
+      val out = Vector.newBuilder[(String, Long, Long)]
       delta.foreach { case (v4, c) =>
         val cur = if (vc.containsKey(v4)) vc.getValue(v4) else 0L
-        vc.updateValue(v4, cur + c)
+        val nu = cur + c
+        vc.updateValue(v4, nu)
+        out += ((key, v4, nu))
       }
-      vc.iterator().map { case (v4, c) => (key, v4, c) }
+      out.result().iterator
     }
   }
 

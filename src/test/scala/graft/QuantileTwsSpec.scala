@@ -24,8 +24,9 @@ class QuantileTwsSpec extends AnyFunSuite {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[(String, Double)]
-    // Update-mode emission: per batch each updated key re-emits its FULL
-    // (v4 → count) snapshot; keep the latest per (key, v4)
+    // Update-mode emission: per batch each updated key emits only its
+    // UPDATED (v4 → new total) entries (O(delta), not O(state)); the
+    // latest emission per (key, v4) is that pair's final count
     @volatile var snap = Map.empty[(String, Long), Long]
     def start() = QuantileState
       .quantileSketch(in.toDF.toDF("event_type", "value"))

@@ -8,8 +8,11 @@
 #   sf0.5 — the pair family only (5x their prior max)
 # Corpora: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf03 3"
 #          sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf05 5"
-set -x
+set -ex
 cd /root/repo
+# fail fast if the manually-built corpora are absent (a missing ScaleUp
+# run must not let a failed sweep print DONE): r12 ADVICE hardening
+test -d /tmp/sf03 && test -d /tmp/sf05
 
 # the pair family: every oracle built on the posting self-join
 # (ex a JOIN ex b ON a.shingle = b.shingle) or a vector/prefix pair
