@@ -14,6 +14,69 @@ object Bench {
         name
     }.sorted
 
+  /** The per-query entries of a bench JSON line (the flat object after
+    * `"queries":` — calibration/shared_builds entries are outside it
+    * and never touched). */
+  def queriesOf(line: String): Map[String, Double] = {
+    val (open, close) = queriesSpan(line)
+    """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(line.substring(open + 1, close))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def queriesSpan(line: String): (Int, Int) = {
+    val key = "\"queries\":{"
+    val at = line.indexOf(key)
+    require(at >= 0, "no queries object in bench line")
+    val open = at + key.length - 1
+    (open, line.indexOf("}", open)) // flat object: first '}' closes it
+  }
+
+  /** Artifact-level min-merge (r12 VERDICT hygiene 1): substitute each
+    * donor timing that is FASTER than the base artifact's recorded one
+    * (the "noise spike min-merged from an isolated same-code re-run"
+    * case) and append donor entries the base sweep lacks (the
+    * "filtered same-SF run for a newly registered query" case). The
+    * rewritten line's `"patched":[…]` names every entry whose value
+    * came from a donor — a patched artifact self-describes instead of
+    * relying on SURVEY prose — and `"value"` is recomputed as the sum
+    * of the merged per-query map. Idempotent: re-applying the same
+    * donor changes nothing; the patched list is the sorted, deduped
+    * union with any pre-existing one. Donor failures (negative times)
+    * never substitute. */
+  def patchLine(base: String, donor: Map[String, Double]): String = {
+    val (open, close) = queriesSpan(base)
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(base.substring(open + 1, close))
+      .foreach(m => merged(m.group(1)) = m.group(2).toDouble)
+    val fromDonor = donor.toSeq.sortBy(_._1).collect {
+      case (k, v) if v >= 0 && merged.get(k).forall(v < _) =>
+        merged(k) = v; k
+    }
+    val priorPatched = """"patched":\[([^\]]*)\]""".r
+      .findFirstMatchIn(base).toSeq
+      .flatMap(m => """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)))
+    val allPatched = (priorPatched ++ fromDonor).distinct.sorted
+    val newBody = merged
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
+    val patchedJson = allPatched.map("\"" + _ + "\"")
+      .mkString("\"patched\":[", ",", "]")
+    val total = merged.valuesIterator.sum
+    val rebuilt =
+      base.substring(0, open + 1) + newBody + base.substring(close)
+    val withTotal = rebuilt.replaceFirst(
+      """"value":-?[0-9]+(?:\.[0-9]+)?""", f""""value":$total%.3f""")
+    if (withTotal.contains("\"patched\":["))
+      withTotal.replaceFirst(""""patched":\[[^\]]*\]""",
+        java.util.regex.Matcher.quoteReplacement(patchedJson))
+    else // older artifact without the field: splice it in before "sf"
+      withTotal.replaceFirst(""","sf":""",
+        java.util.regex.Matcher.quoteReplacement("," + patchedJson) +
+          ""","sf":""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,13 +186,16 @@ object Bench {
         () => { operators.Dedup2.sharedContainment(spark, sfDir).count(); () }),
       build("nll_per_doc",
         () => { operators.TextAnalysis3.nllPerDoc(spark, sfDir).count(); () }),
+      build("curation_flags",
+        () => { operators.TextAnalysis3.curationFlags(spark, sfDir).count(); () }),
       build("graph_pair_counts",
         () => { operators.GraphAnalytics.pairCounts(spark, sfDir).count(); () }),
       build("graph_edges",
         () => { operators.GraphAnalytics.edges(spark, sfDir).count(); () }))
-    // shared_build_sec keeps its cross-round meaning: the seven shared
-    // materializations, EXCLUDING the bucketed-layout write (excluded
-    // from it since r09)
+    // shared_build_sec = the shared materializations, EXCLUDING the
+    // bucketed-layout write (excluded since r09). Eight since r13
+    // (curation_flags joined the seven r09-r12 builds — cross-round
+    // totals compare via the itemized shared_builds map, not this sum)
     val sharedBuildSec = sharedBuilds.map(_._2).sum
     System.err.println(f"[bench] shared materialization build: $sharedBuildSec%.2fs")
     def settle(): Unit = {
@@ -223,23 +289,31 @@ object Bench {
     // sustained box contention survived min-of-2 AND the redo pass)
     val suspectJson =
       suspect.map("\"" + _ + "\"").mkString(",\"suspect\":[", ",", "]")
+    // a FRESH run never substitutes entries — "patched" is non-empty
+    // only on artifacts rewritten by tools.BenchPatch (min-merged or
+    // filtered-run-substituted entries name themselves there)
+    val patchedJson = ",\"patched\":[]"
     // The full per-query map (119 entries) makes a >3 KB line that
     // overflows the driver's stdout tail capture (BENCH_r02 recorded
     // "parsed": null). Print a compact line — total + headline subset —
     // and write the complete map to bench_last.json.
+    // r12 VERDICT task 8: the 15-query subset predated the registry's
+    // growth past 300 — sim_ivfpq_adc (the combined ANN tier) and
+    // dedup_edit_topk (a pair-family consumer) joined in r13 so
+    // cross-round headline comparisons cover the expensive families
     val headline = Set(
       "q01_pricing_summary", "q03_revenue_by_region", "q08_topk_per_group",
       "q22_asof_join", "q46_salted_join", "q84_bucketed_join",
-      "dedup_minhash_lsh", "dedup_components", "sim_topk_cosine",
-      "sim_ann_ivf", "sim_ann_pq", "text_bm25", "text_tfidf",
-      "q66_funnel", "cdc_scd2_history")
+      "dedup_minhash_lsh", "dedup_components", "dedup_edit_topk",
+      "sim_topk_cosine", "sim_ann_ivf", "sim_ann_pq", "sim_ivfpq_adc",
+      "text_bm25", "text_tfidf", "q66_funnel", "cdc_scd2_history")
     // "scheme" marks the timing methodology (min-of-2 since r04) so
     // cross-round comparisons don't conflate a scheme change with a
     // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson$suspectJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson$suspectJson$patchedJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson$suspectJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson$suspectJson$patchedJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()

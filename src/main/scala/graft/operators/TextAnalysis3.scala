@@ -366,11 +366,31 @@ object TextAnalysis3 {
        |       ELSE 'kept' END) = 'kept' AS kept
        |FROM w
        |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    curationFlags(s, d)
+      .select(col("doc_id"), curationReason.as("reason"),
+        (curationReason === "kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The `curation_flags` lake table: ONE row per document carrying
+    * every gate's boolean verdict (holdout, quality_bad, exact_dup,
+    * near_dup, contaminated). Materialized once per (session, corpus)
+    * via [[Dedup.sharedMat]] — the same snapshot-amortization as the
+    * pair graph, because two of its inputs grow super-linearly in
+    * corpus size (the near-dup pair relation and the 5-shingle
+    * decontamination self-join) while its OUTPUT is strictly linear
+    * (one row per doc). Both verdict consumers ([[keepList]],
+    * [[verdicts]]) and any downstream epoch planner scan this relation
+    * instead of re-running the gates — at 100 TB the flags are written
+    * next to the corpus snapshot and every curation query is a linear
+    * scan. (r12 VERDICT task 5: text_keep_list was the registry's
+    * worst scaler at 2.13x sf2/sf1 precisely because it re-read the
+    * pair dump and re-ran the contamination join per query.) */
+  private[graft] def curationFlags(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedMat(s, d, "curation_flags")(curationFlagsBuild(s, d))
+
+  private def curationFlagsBuild(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val ws = split(trim(col("text")), " ")
-    val q = docs.select(col("doc_id"), col("text"),
-      size(ws).cast("bigint").as("n_words"),
-      (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
     val exKeep = docs.groupBy(lower(trim(col("text"))).as("norm"))
       .agg(min("doc_id").as("keep_id"))
     val exd = docs.select(col("doc_id"), lower(trim(col("text"))).as("norm"))
@@ -388,7 +408,8 @@ object TextAnalysis3 {
     val hold = sh5.filter(col("doc_id") % 50 === 0).select("s").distinct()
     val cont = sh5.filter(col("doc_id") % 50 =!= 0).join(hold, "s")
       .select("doc_id").distinct().withColumn("is_cont", lit(true))
-    q.join(exd, Seq("doc_id"), "left")
+    docs.select(col("doc_id"), col("text"))
+      .join(exd, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -397,8 +418,64 @@ object TextAnalysis3 {
         coalesce(col("is_exdup"), lit(false)).as("exact_dup"),
         coalesce(col("is_neardup"), lit(false)).as("near_dup"),
         coalesce(col("is_cont"), lit(false)).as("contaminated"))
-      .select(col("doc_id"), curationReason.as("reason"),
-        (curationReason === "kept").as("kept"))
+  }
+
+  /** The production verdict view (r12 VERDICT task 5): per-document
+    * keep/drop with the FULL flag vector, not just the first failing
+    * stage — downstream consumers can re-derive a verdict under a
+    * different precedence (e.g. keep holdout docs for eval sets, or
+    * tolerate contamination for a code corpus) without re-running any
+    * gate. Linear output, linear per-query work: one scan of the
+    * materialized [[curationFlags]] relation + a projection; the
+    * quadratic pair/contamination machinery stays inside the
+    * once-per-corpus build, exactly the way `dedup_edit_topk`
+    * linearizes `dedup_edit_distance`. The oracle restates every gate
+    * independently from the raw tables. */
+  val verdicts: Q = Q(
+    "curation_verdicts",
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+       |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr
+       |  FROM documents),
+       |ex AS (SELECT LOWER(TRIM(text)) AS norm, MIN(doc_id) AS keep_id
+       |       FROM documents GROUP BY 1),
+       |exd AS (SELECT d.doc_id FROM documents d
+       |        JOIN ex ON LOWER(TRIM(d.text)) = ex.norm
+       |        WHERE d.doc_id <> ex.keep_id),
+       |jp AS (${Dedup.duckJaccardPairs}),
+       |nd AS (SELECT DISTINCT b_id AS doc_id FROM jp),
+       |ws5 AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |sh5 AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, UNNEST(${duckRawShingles(5)}) AS s FROM ws5)),
+       |hold AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0),
+       |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN hold USING (s)
+       |         WHERE sh5.doc_id % 50 <> 0),
+       |fl AS (
+       |  SELECT w.doc_id,
+       |    w.doc_id % 50 = 0 AS holdout,
+       |    COALESCE(NOT (w.n_words BETWEEN 20 AND 80 AND w.ttr >= 0.3),
+       |             FALSE) AS quality_bad,
+       |    w.doc_id IN (SELECT doc_id FROM exd) AS exact_dup,
+       |    w.doc_id IN (SELECT doc_id FROM nd) AS near_dup,
+       |    w.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+       |  FROM w)
+       |SELECT doc_id, holdout, quality_bad, exact_dup, near_dup, contaminated,
+       |  CASE WHEN holdout THEN 'holdout'
+       |       WHEN quality_bad THEN 'quality'
+       |       WHEN exact_dup THEN 'exact_dup'
+       |       WHEN near_dup THEN 'near_dup'
+       |       WHEN contaminated THEN 'contaminated'
+       |       ELSE 'kept' END AS reason,
+       |  NOT (holdout OR quality_bad OR exact_dup OR near_dup
+       |       OR contaminated) AS kept
+       |FROM fl
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    curationFlags(s, d)
+      .select(col("doc_id"), col("holdout"), col("quality_bad"),
+        col("exact_dup"), col("near_dup"), col("contaminated"),
+        curationReason.as("reason"), (curationReason === "kept").as("kept"))
       .orderBy("doc_id")
   }
 
@@ -483,5 +560,5 @@ object TextAnalysis3 {
   }
 
   val all: Seq[Q] = Seq(piiRedact, repetition, decontaminate,
-    decontaminateBloom, entropy, keepList, perplexity)
+    decontaminateBloom, entropy, keepList, verdicts, perplexity)
 }

@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Skew-robustness study harness (r12 VERDICT task 3): measures, on a
+  * [[SkewUp]] hot-keyed corpus, (a) whether AQE's skew-join splitting
+  * actually fires (plan evidence, not assumption), (b) what it buys
+  * over an unsplit shuffle join, (c) what the explicit salted route
+  * buys when AQE is off (the pre-AQE world / the shapes AQE cannot
+  * split), and (d) what happens to a BUCKETED co-located join whose
+  * hot key lands in one bucket — AQE cannot split a join with no
+  * exchange, so bucketing trades away skew handling for shuffle
+  * avoidance. Also runs cdc_key_skew_audit to show the ops-surface
+  * audit SEES the injected head.
+  *
+  * Threshold scaling, disclosed: at the 256 MB default
+  * skewedPartitionThresholdInBytes a ~1 GB local corpus never trips
+  * the splitter, while at 100 TB the same 25%-hot key produces
+  * multi-GB partitions that trip it at the defaults. The study scales
+  * the THRESHOLD to the corpus (8 MB), not the logic. Broadcast is
+  * disabled for the shuffle cases because the dim side here fits in
+  * memory and would otherwise broadcast — broadcast is the FIRST
+  * mitigation and is measured as its own case; the shuffle cases model
+  * the 100 TB regime where the dim does NOT fit.
+  *
+  * Usage: runMain graft.tools.SkewStudy <skewDir>
+  * Prints one JSON line with per-case min-of-2 seconds + plan evidence.
+  */
+object SkewStudy {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/skew1")
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+
+    def shuffleOnly(on: Boolean): Unit = {
+      val v = if (on) "-1" else "10485760"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (on) "-1" else "67108864")
+    }
+
+    /** min-of-2 wall seconds + the FINAL adaptive plan of the last run */
+    def time2(mk: () => DataFrame): (Double, String) = {
+      def once(): (Double, String) = {
+        val df = mk()
+        val t0 = System.nanoTime()
+        df.collect()
+        ((System.nanoTime() - t0) / 1e9,
+          df.queryExecution.executedPlan.toString)
+      }
+      val (t1, _) = once()
+      val (t2, plan) = once()
+      (math.min(t1, t2), plan)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val notes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def record(name: String, mk: () => DataFrame): String = {
+      val (dt, plan) = time2(mk)
+      results(name) = dt
+      System.err.println(f"[skew] $name%-24s $dt%8.2fs")
+      plan
+    }
+
+    def joined(): DataFrame = {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+      li.join(ord, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("double")).as("revenue"))
+    }
+
+    // (a)+(b): shuffle join with AQE skew split ON vs OFF
+    shuffleOnly(true)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val planOn = record("shuffle_skew_split_on", () => joined())
+    val splitSeen = planOn.toLowerCase.contains("skew")
+    notes("skew_split_seen") = splitSeen.toString
+    planOn.linesIterator.filter(_.toLowerCase.contains("skew"))
+      .take(4).foreach(l => System.err.println("[skew]   plan: " + l.trim))
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    record("shuffle_skew_split_off", () => joined())
+
+    // (c): the explicit salted route, AQE split still off — what
+    // salting buys where AQE cannot act (it also covers shapes AQE
+    // skew-split skips entirely, e.g. aggregations and bucketed scans)
+    record("salted_join_split_off", () => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+      graft.operators.Joins.saltedJoin(li, ord, Seq("o_orderkey"),
+          saltFactor = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("double")).as("revenue"))
+    })
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    // first mitigation for reference: broadcast the dim (no fact-side
+    // key shuffle exists, so key skew is irrelevant to the join itself)
+    shuffleOnly(false)
+    record("broadcast_dim", () => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+      li.join(broadcast(ord), Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("double")).as("revenue"))
+    })
+
+    // (d): the bucketed co-located join with the hot custkey in ONE
+    // bucket — exchange-free, therefore beyond AQE skew splitting
+    shuffleOnly(true) // broadcast off: the join must use the buckets
+    val planBkt = record("bucketed_join_hot_bucket", () =>
+      graft.operators.Relational8.q84BucketedJoin.run(spark, dir))
+    // exchange-free on the JOIN inputs (the 5-row post-join agg still
+    // shuffles) — the PlanShapeSpec q84 criterion
+    notes("bucketed_exchange_free") =
+      (planBkt.contains("SortMergeJoin") &&
+        !planBkt.split("SortMergeJoin").last.contains("Exchange")).toString
+    shuffleOnly(false)
+
+    // the ops audit must SEE the injected head: top changes-per-key row
+    val audit = graft.operators.Cdc.keySkewAudit.run(spark, dir)
+      .orderBy(col("changes_per_key").desc).limit(3).collect()
+    val top = audit.headOption
+    notes("audit_top_changes_per_key") =
+      top.map(_.getLong(0).toString).getOrElse("0")
+    notes("audit_top_traffic_share") =
+      top.map(r => f"${r.getDouble(3)}%.4f").getOrElse("0")
+
+    val qj = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
+    val nj = notes
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    spark.stop()
+    println(s"""{"study":"skew","dir":"$dir","cases":{$qj},$nj}""")
+  }
+}

@@ -28,4 +28,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspects(Nil, prior) === Nil)
     assert(Bench.suspects(results, Map.empty) === Nil)
   }
+
+  /** r12 VERDICT hygiene 1: a patched artifact must name WHICH entries
+    * were substituted. patchLine min-merges donor timings, appends
+    * donor-only entries, recomputes the total, and is idempotent. */
+  test("patchLine substitutes faster donors, appends missing, self-describes") {
+    val base = """{"metric":"total","value":3.000,"unit":"sec","scheme":"min2redo","calibration_sec":4.350,"calibration":{"agg":1.100,"join":2.000,"window":1.250},"shared_build_sec":9.000,"queries":{"q_spike":2.500,"q_fast":0.200,"q_keep":0.300},"suspect":[],"sf":"/tmp/sfX"}"""
+    val donor = Map(
+      "q_spike" -> 0.400, // faster → substituted (noise-spike min-merge)
+      "q_keep" -> 0.900, // slower → base kept, NOT marked patched
+      "q_new" -> 0.100, // absent from base → appended (filtered run)
+      "q_bad" -> -1.0) // donor failure: never substitutes
+    val out = Bench.patchLine(base, donor)
+    assert(out.contains(""""patched":["q_new","q_spike"]"""))
+    assert(out.contains(""""q_spike":0.400"""))
+    assert(out.contains(""""q_keep":0.300"""))
+    assert(out.contains(""""q_new":0.100"""))
+    assert(!out.contains("q_bad"))
+    // total recomputed over the merged map: 0.4+0.2+0.3+0.1
+    assert(out.contains(""""value":1.000"""))
+    // calibration entries (outside the queries object) untouched
+    assert(out.contains(""""join":2.000"""))
+    assert(Bench.queriesOf(out) ===
+      Map("q_spike" -> 0.4, "q_fast" -> 0.2, "q_keep" -> 0.3, "q_new" -> 0.1))
+    // idempotent: same donor again changes nothing
+    assert(Bench.patchLine(out, donor) === out)
+    // a later donor UNIONS into the existing patched list
+    val out2 = Bench.patchLine(out, Map("q_fast" -> 0.050))
+    assert(out2.contains(""""patched":["q_fast","q_new","q_spike"]"""))
+    assert(out2.contains(""""value":0.850"""))
+  }
 }
