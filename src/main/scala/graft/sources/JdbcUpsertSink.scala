@@ -66,11 +66,19 @@ object JdbcUpsertSink {
         val rs = conn.getMetaData.getTables(null, null, table, null)
         try rs.next() finally rs.close()
       }
-      if (!exists)
+      if (!exists) {
         st.executeUpdate(
           s"""CREATE TABLE ${q(table)} AS
              |SELECT ${cols.map(q).mkString(", ")} FROM ${q(staging)}
              |WITH NO DATA""".stripMargin)
+        // key index at create time: without it the MERGE's ON clause is
+        // a nested-loop scan of the whole target per staged row —
+        // quadratic in table size, measured as a wall-clock cliff by
+        // tools/StreamBench. An upsert sink's key is its lookup path;
+        // every real OLAP/JDBC target would carry a PK here.
+        st.executeUpdate(
+          s"CREATE INDEX ${q(table + "_key_idx")} ON ${q(table)}(${q(keyCol)})")
+      }
       else {
         // schema evolution (the whole-DB CDC reality — upstream tables
         // gain columns mid-stream): add staging columns the target lacks,
