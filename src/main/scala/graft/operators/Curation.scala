@@ -428,6 +428,63 @@ object Curation {
       .orderBy("rn")
   }
 
+  /** Sequence packing for training (the GPT-style concat-and-chunk
+    * prep): documents that pass the cheap per-row gates (holdout
+    * excluded, quality window) are concatenated in doc_id order and
+    * chunked into fixed 2048-token context windows; each doc's
+    * placement — first/last chunk index, chunks spanned, offset inside
+    * its first chunk — falls out of the exclusive running token sum.
+    * This is the shard-order packing map a data loader consumes (and
+    * the n_chunks > 1 rows are exactly the documents a
+    * cross-document-attention mask must handle).
+    *
+    * Everything is exact integer arithmetic on a deterministic total
+    * order. 100 TB shape: the ONLY non-map-side work is one
+    * [[ScalableWindows.globalRunningSum]] two-pass (range partition +
+    * per-partition offsets — no single-task global window); chunk
+    * indices are per-row divisions after that. */
+  val packBins: Q = {
+    val cap = 2048L
+    Q(
+      "curation_pack_bins",
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS n_tok,
+         |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+         |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr
+         |  FROM documents),
+         |keep AS (
+         |  SELECT doc_id, n_tok FROM tk
+         |  WHERE doc_id % 50 <> 0
+         |    AND n_tok BETWEEN 20 AND 80 AND ttr >= 0.3),
+         |r AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM keep)
+         |SELECT doc_id, n_tok,
+         |  (cum - n_tok) // $cap AS first_chunk,
+         |  (cum - 1) // $cap AS last_chunk,
+         |  ((cum - 1) // $cap) - ((cum - n_tok) // $cap) + 1 AS n_chunks,
+         |  (cum - n_tok) % $cap AS chunk_offset
+         |FROM r
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = split(trim(col("text")), " ")
+      val keep = documents(s, d)
+        .filter(!TextAnalysis3.isHoldout(col("doc_id")) &&
+          !TextAnalysis3.qualityBad(col("text")))
+        .select(col("doc_id"), size(ws).cast("long").as("n_tok"))
+      ScalableWindows.globalRunningSum(keep,
+          Seq(col("doc_id")), col("n_tok"), "rn", "cum")
+        .withColumn("first_chunk", expr(s"(cum - n_tok) div $cap"))
+        .withColumn("last_chunk", expr(s"(cum - 1) div $cap"))
+        .select(col("doc_id"), col("n_tok"),
+          col("first_chunk"), col("last_chunk"),
+          (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"),
+          expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges,
-    dupInflation, tokenBudget)
+    dupInflation, tokenBudget, packBins)
 }
