@@ -36,7 +36,7 @@ object SparkEntry {
       Similarity.all ++ Similarity2.all ++ Similarity3.all ++
       Similarity4.all ++ Similarity5.all ++ Similarity6.all ++
       Similarity7.all ++ Similarity8.all ++ Similarity9.all ++
-      Similarity10.all ++ Similarity11.all ++
+      Similarity10.all ++ Similarity11.all ++ Similarity12.all ++
       Multimodal.all ++ Multimodal2.all ++ Multimodal3.all ++
       Multimodal4.all
 
