@@ -46,10 +46,10 @@ object Similarity12 {
   private def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** SQ8 encode + asymmetric-cosine shortlist + exact re-rank.
-    * Output: (q_id, n_id, rank, sim). */
-  def sq8Topk(emb: DataFrame, numQueries: Int, k: Int,
-      shortlist: Int = Shortlist): DataFrame = {
+  /** SQ8 encode + asymmetric ranking: (q_id, n_id, srank ≤ depth) —
+    * the shared head of [[sq8Topk]] and the tuning table. */
+  private[operators] def sq8Shortlist(emb: DataFrame, numQueries: Int,
+      depth: Int): DataFrame = {
     val compD = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), col("pos"), col("vf").cast("double").as("v"))
@@ -75,14 +75,22 @@ object Similarity12 {
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("q_emb"))
     val wS = Window.partitionBy("q_id").orderBy(col("ascore").desc, col("n_id"))
-    val short = xhat.select(col("vec_id").as("n_id"), col("xhat"))
+    xhat.select(col("vec_id").as("n_id"), col("xhat"))
       .join(broadcast(qD), col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         (hofDot(col("q_emb"), col("xhat"))
           / (sqrt(hofDot(col("q_emb"), col("q_emb")))
             * sqrt(hofDot(col("xhat"), col("xhat"))))).as("ascore"))
       .withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= shortlist)
+      .filter(col("srank") <= depth)
+      .select("q_id", "n_id", "srank")
+  }
+
+  /** SQ8 encode + asymmetric-cosine shortlist + exact re-rank.
+    * Output: (q_id, n_id, rank, sim). */
+  def sq8Topk(emb: DataFrame, numQueries: Int, k: Int,
+      shortlist: Int = Shortlist): DataFrame = {
+    val short = sq8Shortlist(emb, numQueries, shortlist)
       .select("q_id", "n_id")
     // exact cosine re-rank over shortlist·|Q| rows only (float arrays,
     // the native codegen'd fold — the pqTopk tail)
@@ -104,10 +112,12 @@ object Similarity12 {
       .orderBy("q_id", "rank")
   }
 
-  /** [[sq8Topk]] restated over DuckDB primitives — identical encode
-    * expression, identical sequential folds. */
-  private lazy val duckSq8: String =
-    s"""WITH comp AS (
+  /** The SQ8 encode + asymmetric ranking CTE chain (comp → … →
+    * ranked(q_id, n_id, srank)) shared by [[duckSq8]] and the tuning
+    * oracle — factored so both oracles quantize with the SAME codebook
+    * and folds by construction. */
+  private lazy val duckSq8Ctes: String =
+    s"""comp AS (
        |  SELECT vec_id, UNNEST(RANGE(0, $EmbDim)) AS pos,
        |    UNNEST(embedding) AS vf
        |  FROM embeddings),
@@ -135,13 +145,18 @@ object Similarity12 {
        |         * SQRT(${duckDot("x.xhat", "x.xhat", EmbDim)})) AS ascore
        |  FROM xh x CROSS JOIN q
        |  WHERE x.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ascore DESC, n_id) AS srank
+       |  FROM approx)""".stripMargin
+
+  /** [[sq8Topk]] restated over DuckDB primitives — identical encode
+    * expression, identical sequential folds. */
+  private lazy val duckSq8: String =
+    s"""WITH $duckSq8Ctes,
        |short AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT q_id, n_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q_id
-       |        ORDER BY ascore DESC, n_id) AS srank
-       |    FROM approx)
-       |  WHERE srank <= $Shortlist)
+       |  SELECT q_id, n_id FROM ranked WHERE srank <= $Shortlist)
        |SELECT q_id, n_id, rank, sim FROM (
        |  SELECT s.q_id, s.n_id,
        |    ${duckCosine("qe.embedding", "c.embedding", EmbDim)} AS sim,
@@ -160,5 +175,74 @@ object Similarity12 {
     sq8Topk(embeddings(s, d), numQueries = NumQueries, k = K)
   }
 
-  val all: Seq[Q] = Seq(sq8Rerank)
+  /** The shortlist-depth knob sweep (r10 `dedup_lsh_tuning` /
+    * `sim_filtered_tuning` pattern applied to SQ8): for each candidate
+    * depth, what fraction of the TRUE top-k (full-precision brute
+    * force) already sits inside the SQ8-ranked shortlist — the
+    * recall-vs-rerank-cost curve an operator reads before fixing the
+    * depth. Counts are exact integers (one division per row at the
+    * end), so the whole table hash-checks. 100 TB shape: the exact
+    * top-k is |Q|-broadcast brute force (the audit tier that exists
+    * anyway as `sim_topk_cosine`), the approx ranking is the SQ8 scan,
+    * and the sweep is a ≤|depths|·|Q|·k-row aggregation. */
+  val sq8Tuning: Q = {
+    val depths = Seq(10, 25, 50, 100, 150)
+    Q(
+      "sim_sq8_tuning",
+      s"""WITH $duckSq8Ctes,
+         |exact AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCosine("q.embedding", "c.embedding", EmbDim)} DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NumQueries)
+         |  WHERE rank <= $K),
+         |hit AS (
+         |  SELECT e.q_id, e.n_id, r.srank
+         |  FROM exact e LEFT JOIN ranked r
+         |    ON r.q_id = e.q_id AND r.n_id = e.n_id),
+         |d AS (SELECT UNNEST([${depths.mkString(", ")}]) AS depth)
+         |SELECT CAST(d.depth AS BIGINT) AS depth,
+         |  COUNT(CASE WHEN hit.srank IS NOT NULL AND hit.srank <= d.depth
+         |             THEN 1 END)::BIGINT AS n_found,
+         |  CAST(COUNT(CASE WHEN hit.srank IS NOT NULL
+         |                  AND hit.srank <= d.depth THEN 1 END) AS DOUBLE)
+         |    / ${NumQueries * K}::DOUBLE AS recall
+         |FROM d CROSS JOIN hit
+         |GROUP BY d.depth
+         |ORDER BY d.depth""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+      val ranked = sq8Shortlist(emb, NumQueries, depths.max)
+      val e = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = e
+        .select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+        .join(broadcast(queries), col("n_id") =!= col("q_id"))
+        .withColumn("sim",
+          dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("q_id", "n_id")
+      val hit = exact.join(ranked, Seq("q_id", "n_id"), "left")
+      hit
+        .crossJoin(broadcast(
+          s.range(0, 1).select(
+            explode(array(depths.map(lit): _*)).as("depth"))))
+        .groupBy("depth")
+        .agg(count(when(col("srank").isNotNull &&
+            col("srank") <= col("depth"), 1)).as("n_found"))
+        .select(col("depth").cast("bigint").as("depth"), col("n_found"),
+          (col("n_found").cast("double") / lit((NumQueries * K).toDouble))
+            .as("recall"))
+        .orderBy("depth")
+    }
+  }
+
+  val all: Seq[Q] = Seq(sq8Rerank, sq8Tuning)
 }
