@@ -133,7 +133,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // is a regression. (The final presentation orderBy plans a RANGE
     // exchange — parallel — so a blanket assert is safe.)
     for (q <- Seq(Relational.q10RankFamily,
-        graft.operators.TextAnalysis4.vocabGrowth)) {
+        graft.operators.TextAnalysis4.vocabGrowth,
+        // r13: the packing map's global running token sum must also
+        // ride the two-pass shape, not a single-task window
+        graft.operators.Curation.packBins)) {
       val plan = q.run(spark, TestSpark.tiny)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange SinglePartition"),
