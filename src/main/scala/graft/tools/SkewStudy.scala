@@ -83,9 +83,13 @@ object SkewStudy {
     shuffleOnly(true)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     val planOn = record("shuffle_skew_split_on", () => joined())
-    val splitSeen = planOn.toLowerCase.contains("skew")
+    // precise markers only — a lowercase contains("skew") also matches
+    // the corpus PATH (/tmp/skew1/...), a false positive the default-
+    // threshold addendum caught (SkewStudyDefault)
+    val splitSeen = planOn.contains("skew=true") || planOn.contains("skewed")
     notes("skew_split_seen") = splitSeen.toString
-    planOn.linesIterator.filter(_.toLowerCase.contains("skew"))
+    planOn.linesIterator
+      .filter(l => l.contains("skew=true") || l.contains("skewed"))
       .take(4).foreach(l => System.err.println("[skew]   plan: " + l.trim))
 
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
