@@ -43,13 +43,35 @@ object Bench {
     * of the merged per-query map. Idempotent: re-applying the same
     * donor changes nothing; the patched list is the sorted, deduped
     * union with any pre-existing one. Donor failures (negative times)
-    * never substitute. */
-  def patchLine(base: String, donor: Map[String, Double]): String = {
+    * never substitute.
+    *
+    * Provenance (r13 ADVICE): a patched artifact no longer claims the
+    * sweep's methodology — its `"scheme"` gains a `+patched` suffix,
+    * and `"donors":[…]` records every donor artifact whose timings
+    * were merged in, so cross-round consumers can tell a patched total
+    * (mixed methodologies, biased toward the min) from a sweep total.
+    *
+    * Guard (r13 ADVICE): only the FULL bench line may be patched. The
+    * compact stdout line is shape-identical but its queries map is the
+    * headline subset, so recomputing `"value"` from it would silently
+    * shrink the recorded full-registry total. A full line's value IS
+    * the sum of its map (within per-entry %.3f rounding); anything
+    * else fails loudly. */
+  def patchLine(base: String, donor: Map[String, Double],
+      donorLabel: String = ""): String = {
     val (open, close) = queriesSpan(base)
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
     """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
       .findAllMatchIn(base.substring(open + 1, close))
       .foreach(m => merged(m.group(1)) = m.group(2).toDouble)
+    val baseValue = """"value":(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findFirstMatchIn(base).map(_.group(1).toDouble)
+      .getOrElse(sys.error("no \"value\" field in bench line"))
+    val tol = 0.002 * merged.size + 0.01 // %.3f rounding per entry
+    require(math.abs(baseValue - merged.valuesIterator.sum) <= tol,
+      f"patchLine requires the FULL bench line: value=$baseValue%.3f != " +
+        f"sum(queries)=${merged.valuesIterator.sum}%.3f over ${merged.size} " +
+        "entries — this looks like the compact headline-subset stdout line")
     val fromDonor = donor.toSeq.sortBy(_._1).collect {
       case (k, v) if v >= 0 && merged.get(k).forall(v < _) =>
         merged(k) = v; k
@@ -59,22 +81,64 @@ object Bench {
       .flatMap(m => """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(m.group(1))
         .map(_.group(1)))
     val allPatched = (priorPatched ++ fromDonor).distinct.sorted
+    val priorDonors = """"donors":\[([^\]]*)\]""".r
+      .findFirstMatchIn(base).toSeq
+      .flatMap(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)))
+    val allDonors = (priorDonors ++
+      (if (fromDonor.nonEmpty && donorLabel.nonEmpty) Seq(donorLabel)
+       else Nil)).distinct.sorted
     val newBody = merged
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
     val patchedJson = allPatched.map("\"" + _ + "\"")
-      .mkString("\"patched\":[", ",", "]")
+      .mkString("\"patched\":[", ",", "]") +
+      (if (allDonors.isEmpty) ""
+       else allDonors.map("\"" + _ + "\"")
+         .mkString(",\"donors\":[", ",", "]"))
     val total = merged.valuesIterator.sum
     val rebuilt =
       base.substring(0, open + 1) + newBody + base.substring(close)
     val withTotal = rebuilt.replaceFirst(
       """"value":-?[0-9]+(?:\.[0-9]+)?""", f""""value":$total%.3f""")
-    if (withTotal.contains("\"patched\":["))
-      withTotal.replaceFirst(""""patched":\[[^\]]*\]""",
-        java.util.regex.Matcher.quoteReplacement(patchedJson))
-    else // older artifact without the field: splice it in before "sf"
-      withTotal.replaceFirst(""","sf":""",
-        java.util.regex.Matcher.quoteReplacement("," + patchedJson) +
-          ""","sf":""")
+    val withScheme =
+      if (allPatched.isEmpty || withTotal.contains("+patched")) withTotal
+      else withTotal.replaceFirst(""""scheme":"([^"]+)"""",
+        """"scheme":"$1+patched"""")
+    val spliced =
+      if (withScheme.contains("\"patched\":["))
+        withScheme.replaceFirst(
+          """"patched":\[[^\]]*\](,"donors":\[[^\]]*\])?""",
+          java.util.regex.Matcher.quoteReplacement(patchedJson))
+      else // older artifact without the field: splice it in before "sf"
+        withScheme.replaceFirst(""","sf":""",
+          java.util.regex.Matcher.quoteReplacement("," + patchedJson) +
+            ""","sf":""")
+    spliced
+  }
+
+  /** Cross-round box-drift adjudication, IN the artifact (r13 VERDICT
+    * "What's wrong 1": every round since r11 burned judge time
+    * re-deriving "it's box noise" by hand). Over the queries shared
+    * with the prior same-SF artifact:
+    *   raw_ratio         = Σ now / Σ prior (what a naive diff reads),
+    *   calibration_ratio = this run's SF-independent probe total over
+    *                       the prior run's (pure box drift), and
+    *   calibrated_ratio  = raw / calibration — the number a judge
+    *                       should grade: ≈1.0 means the code didn't
+    *                       move, the box did.
+    * Empty when there is no prior, no overlap, or no usable prior
+    * calibration (first run at an SF, or a pre-r11 artifact). */
+  def vsPrior(results: Seq[(String, Double)], prior: Map[String, Double],
+      calibSec: Double, priorCalibSec: Double): String = {
+    val shared = results.filter { case (k, v) => v >= 0 && prior.contains(k) }
+    val sumNow = shared.map(_._2).sum
+    val sumPrior = shared.map { case (k, _) => prior(k) }.sum
+    if (shared.isEmpty || sumPrior <= 0 || calibSec <= 0 || priorCalibSec <= 0) ""
+    else {
+      val raw = sumNow / sumPrior
+      val calib = calibSec / priorCalibSec
+      f""","vs_prior":{"prior":"bench_last.json","n_shared":${shared.size},"raw_ratio":$raw%.3f,"calibration_ratio":$calib%.3f,"calibrated_ratio":${raw / calib}%.3f}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -212,18 +276,17 @@ object Bench {
     // carried a 10x phantom on four untouched queries because one slow
     // window spanned both min-of-2 iterations; a prior-relative re-run
     // AFTER the sweep lands in a different window and corrects it)
-    val prior: Map[String, Double] =
+    val (prior: Map[String, Double], priorCalibSec: Double) =
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("bench_last.json"))
         val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
-        else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, _) => k != "value" && k != "shared_build_sec" }
-          .toMap
-      } catch { case _: Throwable => Map.empty }
+        if (!sfOk) (Map.empty[String, Double], 0.0)
+        else (queriesOf(txt),
+          """"calibration_sec":([0-9]+\.[0-9]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(0.0))
+      } catch { case _: Throwable => (Map.empty[String, Double], 0.0) }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -293,6 +356,8 @@ object Bench {
     // only on artifacts rewritten by tools.BenchPatch (min-merged or
     // filtered-run-substituted entries name themselves there)
     val patchedJson = ",\"patched\":[]"
+    // the automatic box-drift adjudication block (r13 VERDICT task 3)
+    val vsPriorJson = vsPrior(results, prior, calibrationSec, priorCalibSec)
     // The full per-query map (119 entries) makes a >3 KB line that
     // overflows the driver's stdout tail capture (BENCH_r02 recorded
     // "parsed": null). Print a compact line — total + headline subset —
@@ -311,9 +376,9 @@ object Bench {
     // cross-round comparisons don't conflate a scheme change with a
     // real regression — r01–r03 numbers were single cold-ish runs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson$suspectJson$patchedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"shared_build_sec":$sharedBuildSec%.3f,"queries":${fmt(results.filter(r => headline(r._1)))}$failJson$suspectJson$patchedJson$vsPriorJson,"sf":"$sfDir"}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson$suspectJson$patchedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","scheme":"min2redo","calibration_sec":$calibrationSec%.3f,"calibration":${fmt(calib)},"shared_build_sec":$sharedBuildSec%.3f,"shared_builds":${fmt(buckets +: sharedBuilds)},"queries":${fmt(results)}$failJson$suspectJson$patchedJson$vsPriorJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so the metric JSON is the last stdout
     // line, then also drop a file copy (both machine-readable routes)
     spark.stop()

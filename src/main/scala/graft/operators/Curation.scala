@@ -438,6 +438,11 @@ object Curation {
     * the n_chunks > 1 rows are exactly the documents a
     * cross-document-attention mask must handle).
     *
+    * NULL semantics match [[TextAnalysis3.qualityBad]] exactly: a NULL
+    * text yields a NULL quality predicate, which COALESCEs to not-bad
+    * on BOTH sides (keepList's contract) — a corpus with missing text
+    * cannot shift the cumulative sums on one side only.
+    *
     * Everything is exact integer arithmetic on a deterministic total
     * order. 100 TB shape: the ONLY non-map-side work is one
     * [[ScalableWindows.globalRunningSum]] two-pass (range partition +
@@ -456,7 +461,8 @@ object Curation {
          |keep AS (
          |  SELECT doc_id, n_tok FROM tk
          |  WHERE doc_id % 50 <> 0
-         |    AND n_tok BETWEEN 20 AND 80 AND ttr >= 0.3),
+         |    AND NOT COALESCE(NOT (n_tok BETWEEN 20 AND 80 AND ttr >= 0.3),
+         |                     FALSE)),
          |r AS (
          |  SELECT doc_id, n_tok,
          |    CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum

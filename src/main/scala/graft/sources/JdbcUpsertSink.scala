@@ -80,6 +80,24 @@ object JdbcUpsertSink {
           s"CREATE INDEX ${q(table + "_key_idx")} ON ${q(table)}(${q(keyCol)})")
       }
       else {
+        // create-if-absent key index: a target created by pre-index code
+        // (checkpointed stream resumed against an old table — exactly the
+        // upgrade/recovery scenario the sink exists for) would otherwise
+        // keep the quadratic nested-loop MERGE cliff forever. Any index
+        // whose leading column is the key serves the MERGE's ON lookup.
+        val hasKeyIndex = {
+          val rs = conn.getMetaData.getIndexInfo(null, null, table, false, false)
+          try {
+            var found = false
+            while (!found && rs.next())
+              found = rs.getShort("ORDINAL_POSITION") == 1 &&
+                keyCol.equalsIgnoreCase(rs.getString("COLUMN_NAME"))
+            found
+          } finally rs.close()
+        }
+        if (!hasKeyIndex)
+          st.executeUpdate(
+            s"CREATE INDEX ${q(table + "_key_idx")} ON ${q(table)}(${q(keyCol)})")
         // schema evolution (the whole-DB CDC reality — upstream tables
         // gain columns mid-stream): add staging columns the target lacks,
         // typed from the staging table the JDBC writer just created.

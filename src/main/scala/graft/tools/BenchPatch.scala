@@ -25,7 +25,10 @@ object BenchPatch {
     val Array(baseF, donorF, outF) = args.take(3)
     val base = Files.readString(Paths.get(baseF)).trim
     val donor = graft.Bench.queriesOf(Files.readString(Paths.get(donorF)).trim)
-    val out = graft.Bench.patchLine(base, donor)
+    // donor provenance rides in the artifact (r13 ADVICE): the donors
+    // list names the file, and the scheme gains "+patched" in patchLine
+    val out = graft.Bench.patchLine(base, donor,
+      Paths.get(donorF).getFileName.toString)
     Files.writeString(Paths.get(outF), out + "\n")
     val patched = """"patched":\[([^\]]*)\]""".r
       .findFirstMatchIn(out).map(_.group(1)).getOrElse("")

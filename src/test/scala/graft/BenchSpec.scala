@@ -39,8 +39,12 @@ class BenchSpec extends AnyFunSuite {
       "q_keep" -> 0.900, // slower → base kept, NOT marked patched
       "q_new" -> 0.100, // absent from base → appended (filtered run)
       "q_bad" -> -1.0) // donor failure: never substitutes
-    val out = Bench.patchLine(base, donor)
+    val out = Bench.patchLine(base, donor, "donor_run.json")
     assert(out.contains(""""patched":["q_new","q_spike"]"""))
+    // r13 ADVICE: a patched artifact no longer claims the sweep's
+    // methodology, and names where the substituted values came from
+    assert(out.contains(""""scheme":"min2redo+patched""""))
+    assert(out.contains(""""donors":["donor_run.json"]"""))
     assert(out.contains(""""q_spike":0.400"""))
     assert(out.contains(""""q_keep":0.300"""))
     assert(out.contains(""""q_new":0.100"""))
@@ -53,9 +57,46 @@ class BenchSpec extends AnyFunSuite {
       Map("q_spike" -> 0.4, "q_fast" -> 0.2, "q_keep" -> 0.3, "q_new" -> 0.1))
     // idempotent: same donor again changes nothing
     assert(Bench.patchLine(out, donor) === out)
-    // a later donor UNIONS into the existing patched list
-    val out2 = Bench.patchLine(out, Map("q_fast" -> 0.050))
+    // a later donor UNIONS into the existing patched list (and a second
+    // labelled donor unions into the donors list)
+    val out2 = Bench.patchLine(out, Map("q_fast" -> 0.050), "other.json")
     assert(out2.contains(""""patched":["q_fast","q_new","q_spike"]"""))
+    assert(out2.contains(""""donors":["donor_run.json","other.json"]"""))
     assert(out2.contains(""""value":0.850"""))
+    // still exactly one scheme suffix after two patch applications
+    assert(!out2.contains("+patched+patched"))
+  }
+
+  /** r13 ADVICE: the compact stdout line (headline subset) is
+    * shape-identical to the full line; patching it would recompute
+    * "value" as the subset sum. The full-line guard must reject it. */
+  test("patchLine rejects the compact headline-subset line loudly") {
+    // value 129.7 is the FULL total but the queries map holds only two
+    // headline entries — exactly the compact stdout line's shape
+    val compact = """{"metric":"total","value":129.700,"unit":"sec","scheme":"min2redo","calibration_sec":5.000,"shared_build_sec":9.000,"queries":{"q01_pricing_summary":0.500,"q03_revenue_by_region":0.400},"patched":[],"sf":"/tmp/sfX"}"""
+    val e = intercept[IllegalArgumentException] {
+      Bench.patchLine(compact, Map("q01_pricing_summary" -> 0.100))
+    }
+    assert(e.getMessage.contains("FULL bench line"))
+  }
+
+  /** r13 VERDICT task 3: the artifact itself carries the box-drift
+    * adjudication a judge previously re-derived by hand each round. */
+  test("vsPrior emits raw, calibration, and calibrated ratios over shared queries") {
+    val results = Seq("q_a" -> 2.0, "q_b" -> 4.0, "q_new" -> 9.0)
+    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 5.0)
+    // raw = 6/3 = 2.0 on the shared {q_a,q_b}; calibration = 6/3 = 2.0
+    // (pure box drift) → calibrated 1.0: the code didn't move
+    val block = Bench.vsPrior(results, prior, calibSec = 6.0, priorCalibSec = 3.0)
+    assert(block.contains(""""n_shared":2"""))
+    assert(block.contains(""""raw_ratio":2.000"""))
+    assert(block.contains(""""calibration_ratio":2.000"""))
+    assert(block.contains(""""calibrated_ratio":1.000"""))
+    // no prior / no overlap / no usable calibration → empty block
+    assert(Bench.vsPrior(results, Map.empty, 6.0, 3.0) === "")
+    assert(Bench.vsPrior(results, Map("x" -> 1.0), 6.0, 3.0) === "")
+    assert(Bench.vsPrior(results, prior, 6.0, 0.0) === "")
+    // failed queries (negative time) never enter the shared aggregate
+    assert(Bench.vsPrior(Seq("q_a" -> -1.0), prior, 6.0, 3.0) === "")
   }
 }

@@ -66,6 +66,44 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(got === Set((1L, "ann", Some("a@x.io")), (2L, "bob", Some("b@x.io"))))
   }
 
+  test("a pre-existing index-less target gains the key index on resume " +
+    "(r13 ADVICE: the upgrade/recovery path kept the nested-loop cliff)") {
+    val url = "jdbc:derby:memory:graft4;create=true"
+    // simulate a target created by pre-index code: table exists, no index
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "old_latest" ("id" BIGINT, "username" VARCHAR(64), "version" BIGINT)""")
+      st.close()
+    } finally conn.close()
+    def keyIndexed: Boolean = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.getMetaData.getIndexInfo(null, null, "old_latest", false, false)
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getShort("ORDINAL_POSITION") == 1 &&
+              "id".equalsIgnoreCase(rs.getString("COLUMN_NAME"))
+          found
+        } finally rs.close()
+      } finally c.close()
+    }
+    assert(!keyIndexed)
+    val sink = JdbcUpsertSink(url, "old_latest", "id", "version", "__deleted")
+    val b1 = Seq((1L, "ann", 1L, false))
+      .toDF("id", "username", "version", "__deleted")
+    sink(b1, 0L)
+    assert(keyIndexed)
+    // second batch must not trip a duplicate-index CREATE
+    sink(Seq((1L, "ann2", 2L, false))
+      .toDF("id", "username", "version", "__deleted"), 1L)
+    assert(readTable(url, "old_latest")
+      .select("id", "username").as[(Long, String)].collect().toSet ===
+      Set((1L, "ann2")))
+  }
+
   test("drives from a stream via foreachBatch") {
     val url = "jdbc:derby:memory:graft2;create=true"
     implicit val sqlCtx = spark.sqlContext
