@@ -72,6 +72,45 @@ object BmpPixels {
     b
   }
 
+  /** NEAREST-NEIGHBOR resampled rendition builder: a fully valid 24-bpp
+    * bottom-up BMP of geometry (w·num/den, h·num/den) whose pixel (x, y)
+    * carries the base channel formulas evaluated at the NN source
+    * coordinate (⌊x·w/outW⌋, ⌊y·h/outH⌋) — the same all-integer index
+    * math as [[bmpResampleSum]], so every rendition is exactly
+    * reproducible by formula on the oracle side. num=2,den=1 is the 2×
+    * upscale (each source pixel becomes a 2×2 block); num=1,den=2 the ½
+    * downscale (3 of 4 source pixels dropped); num=den=1 degenerates to
+    * [[buildBmp]] byte-for-byte. The rescale-dup case is THE canonical
+    * image near-dup an LLM pipeline must catch. */
+  def buildBmpResampled(seed: Long, w: Int, h: Int, num: Int, den: Int): Array[Byte] = {
+    val ow = math.max(1, w * num / den)
+    val oh = math.max(1, h * num / den)
+    val stride = ((3 * ow + 3) / 4) * 4
+    val b = new Array[Byte](54 + stride * oh)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, b.length); putLe32(b, 10, 54)
+    putLe32(b, 14, 40); putLe32(b, 18, ow); putLe32(b, 22, oh)
+    putLe16(b, 26, 1); putLe16(b, 28, 24); putLe32(b, 34, stride * oh)
+    var r = 0
+    while (r < oh) {
+      val y = oh - 1 - r // bottom-up file order
+      val sy = (y.toLong * h / oh).toInt
+      val base = 54 + r * stride
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        b(base + 3 * x) = blue(seed, sx, sy).toByte
+        b(base + 3 * x + 1) = green(seed, sx, sy).toByte
+        b(base + 3 * x + 2) = red(seed, sx, sy).toByte
+        x += 1
+      }
+      var p = 3 * ow
+      while (p < stride) { b(base + p) = 0xAA.toByte; p += 1 }
+      r += 1
+    }
+    b
+  }
+
   private[graft] def headerOk(b: Array[Byte]): Boolean =
     b != null && b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
       le16(b, 28) == 24 && le32(b, 22) > 0 && le32(b, 18) > 0
@@ -283,6 +322,25 @@ object BmpPixels {
       copy(child = c)
   }
 
+  /** seed/w/h → NN-resampled rendition bytes (ratio num:den fixed per
+    * call site, like the walkers' channel). */
+  case class BmpBuildResampled(first: Expression, second: Expression,
+      third: Expression, num: Int, den: Int) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "bmp_build_resampled"
+    override def nullSafeEval(s: Any, w: Any, h: Any): Any =
+      buildBmpResampled(s.asInstanceOf[Long], w.asInstanceOf[Int],
+        h.asInstanceOf[Int], num, den)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = BmpPixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      defineCodeGen(ctx, ev,
+        (s, w, h) => s"$cls.buildBmpResampled($s, $w, $h, $num, $den)")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   def build(seed: Column, w: Column, h: Column): Column =
     ColumnBridge.column(BmpBuild(ColumnBridge.expression(seed),
       ColumnBridge.expression(w), ColumnBridge.expression(h)))
@@ -296,6 +354,12 @@ object BmpPixels {
       weighted: Boolean = false): Column =
     ColumnBridge.column(BmpResample(ColumnBridge.expression(media), rw, rh,
       channel, weighted))
+  def buildResampled(seed: Column, w: Column, h: Column,
+      num: Int, den: Int): Column = {
+    require(num > 0 && den > 0, "resample ratio must be positive")
+    ColumnBridge.column(BmpBuildResampled(ColumnBridge.expression(seed),
+      ColumnBridge.expression(w), ColumnBridge.expression(h), num, den))
+  }
   def aHash(media: Column, rw: Int, rh: Int, channel: Int): Column = {
     require(rw > 0 && rh > 0 && rw * rh <= 64, "aHash grid must fit 64 bits")
     ColumnBridge.column(BmpAHashExpr(ColumnBridge.expression(media), rw, rh,

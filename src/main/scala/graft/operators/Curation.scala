@@ -491,6 +491,136 @@ object Curation {
     }
   }
 
+  /** CDC × curation composition (r13 VERDICT task 2 — "the production
+    * loop the whole topology exists for"): after a CDC batch of
+    * document edits, which documents' curation verdicts CHANGED vs the
+    * prior epoch snapshot?
+    *
+    * The change stream: every doc_id ≡ 3 (mod 7) is edited — half
+    * truncated to their first 15 words (doc_id ≡ 3 mod 14), half
+    * doubled (≡ 10 mod 14) — and delivered AT-LEAST-ONCE: the batch
+    * carries the v2 edit plus a stale v1 re-delivery per key, which
+    * [[Cdc.latestByKey]] (the ST2 primitive, reused unchanged)
+    * collapses to the v2 row. Truncation drives kept/dup verdicts →
+    * 'quality' (too short); doubling flips BOTH ways (short gibberish
+    * enters the [20, 80] window → 'quality' becomes 'kept'/'near_dup';
+    * diffuse text halves its type-token ratio → the reverse), so the
+    * delta relation is exercised in both directions.
+    *
+    * Gate adjudication (which gates update incrementally): `holdout`
+    * (key-derived) and `quality_bad` (pure per-row text function)
+    * recompute from the batch alone — O(|batch|). The relational gates
+    * (`exact_dup`, `near_dup`, `contaminated`) are functions of the
+    * WHOLE corpus and stay FROZEN to the epoch's materialized
+    * [[TextAnalysis3.curationFlags]] snapshot, rebuilding at the next
+    * epoch — the standing lake-pipeline contract (their incremental
+    * index twins live in [[graft.streaming.Streams.curationIncrementalBatch]],
+    * which maintains arriving-doc exact/contamination state per batch).
+    * Old verdict = the epoch flag row as-is; new verdict = same flags
+    * with quality_bad recomputed on the post-CDC text.
+    *
+    * 100 TB shape: batch compaction is one shuffle on the key
+    * ([[Cdc.latestByKey]]); the epoch flags are a linear join pruned to
+    * batch keys; nothing rescans the corpus. Reference grounding: the
+    * stream fully determines table state (debezium.json:18), so
+    * verdict deltas are derivable from it. */
+  val recurationDelta: Q = Q(
+    "cdc_recuration_delta",
+    s"""WITH chg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 14 = 3
+       |         THEN ARRAY_TO_STRING((STRING_SPLIT(TRIM(text), ' '))[1:15], ' ')
+       |         ELSE TRIM(text) || ' ' || TRIM(text) END AS new_text
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |w AS (
+       |  SELECT doc_id,
+       |    LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+       |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr
+       |  FROM documents),
+       |nw AS (
+       |  SELECT doc_id,
+       |    LEN(STRING_SPLIT(TRIM(new_text), ' ')) AS n_words,
+       |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(new_text), ' '))) AS DOUBLE)
+       |      / LEN(STRING_SPLIT(TRIM(new_text), ' ')) AS ttr
+       |  FROM chg),
+       |ex AS (SELECT LOWER(TRIM(text)) AS norm, MIN(doc_id) AS keep_id
+       |       FROM documents GROUP BY 1),
+       |exd AS (SELECT d.doc_id FROM documents d
+       |        JOIN ex ON LOWER(TRIM(d.text)) = ex.norm
+       |        WHERE d.doc_id <> ex.keep_id),
+       |jp AS (${Dedup.duckJaccardPairs}),
+       |nd AS (SELECT DISTINCT b_id AS doc_id FROM jp),
+       |ws5 AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS w FROM documents),
+       |sh5 AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, UNNEST(${TextAnalysis3.duckRawShingles(5)}) AS s FROM ws5)),
+       |hold AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 50 = 0),
+       |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN hold USING (s)
+       |         WHERE sh5.doc_id % 50 <> 0),
+       |fl AS (
+       |  SELECT w.doc_id,
+       |    w.doc_id % 50 = 0 AS holdout,
+       |    COALESCE(NOT (w.n_words BETWEEN 20 AND 80 AND w.ttr >= 0.3),
+       |             FALSE) AS quality_bad,
+       |    w.doc_id IN (SELECT doc_id FROM exd) AS exact_dup,
+       |    w.doc_id IN (SELECT doc_id FROM nd) AS near_dup,
+       |    w.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+       |    w.n_words AS old_n
+       |  FROM w),
+       |v AS (
+       |  SELECT fl.doc_id,
+       |    CASE WHEN holdout THEN 'holdout'
+       |         WHEN quality_bad THEN 'quality'
+       |         WHEN exact_dup THEN 'exact_dup'
+       |         WHEN near_dup THEN 'near_dup'
+       |         WHEN contaminated THEN 'contaminated'
+       |         ELSE 'kept' END AS old_reason,
+       |    CASE WHEN holdout THEN 'holdout'
+       |         WHEN COALESCE(NOT (nw.n_words BETWEEN 20 AND 80
+       |                            AND nw.ttr >= 0.3), FALSE) THEN 'quality'
+       |         WHEN exact_dup THEN 'exact_dup'
+       |         WHEN near_dup THEN 'near_dup'
+       |         WHEN contaminated THEN 'contaminated'
+       |         ELSE 'kept' END AS new_reason,
+       |    CAST(fl.old_n AS BIGINT) AS old_n_tok,
+       |    CAST(nw.n_words AS BIGINT) AS new_n_tok
+       |  FROM fl JOIN nw ON nw.doc_id = fl.doc_id)
+       |SELECT doc_id, old_reason, new_reason, old_n_tok, new_n_tok
+       |FROM v WHERE old_reason <> new_reason
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = documents(s, d)
+    val trimmed = trim(col("text"))
+    // concat (not concat_ws): NULL text must stay NULL on both sides —
+    // the oracle's || is NULL-propagating, concat_ws is NULL-swallowing
+    val edited = when(col("doc_id") % 14 === 3,
+        array_join(slice(split(trimmed, " "), 1, 15), " "))
+      .otherwise(concat(trimmed, lit(" "), trimmed))
+    val touched = docs.filter(col("doc_id") % 7 === 3)
+    // the at-least-once CDC batch: v2 edit + stale v1 re-delivery
+    val batch = touched
+      .select(col("doc_id"), edited.as("text"), lit(2L).as("version"))
+      .unionByName(touched
+        .select(col("doc_id"), col("text"), lit(1L).as("version")))
+    val compacted = Cdc.latestByKey(batch, Seq("doc_id"), Seq(col("version")))
+      .select(col("doc_id"), col("text").as("new_text"))
+    val newQualityBad = TextAnalysis3.qualityBad(col("new_text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(compacted, "doc_id")
+      .join(TextAnalysis3.curationFlags(s, d), "doc_id") // frozen epoch
+      .select(col("doc_id"),
+        TextAnalysis3.curationReason.as("old_reason"),
+        when(col("holdout"), "holdout")
+          .when(newQualityBad, "quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept").as("new_reason"),
+        size(split(trim(col("text")), " ")).cast("bigint").as("old_n_tok"),
+        size(split(trim(col("new_text")), " ")).cast("bigint").as("new_n_tok"))
+      .filter(col("old_reason") =!= col("new_reason"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges,
-    dupInflation, tokenBudget, packBins)
+    dupInflation, tokenBudget, packBins, recurationDelta)
 }

@@ -1,12 +1,19 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.Tables._
 
-/** Multimodal × dedup bridge: perceptual-hash image near-duplication.
+/** Multimodal × dedup bridge: perceptual-hash image near-duplication —
+  * the image-dedup stage an LLM multimodal pipeline runs, end-to-end:
+  * signature (aHash) → banded candidate generation → exact Hamming
+  * verify → connected components → canonical keep list, plus the
+  * rescale-invariance property that makes a perceptual hash the right
+  * key in the first place.
+  *
   * The corpus is BMPs built in-engine (the [[Multimodal]] convention:
   * seed-derived pixels, so the oracle restates everything from the
   * generating formula, independent of builder AND parser). Quartets of
@@ -16,35 +23,11 @@ import graft.Tables._
   * exist at every SF while cross-quartet images stay dissimilar. */
 object Multimodal2 {
 
-  /** 8×8 aHash → 4×16-bit bands → DIMENSION-BLOCKED LSH bucket join →
-    * exact Hamming verify at threshold 3. Pigeonhole makes banding
-    * EXACT within a block: ≤3 differing bits across 4 bands leave at
-    * least one band identical, so (modulo the mirrored bucket cap) the
-    * banded candidates contain every qualifying same-geometry pair —
-    * the SimHash chunk argument with tighter numbers.
-    *
-    * The bucket key is (w, h, band, sig), not (band, sig): perceptual
-    * dedup compares images within a dimension class (a retouch keeps
-    * the canvas — which is also how the planted quartets are built),
-    * and on a synthetic corpus the aHash bit patterns are structured
-    * enough that geometry-blind banding degenerates — measured at the
-    * sf1 sweep: 50k images collapse into 587 (band, sig) buckets ⇒
-    * 169M candidate pairs (a recorded 168 s query), 99% of them
-    * cross-geometry hash-collision noise rather than near-dups.
-    * Blocking on geometry cuts that to 2.8M candidates (max bucket
-    * 104) and makes the candidate count scale linearly with the
-    * corpus.
-    *
-    * 100 TB shape: the signature is ONE codegen'd pass over 64 sampled
-    * bytes per image ([[graft.functions.BmpPixels.bmpAHash]] — no
-    * decode, no shuffle); candidates come from an equi-join on
-    * dimension-blocked (w, h, band, sig) buckets with the house
-    * [[Dedup.BandBucketCap]] guarding degenerate buckets (mirrored in
-    * the oracle's QUALIFY, so both engines define the same computation
-    * at every scale); the verify joins the 4-long signature row back
-    * onto candidates only. Nothing is ever all-pairs. */
-  val phashDedup: Q = Q(
-    "mm_phash_dedup",
+  /** The verified near-dup pair relation (a_id, b_id, hamming ≤ 3), as
+    * oracle SQL — shared by [[phashDedup]] (the pair dump) and
+    * [[phashComponents]] (the cluster consumer), exactly like
+    * [[Dedup.duckJaccardPairs]] backs the text CC family. */
+  private[graft] val duckPhashPairs: String =
     s"""WITH g AS (
        |  SELECT doc_id, (doc_id // 4) % 29 + 8 AS w, (doc_id // 4) % 17 + 8 AS h
        |  FROM documents),
@@ -87,8 +70,16 @@ object Multimodal2 {
        |  JOIN bc x ON x.doc_id = c.a_id
        |  JOIN bc y ON y.doc_id = c.b_id)
        |SELECT a_id, b_id, hamming FROM ham
-       |WHERE hamming <= 3
-       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+       |WHERE hamming <= 3""".stripMargin
+
+  /** The verified pair relation, MATERIALIZED once per (session, corpus)
+    * like [[Dedup.sharedPairs]] — the `image_neardup_pairs` lake table
+    * both the pair dump and the component labeling scan, instead of
+    * re-running the band/verify pipeline per consumer. */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedMat(s, d, "phash_pairs")(phashPairsBuild(s, d))
+
+  private[graft] def phashPairsBuild(s: SparkSession, d: String): DataFrame = {
     import graft.functions.BmpPixels
     val quartet = expr("doc_id div 4")
     val media = BmpPixels.build(col("doc_id"),
@@ -128,8 +119,144 @@ object Multimodal2 {
           bit_count(col("x.b3") bitwiseXOR col("y.b3")))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(phashDedup)
+  /** 8×8 aHash → 4×16-bit bands → DIMENSION-BLOCKED LSH bucket join →
+    * exact Hamming verify at threshold 3. Pigeonhole makes banding
+    * EXACT within a block: ≤3 differing bits across 4 bands leave at
+    * least one band identical, so (modulo the mirrored bucket cap) the
+    * banded candidates contain every qualifying same-geometry pair —
+    * the SimHash chunk argument with tighter numbers.
+    *
+    * The bucket key is (w, h, band, sig), not (band, sig): perceptual
+    * dedup compares images within a dimension class (a retouch keeps
+    * the canvas — which is also how the planted quartets are built),
+    * and on a synthetic corpus the aHash bit patterns are structured
+    * enough that geometry-blind banding degenerates — measured at the
+    * sf1 sweep: 50k images collapse into 587 (band, sig) buckets ⇒
+    * 169M candidate pairs (a recorded 168 s query), 99% of them
+    * cross-geometry hash-collision noise rather than near-dups.
+    * Blocking on geometry cuts that to 2.8M candidates (max bucket
+    * 104) and makes the candidate count scale linearly with the
+    * corpus. (Pure 64-bit-hash grouping degenerates the same way on
+    * this corpus: seed shifts wrap only a thin hyperbola of samples,
+    * so 50k images share 3.4k distinct hashes — 8M exact-hash pairs.)
+    *
+    * 100 TB shape: the signature is ONE codegen'd pass over 64 sampled
+    * bytes per image ([[graft.functions.BmpPixels.bmpAHash]] — no
+    * decode, no shuffle); candidates come from an equi-join on
+    * dimension-blocked (w, h, band, sig) buckets with the house
+    * [[Dedup.BandBucketCap]] guarding degenerate buckets (mirrored in
+    * the oracle's QUALIFY, so both engines define the same computation
+    * at every scale); the verify joins the 4-long signature row back
+    * onto candidates only. Nothing is ever all-pairs. */
+  val phashDedup: Q = Q(
+    "mm_phash_dedup",
+    duckPhashPairs + "\nORDER BY a_id, b_id") { (s, d) =>
+    phashPairs(s, d).orderBy("a_id", "b_id")
+  }
+
+  /** Image near-dup CLUSTERS: connected components over the verified
+    * pair graph, one canonical representative (min doc_id) per cluster
+    * — the keep-one-copy step a multimodal curation pipeline actually
+    * executes after candidate verification, completing signature →
+    * candidates → verify → clusters → keep for the MEDIA column the
+    * way [[Dedup.components]]/[[Dedup.keepCanonical]] do for text.
+    * `keep` marks the canonical member; `n_members` sizes the cluster
+    * (the dedup-inflation statistic per image cluster).
+    *
+    * 100 TB shape: [[Dedup.connectedComponents]]'s alternating
+    * hash-agg/join rounds with pointer compression (O(log diameter)
+    * rounds) over the MATERIALIZED pair relation ([[phashPairs]] — the
+    * once-per-corpus lake table, not a per-query rebuild); output is
+    * one row per clustered image. */
+  val phashComponents: Q = Q(
+    "mm_phash_components",
+    s"""WITH RECURSIVE jp AS ($duckPhashPairs),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jp
+       |  UNION SELECT b_id, a_id FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS rep_id
+       |  FROM reach GROUP BY src)
+       |SELECT id, rep_id, id = rep_id AS keep,
+       |  CAST(COUNT(*) OVER (PARTITION BY rep_id) AS BIGINT) AS n_members
+       |FROM labels
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    Dedup.connectedComponents(phashPairs(s, d))
+      .select(col("id"), col("rep_id"),
+        (col("id") === col("rep_id")).as("keep"),
+        count(lit(1)).over(Window.partitionBy("rep_id"))
+          .cast("bigint").as("n_members"))
+      .orderBy("id")
+  }
+
+  /** Rescale invariance — WHY a perceptual hash is the dedup key: for
+    * every document, three renditions of the same content are built
+    * ([[graft.functions.BmpPixels.buildBmpResampled]] — base w×h, a 2×
+    * nearest-neighbor upscale, a ½ NN downscale), hashed independently,
+    * and compared. The 2× upscale provably hashes IDENTICALLY
+    * (⌊⌊x·2w/8⌋/2⌋ = ⌊x·w/8⌋ — the sample grid lands on the same
+    * source pixels), so ham_up ≡ 0: a resized duplicate is caught at
+    * Hamming 0 even though byte-level dedup sees two unrelated blobs
+    * and the geometry-blocked pair query cannot pair across canvases.
+    * The ½ downscale loses information, so ham_down is small but
+    * nonzero where the coarser grid snaps to different source pixels —
+    * the measured degradation a threshold choice trades against.
+    *
+    * The oracle re-derives all three hashes from the generating
+    * formulas by composing the two NN index maps in integer arithmetic
+    * — fully independent of builder and walker, so a rounding slip in
+    * either index map hash-mismatches. 100 TB shape: three codegen'd
+    * 64-byte walks per image, zero shuffles beyond the final sort. */
+  val phashRescale: Q = Q(
+    "mm_phash_rescale",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id // 4) % 29 + 8 AS w, (doc_id // 4) % 17 + 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (((xx * w) // 8) * ((yy * h) // 8) + doc_id) % 256 AS vb,
+      |    ((((xx * (2 * w)) // 8) * w // (2 * w))
+      |      * (((yy * (2 * h)) // 8) * h // (2 * h)) + doc_id) % 256 AS vu,
+      |    ((((xx * (w // 2)) // 8) * w // (w // 2))
+      |      * (((yy * (h // 2)) // 8) * h // (h // 2)) + doc_id) % 256 AS vd
+      |  FROM g CROSS JOIN UNNEST(RANGE(0, 8)) t1(xx)
+      |         CROSS JOIN UNNEST(RANGE(0, 8)) t2(yy)),
+      |tot AS (
+      |  SELECT doc_id, SUM(vb) AS sb, SUM(vu) AS su, SUM(vd) AS sd
+      |  FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id,
+      |    CASE WHEN vb * 64 > t.sb THEN 1 ELSE 0 END AS ba,
+      |    CASE WHEN vu * 64 > t.su THEN 1 ELSE 0 END AS bu,
+      |    CASE WHEN vd * 64 > t.sd THEN 1 ELSE 0 END AS bd
+      |  FROM px JOIN tot t ON t.doc_id = px.doc_id)
+      |SELECT b.doc_id, CAST(g.w AS BIGINT) AS w, CAST(g.h AS BIGINT) AS h,
+      |  CAST(SUM(CASE WHEN ba <> bu THEN 1 ELSE 0 END) AS BIGINT) AS ham_up,
+      |  CAST(SUM(CASE WHEN ba <> bd THEN 1 ELSE 0 END) AS BIGINT) AS ham_down
+      |FROM bits b JOIN g ON g.doc_id = b.doc_id
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.BmpPixels
+    val quartet = expr("doc_id div 4")
+    val w = (quartet % 29 + 8).cast("int")
+    val h = (quartet % 17 + 8).cast("int")
+    val hBase = BmpPixels.aHash(BmpPixels.build(col("doc_id"), w, h), 8, 8, 2)
+    val hUp = BmpPixels.aHash(
+      BmpPixels.buildResampled(col("doc_id"), w, h, 2, 1), 8, 8, 2)
+    val hDown = BmpPixels.aHash(
+      BmpPixels.buildResampled(col("doc_id"), w, h, 1, 2), 8, 8, 2)
+    documents(s, d)
+      .select(col("doc_id"), w.cast("bigint").as("w"), h.cast("bigint").as("h"),
+        bit_count(hBase bitwiseXOR hUp).cast("bigint").as("ham_up"),
+        bit_count(hBase bitwiseXOR hDown).cast("bigint").as("ham_down"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(phashDedup, phashComponents, phashRescale)
 }

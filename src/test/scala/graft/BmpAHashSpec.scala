@@ -73,4 +73,56 @@ class BmpAHashSpec extends AnyFunSuite {
     // the planted quartet near-dups survive the blocking
     assert(brute.exists { case (a, b, _) => a / 4 == b / 4 })
   }
+
+  test("phash components ≡ brute-force union-find over the pair graph; " +
+    "canonical keep = min id per cluster") {
+    val pairs = Multimodal2.phashDedup.run(spark, TestSpark.tiny)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val got = Multimodal2.phashComponents.run(spark, TestSpark.tiny)
+      .select("id", "rep_id", "keep", "n_members")
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for ((id, rep, keep, n) <- got) {
+      assert(keep === (id == rep))
+      assert(n === sizes(rep), s"cluster size for rep $rep")
+    }
+    // every cluster names exactly one canonical member
+    assert(got.count(_._3) === sizes.size)
+  }
+
+  test("banded pair-build plan: equi-join buckets, never cartesian/BNL") {
+    val plan = Multimodal2.phashPairsBuild(spark, TestSpark.tiny)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in phash build:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL in phash build:\n$plan")
+  }
+
+  test("NN-resampled renditions: 1:1 ratio is byte-identical to buildBmp; " +
+    "2x upscale hashes IDENTICALLY; downscale degrades but stays near") {
+    for (seed <- Seq(3L, 99L); (w, h) <- Seq((9, 11), (20, 16))) {
+      assert(BmpPixels.buildBmpResampled(seed, w, h, 1, 1).toSeq ===
+        BmpPixels.buildBmp(seed, w, h).toSeq, s"1:1 seed=$seed")
+      val hb = BmpPixels.bmpAHash(BmpPixels.buildBmp(seed, w, h), 8, 8, 2)
+      val hu = BmpPixels.bmpAHash(
+        BmpPixels.buildBmpResampled(seed, w, h, 2, 1), 8, 8, 2)
+      assert(hb === hu, s"2x upscale must be hash-invariant (seed=$seed)")
+    }
+    val rescale = Multimodal2.phashRescale.run(spark, TestSpark.tiny)
+      .select("ham_up", "ham_down").as[(Long, Long)].collect()
+    assert(rescale.forall(_._1 == 0L), "ham_up must be identically 0")
+    assert(rescale.exists(_._2 > 0L), "downscale should degrade somewhere")
+    assert(rescale.forall(_._2 <= 32L), "downscale stays in the near range")
+  }
 }
