@@ -258,13 +258,15 @@ object Bench {
         () => { operators.GraphAnalytics.edges(spark, sfDir).count(); () }),
       build("phash_pairs",
         () => { operators.Multimodal2.phashPairs(spark, sfDir).count(); () }),
+      build("phash_labels",
+        () => { operators.Multimodal2.phashLabels(spark, sfDir).count(); () }),
       build("cosine_pairs",
         () => { operators.Dedup.sharedCosinePairs(spark, sfDir).count(); () }))
     // shared_build_sec = the shared materializations, EXCLUDING the
-    // bucketed-layout write (excluded since r09). Ten since r14
-    // (phash_pairs and cosine_pairs joined curation_flags and the seven
-    // r09-r12 builds — cross-round totals compare via the itemized
-    // shared_builds map, not this sum)
+    // bucketed-layout write (excluded since r09). Eleven since r14
+    // (phash_pairs, phash_labels, and cosine_pairs joined curation_flags
+    // and the seven r09-r12 builds — cross-round totals compare via the
+    // itemized shared_builds map, not this sum)
     val sharedBuildSec = sharedBuilds.map(_._2).sum
     System.err.println(f"[bench] shared materialization build: $sharedBuildSec%.2fs")
     def settle(): Unit = {

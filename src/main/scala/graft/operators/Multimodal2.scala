@@ -79,6 +79,16 @@ object Multimodal2 {
   private[graft] def phashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.sharedMat(s, d, "phash_pairs")(phashPairsBuild(s, d))
 
+  /** Component labels over the pair graph, materialized like
+    * [[Dedup.sharedLabels]]: the iterative CC loop (703k pairs at sf1)
+    * is once-per-corpus lake work (`image_dedup_labels`), not per-query
+    * cost — without this the labeling re-ran per query at 9.8 s sf1 /
+    * 13.8 s sf2, the exact shape r13 task 8 flagged on
+    * dedup_embedding_cosine. */
+  private[graft] def phashLabels(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedMat(s, d, "phash_labels")(
+      Dedup.connectedComponents(phashPairs(s, d)))
+
   private[graft] def phashPairsBuild(s: SparkSession, d: String): DataFrame = {
     import graft.functions.BmpPixels
     val quartet = expr("doc_id div 4")
@@ -167,9 +177,9 @@ object Multimodal2 {
     *
     * 100 TB shape: [[Dedup.connectedComponents]]'s alternating
     * hash-agg/join rounds with pointer compression (O(log diameter)
-    * rounds) over the MATERIALIZED pair relation ([[phashPairs]] — the
-    * once-per-corpus lake table, not a per-query rebuild); output is
-    * one row per clustered image. */
+    * rounds) run ONCE per corpus snapshot into the materialized
+    * [[phashLabels]] lake table; the registered query is a linear scan
+    * plus one small window over clustered rows only. */
   val phashComponents: Q = Q(
     "mm_phash_components",
     s"""WITH RECURSIVE jp AS ($duckPhashPairs),
@@ -187,7 +197,7 @@ object Multimodal2 {
        |  CAST(COUNT(*) OVER (PARTITION BY rep_id) AS BIGINT) AS n_members
        |FROM labels
        |ORDER BY id""".stripMargin) { (s, d) =>
-    Dedup.connectedComponents(phashPairs(s, d))
+    phashLabels(s, d)
       .select(col("id"), col("rep_id"),
         (col("id") === col("rep_id")).as("keep"),
         count(lit(1)).over(Window.partitionBy("rep_id"))
