@@ -92,6 +92,99 @@ object PcmSamples {
     b
   }
 
+  /** Audio-fingerprint corpus sample (the `mm_audio_fingerprint`
+    * generating formula): unlike [[sample]]'s linear ramp — whose
+    * quasi-periodic energy profile collapses 20k fingerprints into
+    * ~2.5k distinct values (measured; the geometry-blind-aHash failure
+    * mode) — this mixes the content seed and position through two
+    * multiplicative congruential streams XORed together, giving
+    * near-iid samples so fingerprint bits carry real entropy and the
+    * banded buckets stay linear. The content seed folds through
+    * mod 100003 FIRST so every intermediate stays far below 2⁶³ at any
+    * ScaleUp replica offset — Scala wraps silently where DuckDB BIGINT
+    * errors, so no intermediate may ever reach the boundary.
+    * rendition 1 is the re-encoded near-dup: truncating half gain
+    * (Java `/2` ≡ DuckDB `//2`, both toward zero) plus a deterministic
+    * ±200 dither — ~2.5% of full scale, enough to flip near-tie energy
+    * deltas (planted pairs measure Hamming 0–4) without moving the
+    * robust bits. */
+  def fpSample(c: Long, i: Int, rendition: Int): Int = {
+    val c2 = c % 100003
+    val m1 = (c2 + 1) * 2654435761L + (i + 1).toLong * 40503L
+    val m2 = (c2 + 7) * 1103515245L + (i + 1).toLong * (i + 1) * 2246822519L
+    val v = ((m1 ^ m2) % 65536).toInt - 32768
+    if (rendition == 0) v
+    else v / 2 + ((i * 37) % 401) - 200
+  }
+
+  /** Fingerprint-corpus WAV: the [[buildWav]] container (fmt + odd LIST
+    * filler + data) around [[fpSample]] content. */
+  def buildWavFp(c: Long, rate: Int, n: Int, rendition: Int): Array[Byte] = {
+    val fillerPadded = FillerLen + (FillerLen & 1)
+    val total = 12 + (8 + 16) + (8 + fillerPadded) + (8 + 2 * n)
+    val b = new Array[Byte](total)
+    putTag(b, 0, "RIFF"); putLe32(b, 4, total - 8); putTag(b, 8, "WAVE")
+    putTag(b, 12, "fmt "); putLe32(b, 16, 16)
+    putLe16(b, 20, 1); putLe16(b, 22, 1)
+    putLe32(b, 24, rate); putLe32(b, 28, rate * 2)
+    putLe16(b, 32, 2); putLe16(b, 34, 16)
+    putTag(b, 36, "LIST"); putLe32(b, 40, FillerLen)
+    putTag(b, 44, "INFO"); b(48) = 0x5A
+    val dataOff = 44 + fillerPadded
+    putTag(b, dataOff, "data"); putLe32(b, dataOff + 4, 2 * n)
+    var i = 0
+    while (i < n) {
+      putLe16(b, dataOff + 8 + 2 * i, fpSample(c, i, rendition) & 0xFFFF)
+      i += 1
+    }
+    b
+  }
+
+  /** Sign-of-energy-delta audio fingerprint (the Haitsma–Kalker shape
+    * reduced to one band): partition the sample stream into `frames`+1
+    * frames by the integer grid f·n/(frames+1), fold exact Σv² per
+    * frame, set bit f (LSB-first) iff E_{f+1} > E_f. Frame membership
+    * uses the closed form f(i) = ((frames+1)·i + frames) / n — the
+    * SAME integer expression the oracle states, so both engines define
+    * identical frame boundaries for every n. Gain-scaling invariance is
+    * the point: uniform scaling multiplies every E_f, preserving all
+    * delta signs. Returns [[Invalid]] on malformed input (an all-ones
+    * fingerprint is a legitimate crescendo, so the aHash -1 trick does
+    * not apply; Invalid = Long.MinValue would collide with the
+    * bit-63-only pattern, which is why the COLUMN wrapper gates on
+    * [[pcmWalk]]'s validity instead of this sentinel alone). */
+  def pcmFingerprint(b: Array[Byte], frames: Int): Long = {
+    if (frames <= 0 || frames > 63 + 1) return Invalid
+    val n = pcmWalk(b, 0, 1)
+    if (n == Invalid || n < frames + 1) return Invalid
+    // re-locate the data chunk (same walk as pcmWalk, validity proven)
+    var pos = 12
+    var dataOff = -1
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      val body = pos + 8
+      if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' &&
+        b(pos + 3) == 'a') dataOff = body
+      pos = body + size + (size & 1)
+    }
+    val nn = n.toInt
+    val e = new Array[Long](frames + 1)
+    var i = 0
+    while (i < nn) {
+      val v = ((b(dataOff + 2 * i) & 0xFF) |
+        (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
+      e(((frames + 1) * i + frames) / nn) += v * v
+      i += 1
+    }
+    var hash = 0L
+    var f = 0
+    while (f < frames) {
+      if (e(f + 1) > e(f)) hash |= 1L << f
+      f += 1
+    }
+    hash
+  }
+
   /** Chunk-walking PCM fold. Modes: 0 = sample count, 1 = sample rate,
     * 2 = energy Σv², 3 = peak max|v|, 4 = zero crossings, 5 = decimated
     * position-weighted checksum Σ_{i%k=0} (i/k+1)·v_i. [[Invalid]] on
@@ -192,6 +285,53 @@ object PcmSamples {
       copy(child = c)
   }
 
+  /** c/rate/n → fingerprint-corpus WAV bytes (rendition static). */
+  case class WavFpBuild(first: Expression, second: Expression,
+      third: Expression, rendition: Int) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "wav_fp_build"
+    override def nullSafeEval(c: Any, r: Any, n: Any): Any =
+      buildWavFp(c.asInstanceOf[Long], r.asInstanceOf[Int],
+        n.asInstanceOf[Int], rendition)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = PcmSamples.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      defineCodeGen(ctx, ev,
+        (c, r, n) => s"$cls.buildWavFp($c, $r, $n, $rendition)")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** Fingerprint walk; validity gated on [[pcmWalk]] (Invalid is NOT a
+    * safe sentinel here — an all-bit-63 fingerprint is legitimate). */
+  case class PcmFingerprintExpr(child: Expression, frames: Int)
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "pcm_fingerprint"
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val n = pcmWalk(b, 0, 1)
+      if (n == Invalid || n < frames + 1) null
+      else pcmFingerprint(b, frames)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = PcmSamples.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val n = ctx.freshName("n")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |long $n = $cls.pcmWalk($c, 0, 1);
+        |if ($n == java.lang.Long.MIN_VALUE || $n < ${frames + 1}L) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $cls.pcmFingerprint($c, $frames);
+        |}
+      """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def build(seed: Column, rate: Column, n: Column): Column =
     ColumnBridge.column(WavBuild(ColumnBridge.expression(seed),
       ColumnBridge.expression(rate.cast("int")),
@@ -208,4 +348,15 @@ object PcmSamples {
     ColumnBridge.column(PcmStat(ColumnBridge.expression(media), 4, 1))
   def decimatedChecksum(media: Column, k: Int): Column =
     ColumnBridge.column(PcmStat(ColumnBridge.expression(media), 5, k))
+  def buildFp(c: Column, rate: Column, n: Column, rendition: Int): Column = {
+    require(rendition == 0 || rendition == 1, "rendition is 0 or 1")
+    ColumnBridge.column(WavFpBuild(ColumnBridge.expression(c),
+      ColumnBridge.expression(rate.cast("int")),
+      ColumnBridge.expression(n.cast("int")), rendition))
+  }
+  def fingerprint(media: Column, frames: Int): Column = {
+    require(frames > 0 && frames <= 64, "fingerprint must fit 64 bits")
+    ColumnBridge.column(PcmFingerprintExpr(ColumnBridge.expression(media),
+      frames))
+  }
 }

@@ -89,33 +89,35 @@ object Multimodal2 {
     Dedup.sharedMat(s, d, "phash_labels")(
       Dedup.connectedComponents(phashPairs(s, d)))
 
-  private[graft] def phashPairsBuild(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.BmpPixels
-    val quartet = expr("doc_id div 4")
-    val media = BmpPixels.build(col("doc_id"),
-      (quartet % 29 + 8).cast("int"), (quartet % 17 + 8).cast("int"))
-    // one codegen'd walk per image; materialized once — signature rows
+  /** The banded-Hamming candidate machinery, shared by the image
+    * (aHash, [[phashPairs]]) and audio (sign-of-energy-delta
+    * fingerprint, [[audioFingerprint]]) near-dup tiers: 64-bit
+    * signature rows → 4×16-bit band explode → block-keyed LSH bucket
+    * join under [[Dedup.BandBucketCap]] → exact Hamming verify against
+    * the signature rows, candidates only. Pigeonhole makes banding
+    * EXACT within a block for threshold ≤ 3: ≤3 differing bits across
+    * 4 bands leave one band identical. `sigsIn` carries (doc_id,
+    * blockCols…, hash); nothing here is ever all-pairs. */
+  private def bandedHammingPairs(sigsIn: DataFrame, blockCols: Seq[String],
+      threshold: Int): DataFrame = {
+    // one codegen'd walk per row; materialized once — signature rows
     // feed the band explode AND both sides of the Hamming verify
-    val sigs = documents(s, d)
-      .select(col("doc_id"),
-        (quartet % 29 + 8).cast("int").as("w"),
-        (quartet % 17 + 8).cast("int").as("h"),
-        BmpPixels.aHash(media, 8, 8, 2).as("hash"))
-      .select(col("doc_id") +: col("w") +: col("h") +:
+    val sigs = sigsIn
+      .select((col("doc_id") +: blockCols.map(col)) ++
         (0 until 4).map(k =>
           (shiftright(col("hash"), 16 * k) bitwiseAND 0xFFFFL).as(s"b$k")): _*)
       .localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"), col("w"), col("h"),
+    val bands = sigs.select((col("doc_id") +: blockCols.map(col)) :+
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band", "sig")))
+        .as(Seq("band", "sig")): _*)
+    val bucketKey = blockCols ++ Seq("band", "sig")
     val capped = bands.withColumn("__gn",
-        count(lit(1)).over(Window.partitionBy("w", "h", "band", "sig")))
+        count(lit(1)).over(Window.partitionBy(bucketKey.map(col): _*)))
       .filter(col("__gn") <= Dedup.BandBucketCap)
       .drop("__gn")
     val cand = capped.as("a")
       .join(capped.as("b"),
-        col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        bucketKey.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -128,7 +130,20 @@ object Multimodal2 {
           bit_count(col("x.b2") bitwiseXOR col("y.b2")) +
           bit_count(col("x.b3") bitwiseXOR col("y.b3")))
           .cast("bigint").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= threshold)
+  }
+
+  private[graft] def phashPairsBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BmpPixels
+    val quartet = expr("doc_id div 4")
+    val media = BmpPixels.build(col("doc_id"),
+      (quartet % 29 + 8).cast("int"), (quartet % 17 + 8).cast("int"))
+    val sigs = documents(s, d)
+      .select(col("doc_id"),
+        (quartet % 29 + 8).cast("int").as("w"),
+        (quartet % 17 + 8).cast("int").as("h"),
+        BmpPixels.aHash(media, 8, 8, 2).as("hash"))
+    bandedHammingPairs(sigs, Seq("w", "h"), 3)
   }
 
   /** 8×8 aHash → 4×16-bit bands → DIMENSION-BLOCKED LSH bucket join →
@@ -268,5 +283,105 @@ object Multimodal2 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(phashDedup, phashComponents, phashRescale)
+  /** AUDIO near-dup — media dedup's third modality (image aHash ↑,
+    * text shingles in [[Dedup]]): a sign-of-energy-delta fingerprint
+    * (the Haitsma–Kalker shape reduced to one band) over real RIFF/WAVE
+    * PCM bytes. Content pairs (doc_id div 2) share a sample stream;
+    * the odd rendition is a simulated RE-ENCODE — truncating half gain
+    * plus a deterministic ±200 dither (~2.5% full scale) — so planted
+    * pairs land at Hamming 0–4 (gain invariance is the fingerprint's
+    * point: uniform scaling preserves every energy-delta sign; only the
+    * dither's near-tie flips cost bits, and pairs pushed past the
+    * threshold are legitimately missed on BOTH engines). Samples mix
+    * content and position through two XORed congruential streams
+    * ([[graft.functions.PcmSamples.fpSample]]) — the linear-ramp
+    * corpus' quasi-periodic energies collapse 20k fingerprints into
+    * ~2.5k values (measured), the geometry-blind-aHash degeneracy in
+    * audio form.
+    *
+    * Blocking key is (n, band, sig): duration class plays the role
+    * image geometry does — a re-encode keeps the length, and
+    * same-length blocking keeps buckets linear. Candidates ride the
+    * shared [[bandedHammingPairs]] machinery (bucket join under
+    * [[Dedup.BandBucketCap]], mirrored in the oracle's QUALIFY; exact
+    * Hamming verify on candidates only — never all-pairs).
+    *
+    * 100 TB shape: ONE codegen'd chunk-walk per audio blob computes
+    * the 64-bit fingerprint (no decode, no shuffle); everything after
+    * is the banded equi-join. The oracle re-derives fingerprints from
+    * the generating formulas per sample — frame membership uses the
+    * identical integer closed form (65·i+64)//n on both engines. */
+  val audioFingerprint: Q = Q(
+    "mm_audio_fingerprint",
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id // 2 AS c,
+       |    400 + ((doc_id // 2) % 13) * 40 AS n
+       |  FROM documents),
+       |s AS (SELECT doc_id, c, n, UNNEST(RANGE(0, n)) AS i FROM p),
+       |v0 AS (
+       |  SELECT doc_id, n, i,
+       |    (XOR((c % 100003 + 1) * 2654435761 + (i + 1) * 40503,
+       |         (c % 100003 + 7) * 1103515245
+       |           + (i + 1) * (i + 1) * 2246822519)
+       |      % 65536) - 32768 AS v
+       |  FROM s),
+       |v AS (
+       |  SELECT doc_id, n, i,
+       |    CASE WHEN doc_id % 2 = 1 THEN (v // 2) + ((i * 37) % 401) - 200
+       |         ELSE v END AS v
+       |  FROM v0),
+       |e AS (
+       |  SELECT doc_id, n, (65 * i + 64) // n AS f,
+       |    CAST(SUM(v * v) AS BIGINT) AS e
+       |  FROM v GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.doc_id, a.n, a.f AS idx,
+       |    CASE WHEN b.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |bands AS (
+       |  SELECT doc_id, n, idx // 16 AS band,
+       |    CAST(SUM(bit * (1::BIGINT << (idx % 16))) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2, 3),
+       |capped AS (
+       |  SELECT doc_id, n, band, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY n, band, sig) <= ${Dedup.BandBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.n = b.n AND a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
+       |bc AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN sig END) AS b3
+       |  FROM bands GROUP BY doc_id),
+       |ham AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(BIT_COUNT(XOR(x.b0, y.b0)) + BIT_COUNT(XOR(x.b1, y.b1))
+       |       + BIT_COUNT(XOR(x.b2, y.b2)) + BIT_COUNT(XOR(x.b3, y.b3))
+       |      AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bc x ON x.doc_id = c.a_id
+       |  JOIN bc y ON y.doc_id = c.b_id)
+       |SELECT a_id, b_id, hamming FROM ham
+       |WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import graft.functions.PcmSamples
+    val c = expr("doc_id div 2")
+    val n = lit(400) + (c % 13) * 40
+    val rate = lit(8000) + (c % 8) * 4000
+    val media = when(col("doc_id") % 2 === 0,
+        PcmSamples.buildFp(c, rate, n, 0))
+      .otherwise(PcmSamples.buildFp(c, rate, n, 1))
+    val sigs = documents(s, d)
+      .select(col("doc_id"), n.cast("bigint").as("n"),
+        PcmSamples.fingerprint(media, 64).as("hash"))
+    bandedHammingPairs(sigs, Seq("n"), 3).orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(phashDedup, phashComponents, phashRescale,
+    audioFingerprint)
 }

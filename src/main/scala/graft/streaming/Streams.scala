@@ -602,6 +602,96 @@ object Streams {
     emitted.select("doc_id", "reason", "kept")
   }
 
+  /** ST6 incremental twin of
+    * [[graft.operators.Curation.recurationDelta]] — the streaming face
+    * of the CDC × curation composition: each micro-batch of document
+    * edits (doc_id, text, version) emits the keys whose curation
+    * verdict CHANGED relative to the pre-batch state, exactly the rows
+    * an epoch planner consumes to patch its keep list between full
+    * rebuilds.
+    *
+    * Semantics per batch:
+    *   1. within-batch compaction — deterministic survivor
+    *      max(version, text) per key (the [[oneRowPerKey]] rule
+    *      extended with the version);
+    *   2. the NEW latest per touched key folds the compacted batch
+    *      against stored state, so a STALE redelivery (version ≤
+    *      stored) can never regress a verdict — the same
+    *      version-gating contract as [[graft.sources.JdbcUpsertSink]];
+    *   3. the OLD verdict comes from the stored latest text if any
+    *      prior batch touched the key, else from the epoch flag row
+    *      (its quality_bad IS the epoch text's gate — no epoch text
+    *      re-read);
+    *   4. per-row gates (holdout, quality) recompute; the relational
+    *      gates ride FROZEN from `epochFlags` (the
+    *      [[graft.operators.TextAnalysis3.curationFlags]] snapshot) —
+    *      the rebuild-on-epoch adjudication the batch query documents.
+    *
+    * Emissions are deltas vs the pre-batch state, so a doc edited and
+    * then REVERTED emits twice (old→new, new→old) while the one-shot
+    * query over the final changelog sees nothing — the latest emission
+    * per key always equals the one-shot verdict over the same total
+    * edit set (RecurationStreamSpec proves both: golden ≡ one-shot on
+    * the registered query's own edit stream split across batches with
+    * cross-batch redelivery, and the revert case folding back to the
+    * epoch verdict).
+    *
+    * Scope: EDITS to epoch documents (the inner epoch-flags join).
+    * Brand-new documents have no prior verdict to delta against —
+    * arrivals are [[curationIncrementalBatch]]'s contract, which emits
+    * their first full flag row.
+    *
+    * State at `stateDir/docs` is batchId-partitioned; reads filter
+    * batch_id < current and writes overwrite only their own partition
+    * → idempotent under foreachBatch retries (the house index scheme).
+    * 100 TB shape: one hash agg + two key joins per batch, all
+    * O(|batch| + touched keys); the epoch flags join prunes to batch
+    * keys; nothing rescans the corpus. */
+  def recurationDeltaBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, epochFlags: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis3
+    val spark = batch.sparkSession
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy("doc_id")
+      .agg(max(struct(col("version"), col("text"))).as("_r"))
+      .select(col("doc_id"), col("_r.version").as("version"),
+        col("_r.text").as("text"))
+    val compacted = latest(batch.select("doc_id", "version", "text"))
+      .localCheckpoint(true)
+    val priorLatest = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/docs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        latest(spark.read.parquet(p.toString)
+          .filter(col("batch_id") < batchId)
+          .select("doc_id", "version", "text"))
+      else compacted.limit(0)
+    }
+    val newLatest = latest(compacted.unionByName(priorLatest))
+      .join(compacted.select("doc_id"), "doc_id") // touched keys only
+    def verdict(qualityBad: Column): Column =
+      when(col("holdout"), "holdout")
+        .when(qualityBad, "quality")
+        .when(col("exact_dup"), "exact_dup")
+        .when(col("near_dup"), "near_dup")
+        .when(col("contaminated"), "contaminated")
+        .otherwise("kept")
+    val emitted = newLatest.select(col("doc_id"), col("text").as("new_text"))
+      .join(priorLatest.select(col("doc_id"), col("text").as("old_text"))
+        .withColumn("has_prior", lit(true)), Seq("doc_id"), "left")
+      .join(epochFlags, "doc_id")
+      .select(col("doc_id"),
+        verdict(when(coalesce(col("has_prior"), lit(false)),
+            TextAnalysis3.qualityBad(col("old_text")))
+          .otherwise(col("quality_bad"))).as("old_reason"),
+        verdict(TextAnalysis3.qualityBad(col("new_text"))).as("new_reason"))
+      .filter(col("old_reason") =!= col("new_reason"))
+      .localCheckpoint(true) // materialize BEFORE the state write
+    compacted.write.mode("overwrite")
+      .parquet(s"$stateDir/docs/batch_id=$batchId")
+    emitted
+  }
+
   /** Incremental corpus-drift monitor — the streaming face of
     * `text_kl_drift`: each micro-batch folds its (source, word) counts
     * into a batchId-partitioned count table and re-emits the per-source
