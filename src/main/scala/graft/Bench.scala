@@ -100,8 +100,13 @@ object Bench {
       base.substring(0, open + 1) + newBody + base.substring(close)
     val withTotal = rebuilt.replaceFirst(
       """"value":-?[0-9]+(?:\.[0-9]+)?""", f""""value":$total%.3f""")
+    // test only the scheme FIELD (r14 ADVICE): a donor filename carrying
+    // the literal '+patched' in the donors array must not suppress the
+    // scheme suffix on a later patch of an otherwise-unsuffixed line
+    val schemeAlreadyPatched =
+      """"scheme":"[^"]*\+patched""".r.findFirstIn(withTotal).isDefined
     val withScheme =
-      if (allPatched.isEmpty || withTotal.contains("+patched")) withTotal
+      if (allPatched.isEmpty || schemeAlreadyPatched) withTotal
       else withTotal.replaceFirst(""""scheme":"([^"]+)"""",
         """"scheme":"$1+patched"""")
     val spliced =
@@ -137,7 +142,27 @@ object Bench {
     else {
       val raw = sumNow / sumPrior
       val calib = calibSec / priorCalibSec
-      f""","vs_prior":{"prior":"bench_last.json","n_shared":${shared.size},"raw_ratio":$raw%.3f,"calibration_ratio":$calib%.3f,"calibrated_ratio":${raw / calib}%.3f}"""
+      // median of the shared per-query ratios (r14 VERDICT "What's
+      // wrong 1"): the 3-probe kernel ratio is a noisier estimator than
+      // the totals it normalizes — r14's artifact published a 1.386
+      // calibrated ratio for a same-code ~1.03x round because the prior
+      // record carried a noise-inflated kernel. A per-query-ratio median
+      // is robust to BOTH failure modes (a drifted kernel shifts every
+      // query's ratio equally and the median with it — it tracks real
+      // box drift — while per-query spikes land in the tails), so the
+      // narrative number is THIS, not the kernel-calibrated total.
+      val ratios = shared.collect {
+        case (k, v) if prior(k) > 0 => v / prior(k)
+      }.sorted
+      val medianJson =
+        if (ratios.isEmpty) ""
+        else {
+          val m =
+            if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+          f""","median_query_ratio":$m%.3f"""
+        }
+      f""","vs_prior":{"prior":"bench_last.json","n_shared":${shared.size},"raw_ratio":$raw%.3f,"calibration_ratio":$calib%.3f,"calibrated_ratio":${raw / calib}%.3f$medianJson}"""
     }
   }
 

@@ -173,7 +173,10 @@ object PcmSamples {
     while (i < nn) {
       val v = ((b(dataOff + 2 * i) & 0xFF) |
         (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
-      e(((frames + 1) * i + frames) / nn) += v * v
+      // Long frame index (r14 ADVICE): (frames+1)*i overflows Int32 at
+      // ~33M samples — a valid hour-scale WAV — and the bmpAHash math
+      // already uses .toLong for the same reason
+      e((((frames + 1).toLong * i + frames) / nn).toInt) += v * v
       i += 1
     }
     var hash = 0L

@@ -85,13 +85,22 @@ object JdbcUpsertSink {
         // upgrade/recovery scenario the sink exists for) would otherwise
         // keep the quadratic nested-loop MERGE cliff forever. Any index
         // whose leading column is the key serves the MERGE's ON lookup.
+        // "present" means EITHER any index leading with the key column
+        // OR an index already named <table>_key_idx (r14 ADVICE: a
+        // same-named index on a different leading column would otherwise
+        // make the unconditional CREATE INDEX throw a duplicate-name
+        // SQLException and kill the stream on every resume attempt)
         val hasKeyIndex = {
           val rs = conn.getMetaData.getIndexInfo(null, null, table, false, false)
           try {
             var found = false
-            while (!found && rs.next())
-              found = rs.getShort("ORDINAL_POSITION") == 1 &&
+            while (!found && rs.next()) {
+              val leadsWithKey = rs.getShort("ORDINAL_POSITION") == 1 &&
                 keyCol.equalsIgnoreCase(rs.getString("COLUMN_NAME"))
+              val nameTaken = (table + "_key_idx")
+                .equalsIgnoreCase(rs.getString("INDEX_NAME"))
+              found = leadsWithKey || nameTaken
+            }
             found
           } finally rs.close()
         }

@@ -99,4 +99,40 @@ class BenchSpec extends AnyFunSuite {
     // failed queries (negative time) never enter the shared aggregate
     assert(Bench.vsPrior(Seq("q_a" -> -1.0), prior, 6.0, 3.0) === "")
   }
+
+  /** r14 VERDICT task 3: the kernel-calibrated ratio published 1.386
+    * for a same-code ~1.03x round (the prior artifact carried a
+    * noise-inflated 3-probe kernel). The median of shared per-query
+    * ratios is robust to both kernel noise and per-query spikes —
+    * it is the number the narrative should read. */
+  test("vsPrior emits median_query_ratio robust to kernel noise and spikes") {
+    // three stable queries at ~1.0x plus one 10x spike; a naive mean or
+    // kernel-calibrated total moves with the spike, the median doesn't
+    val results = Seq("q_a" -> 1.0, "q_b" -> 2.1, "q_c" -> 2.9, "q_spike" -> 5.0)
+    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0, "q_spike" -> 0.5)
+    // ratios sorted: 0.967, 1.0, 1.05, 10.0 → even-size median 1.025
+    val block = Bench.vsPrior(results, prior, 3.0, 3.0)
+    assert(block.contains(""""median_query_ratio":1.025"""))
+    // odd count: median is the middle ratio, untouched by the spike
+    val odd = Bench.vsPrior(results.take(3), prior, 3.0, 3.0)
+    assert(odd.contains(""""median_query_ratio":1.000"""))
+    // a zero-valued prior entry cannot divide; it is skipped, the block
+    // still carries the median over the rest
+    val withZero = Bench.vsPrior(Seq("q_a" -> 1.0, "q_z" -> 2.0),
+      Map("q_a" -> 1.0, "q_z" -> 0.0), 3.0, 3.0)
+    assert(withZero.contains(""""median_query_ratio":1.000"""))
+  }
+
+  /** r14 ADVICE: the scheme-suffix dedup guard must test the scheme
+    * FIELD, not the whole line — a donor filename containing the
+    * literal '+patched' must not suppress the suffix. */
+  test("patchLine adds scheme suffix even when a donor filename says +patched") {
+    val base = """{"metric":"total","value":0.500,"unit":"sec","scheme":"min2redo","calibration_sec":4.000,"shared_build_sec":1.000,"queries":{"q_a":0.500},"patched":[],"donors":["old+patched.json"],"sf":"/tmp/sfX"}"""
+    val out = Bench.patchLine(base, Map("q_a" -> 0.100), "fresh.json")
+    assert(out.contains(""""scheme":"min2redo+patched""""))
+    assert(out.contains(""""patched":["q_a"]"""))
+    // and still idempotent: no double suffix on re-application
+    assert(!Bench.patchLine(out, Map("q_a" -> 0.100))
+      .contains("+patched+patched"))
+  }
 }

@@ -104,6 +104,32 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       Set((1L, "ann2")))
   }
 
+  test("a pre-existing index NAMED <table>_key_idx on a different column " +
+    "does not kill the sink with a duplicate-name CREATE (r14 ADVICE)") {
+    val url = "jdbc:derby:memory:graft5;create=true"
+    // a target whose _key_idx name is already taken by a non-key index:
+    // the create-if-absent path must treat the name as present instead
+    // of throwing a duplicate-name SQLException on every resume
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "named_latest" ("id" BIGINT, "username" VARCHAR(64), "version" BIGINT)""")
+      st.executeUpdate(
+        """CREATE INDEX "named_latest_key_idx" ON "named_latest"("username")""")
+      st.close()
+    } finally conn.close()
+    val sink = JdbcUpsertSink(url, "named_latest", "id", "version", "__deleted")
+    // both batches would previously die in CREATE INDEX; they must land
+    sink(Seq((1L, "ann", 1L, false))
+      .toDF("id", "username", "version", "__deleted"), 0L)
+    sink(Seq((1L, "ann2", 2L, false))
+      .toDF("id", "username", "version", "__deleted"), 1L)
+    assert(readTable(url, "named_latest")
+      .select("id", "username").as[(Long, String)].collect().toSet ===
+      Set((1L, "ann2")))
+  }
+
   test("drives from a stream via foreachBatch") {
     val url = "jdbc:derby:memory:graft2;create=true"
     implicit val sqlCtx = spark.sqlContext
