@@ -67,6 +67,143 @@ object GifFrames {
     buf.toArray
   }
 
+  /** Frame-fingerprint corpus delay (the `mm_framehash_dedup`
+    * generating formula): like [[graft.functions.PcmSamples.fpSample]],
+    * the content seed and frame index mix through two multiplicative
+    * congruential streams XORed together, so per-frame delays are
+    * near-iid and fingerprint bits carry real entropy (a linear
+    * seed-derived delay like [[buildGif]]'s collapses fingerprints the
+    * way the linear-ramp PCM corpus collapsed audio fingerprints —
+    * the geometry-blind-aHash degeneracy). The content seed folds
+    * through mod 100003 FIRST so every intermediate stays far below
+    * 2⁶³ at any ScaleUp replica offset (Scala wraps silently where
+    * DuckDB BIGINT errors). rendition 1 is the re-encoded clip: the
+    * payload bytes change entirely (new entropy coding) and the frame
+    * TIMING re-quantizes by a deterministic ±1-centisecond dither —
+    * enough to flip near-tie window-energy deltas (planted pairs
+    * measure Hamming 0–4) without moving the robust bits. */
+  def fpDelay(c: Long, i: Int, rendition: Int): Int = {
+    val c2 = c % 100003
+    val m1 = (c2 + 3) * 2654435761L + (i + 1).toLong * 48271L
+    val m2 = (c2 + 11) * 1103515245L + (i + 1).toLong * (i + 1) * 2246822519L
+    val d = ((m1 ^ m2) % 500).toInt + 1
+    if (rendition == 0) d else d + (i * 41) % 3 - 1
+  }
+
+  /** Fingerprint-corpus GIF: the [[buildGif]] container shape around
+    * [[fpDelay]] timing. Renditions share every frame's GEOMETRY and
+    * (modulo the ±1 dither) TIMING but have disjoint payload bytes —
+    * byte-level dedup sees two unrelated blobs; the temporal
+    * fingerprint pairs them. */
+  def buildGifFp(c: Long, n: Int, rendition: Int): Array[Byte] = {
+    val c2 = (c % 100003).toInt
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    buf ++= "GIF89a".getBytes("US-ASCII")
+    val sw = c2 % 7 + 4; val sh = c2 % 5 + 3
+    buf += (sw & 0xFF).toByte; buf += ((sw >> 8) & 0xFF).toByte
+    buf += (sh & 0xFF).toByte; buf += ((sh >> 8) & 0xFF).toByte
+    buf += 0x00; buf += 0x00; buf += 0x00 // no global color table
+    var i = 0
+    while (i < n) {
+      val delay = fpDelay(c, i, rendition)
+      val fw = i % 3 + 1
+      val fh = ((c + i) % 2 + 1).toInt
+      // payload: rendition-dependent length AND bytes — the re-encode
+      val dataLen = (c2 + i + 5 * rendition) % 7 + 1
+      buf += 0x21; buf += 0xF9.toByte; buf += 0x04; buf += 0x00
+      buf += (delay & 0xFF).toByte; buf += ((delay >> 8) & 0xFF).toByte
+      buf += 0x00; buf += 0x00
+      buf += 0x2C
+      buf += 0x00; buf += 0x00; buf += 0x00; buf += 0x00
+      buf += (fw & 0xFF).toByte; buf += ((fw >> 8) & 0xFF).toByte
+      buf += (fh & 0xFF).toByte; buf += ((fh >> 8) & 0xFF).toByte
+      buf += 0x00
+      buf += 0x02
+      buf += (dataLen & 0xFF).toByte
+      var j = 0
+      while (j < dataLen) {
+        buf += ((c2 + i + j + 13 * rendition) % 256).toByte; j += 1
+      }
+      buf += 0x00
+      i += 1
+    }
+    buf += 0x3B.toByte
+    buf.toArray
+  }
+
+  /** Temporal (frame-sequence) fingerprint — the audio
+    * sign-of-energy-delta shape applied to frames: walk the container
+    * once collecting per-frame stat_i = delay_i + w_i·h_i (the
+    * codec-free scalars frame structure exposes — a true per-frame
+    * luma needs LZW decoding, which is exactly what a re-encode
+    * changes; TIMING and CANVAS are what it preserves), partition the
+    * F frames into 65 windows by the integer grid f(i) = (65·i+64)/F
+    * (the [[graft.functions.PcmSamples.pcmFingerprint]] closed form,
+    * stated identically by the oracle), fold Σ stat per window, set
+    * bit f iff E_{f+1} > E_f. Uniform time-scaling (same clip at 2×
+    * delay) preserves every delta sign — the gain-invariance argument
+    * in the time domain. Caller gates validity via [[gifWalk]] mode 0
+    * (an all-ones fingerprint is a legitimate crescendo, so no
+    * in-band sentinel exists). */
+  def gifFingerprint(b: Array[Byte], frames: Int): Long = {
+    val f = gifWalk(b, 0, 1)
+    if (f == -1L || f < frames + 1) return 0L // caller gates; belt+braces
+    val nf = f.toInt
+    val e = new Array[Long](frames + 1)
+    // same block walk as gifWalk (validity already proven by the count)
+    var p = 6
+    val gctFlag = (b(p + 4) & 0x80) != 0
+    val gctSize = 2 << (b(p + 4) & 7)
+    p += 7
+    if (gctFlag) p += 3 * gctSize
+    var idx = 0
+    var curDelay = 0L
+    while (idx < nf) {
+      val tag = b(p) & 0xFF
+      if (tag == 0x21) {
+        val label = b(p + 1) & 0xFF
+        p += 2
+        var first = true
+        var inBlocks = true
+        while (inBlocks) {
+          val sz = b(p) & 0xFF
+          if (sz == 0) { p += 1; inBlocks = false }
+          else {
+            if (first && label == 0xF9 && sz >= 3)
+              curDelay = ((b(p + 2) & 0xFF) | ((b(p + 3) & 0xFF) << 8)).toLong
+            first = false
+            p += 1 + sz
+          }
+        }
+      } else { // 0x2C — gifWalk proved no other tag precedes the trailer
+        val fw = (b(p + 5) & 0xFF) | ((b(p + 6) & 0xFF) << 8)
+        val fh = (b(p + 7) & 0xFF) | ((b(p + 8) & 0xFF) << 8)
+        val lctFlag = (b(p + 9) & 0x80) != 0
+        val lctSize = 2 << (b(p + 9) & 7)
+        p += 10
+        if (lctFlag) p += 3 * lctSize
+        p += 1
+        var inBlocks = true
+        while (inBlocks) {
+          val sz = b(p) & 0xFF
+          if (sz == 0) { p += 1; inBlocks = false }
+          else p += 1 + sz
+        }
+        e((((frames + 1).toLong * idx + frames) / nf).toInt) +=
+          curDelay + fw.toLong * fh
+        curDelay = 0L
+        idx += 1
+      }
+    }
+    var hash = 0L
+    var k = 0
+    while (k < frames) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   /** Block-structure walk; mode 0 = frame count, 1 = Σ delay,
     * 2 = Σ (i+1)·(delay_i + w_i·h_i) over frames with i % k = 0.
     * Returns -1 on any malformed structure (bad magic, truncated
@@ -172,9 +309,63 @@ object GifFrames {
       copy(child = c)
   }
 
+  /** c/n → fingerprint-corpus GIF bytes (rendition static). */
+  case class GifFpBuild(left: Expression, right: Expression, rendition: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "gif_fp_build"
+    override def nullSafeEval(c: Any, n: Any): Any =
+      buildGifFp(c.asInstanceOf[Long], n.asInstanceOf[Int], rendition)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = GifFrames.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      defineCodeGen(ctx, ev, (c, n) => s"$cls.buildGifFp($c, $n, $rendition)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Temporal fingerprint; validity gated on [[gifWalk]] mode 0 (no
+    * in-band sentinel — any 64-bit pattern is a legitimate hash). */
+  case class GifFingerprintExpr(child: Expression, frames: Int)
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "gif_fingerprint"
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val f = gifWalk(b, 0, 1)
+      if (f == -1L || f < frames + 1) null
+      else gifFingerprint(b, frames)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = GifFrames.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val f = ctx.freshName("f")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |long $f = $cls.gifWalk($c, 0, 1);
+        |if ($f == -1L || $f < ${frames + 1}L) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $cls.gifFingerprint($c, $frames);
+        |}
+      """.stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def build(seed: Column, n: Column): Column =
     ColumnBridge.column(GifBuild(ColumnBridge.expression(seed),
       ColumnBridge.expression(n)))
+  def buildFp(c: Column, n: Column, rendition: Int): Column = {
+    require(rendition == 0 || rendition == 1, "rendition is 0 or 1")
+    ColumnBridge.column(GifFpBuild(ColumnBridge.expression(c),
+      ColumnBridge.expression(n.cast("int")), rendition))
+  }
+  def fingerprint(media: Column, frames: Int): Column = {
+    require(frames > 0 && frames <= 64, "fingerprint must fit 64 bits")
+    ColumnBridge.column(GifFingerprintExpr(ColumnBridge.expression(media),
+      frames))
+  }
   def frameCount(media: Column): Column =
     ColumnBridge.column(GifStat(ColumnBridge.expression(media), 0, 1))
   def totalDelay(media: Column): Column =

@@ -382,6 +382,108 @@ object Multimodal2 {
     bandedHammingPairs(sigs, Seq("n"), 3).orderBy("a_id", "b_id")
   }
 
+  /** FRAME-SEQUENCE (video-shaped) near-dup — the modality matrix's
+    * fourth row (text shingles, image aHash, audio energy-delta, now
+    * temporal frame structure): the re-encoded-CLIP case a multimodal
+    * training pipeline dedups. Content pairs (doc_id div 2) share a
+    * frame sequence; the odd rendition is a simulated RE-ENCODE — every
+    * payload byte changes (new entropy coding, so byte/exact-hash dedup
+    * sees two unrelated blobs) and the frame timing re-quantizes by a
+    * deterministic ±1-centisecond dither, the real-world
+    * timestamp-rounding artifact. The fingerprint
+    * ([[graft.functions.GifFrames.gifFingerprint]]) folds per-frame
+    * stat = delay + w·h (the codec-free temporal/canvas scalars a
+    * re-encode preserves — per-frame LUMA would require the LZW decode
+    * a re-encode invalidates) into 65 integer-grid windows and signs
+    * consecutive window deltas: the audio fingerprint's shape applied
+    * to frames, so uniform time-scaling preserves every bit and only
+    * the dither's near-tie flips cost Hamming distance (planted pairs
+    * land at 0–4; pairs pushed past the threshold are legitimately
+    * missed on BOTH engines).
+    *
+    * Blocking key is (n, band, sig): frame COUNT plays the role image
+    * geometry and audio duration do — a re-encode keeps the frame
+    * sequence, and same-count blocking keeps buckets linear. Candidates
+    * ride the shared [[bandedHammingPairs]] machinery (bucket join
+    * under [[Dedup.BandBucketCap]], mirrored in the oracle's QUALIFY;
+    * exact Hamming verify on candidates only — never all-pairs).
+    *
+    * 100 TB shape: ONE codegen'd block-walk per container computes the
+    * 64-bit fingerprint (no codec, no shuffle — same cost class as the
+    * [[graft.functions.GifFrames.gifWalk]] inventory pass the r13
+    * `mm_gif_frames` query proved); everything after is the banded
+    * equi-join. The oracle re-derives fingerprints from the generating
+    * formulas per frame — window membership uses the identical integer
+    * closed form (65·i+64)//n on both engines. */
+  val framehashDedup: Q = Q(
+    "mm_framehash_dedup",
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id // 2 AS c,
+       |    66 + ((doc_id // 2) % 13) * 13 AS n
+       |  FROM documents),
+       |s AS (SELECT doc_id, c, n, UNNEST(RANGE(0, n)) AS i FROM p),
+       |d0 AS (
+       |  SELECT doc_id, c, n, i,
+       |    (XOR((c % 100003 + 3) * 2654435761 + (i + 1) * 48271,
+       |         (c % 100003 + 11) * 1103515245
+       |           + (i + 1) * (i + 1) * 2246822519)
+       |      % 500) + 1 AS d
+       |  FROM s),
+       |st AS (
+       |  SELECT doc_id, n, i,
+       |    (CASE WHEN doc_id % 2 = 1 THEN d + (i * 41) % 3 - 1 ELSE d END)
+       |      + (i % 3 + 1) * ((c + i) % 2 + 1) AS stat
+       |  FROM d0),
+       |e AS (
+       |  SELECT doc_id, n, (65 * i + 64) // n AS f,
+       |    CAST(SUM(stat) AS BIGINT) AS e
+       |  FROM st GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.doc_id, a.n, a.f AS idx,
+       |    CASE WHEN b.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |bands AS (
+       |  SELECT doc_id, n, idx // 16 AS band,
+       |    CAST(SUM(bit * (1::BIGINT << (idx % 16))) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2, 3),
+       |capped AS (
+       |  SELECT doc_id, n, band, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY n, band, sig) <= ${Dedup.BandBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.n = b.n AND a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
+       |bc AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN sig END) AS b3
+       |  FROM bands GROUP BY doc_id),
+       |ham AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(BIT_COUNT(XOR(x.b0, y.b0)) + BIT_COUNT(XOR(x.b1, y.b1))
+       |       + BIT_COUNT(XOR(x.b2, y.b2)) + BIT_COUNT(XOR(x.b3, y.b3))
+       |      AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bc x ON x.doc_id = c.a_id
+       |  JOIN bc y ON y.doc_id = c.b_id)
+       |SELECT a_id, b_id, hamming FROM ham
+       |WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import graft.functions.GifFrames
+    val c = expr("doc_id div 2")
+    val n = lit(66) + (c % 13) * 13
+    val media = when(col("doc_id") % 2 === 0, GifFrames.buildFp(c, n, 0))
+      .otherwise(GifFrames.buildFp(c, n, 1))
+    val sigs = documents(s, d)
+      .select(col("doc_id"), n.cast("bigint").as("n"),
+        GifFrames.fingerprint(media, 64).as("hash"))
+    bandedHammingPairs(sigs, Seq("n"), 3).orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(phashDedup, phashComponents, phashRescale,
-    audioFingerprint)
+    audioFingerprint, framehashDedup)
 }
