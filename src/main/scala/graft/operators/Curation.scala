@@ -474,19 +474,11 @@ object Curation {
          |  (cum - n_tok) % $cap AS chunk_offset
          |FROM r
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val ws = split(trim(col("text")), " ")
-      val keep = documents(s, d)
-        .filter(!TextAnalysis3.isHoldout(col("doc_id")) &&
-          !TextAnalysis3.qualityBad(col("text")))
-        .select(col("doc_id"), size(ws).cast("long").as("n_tok"))
-      ScalableWindows.globalRunningSum(keep,
-          Seq(col("doc_id")), col("n_tok"), "rn", "cum")
-        .withColumn("first_chunk", expr(s"(cum - n_tok) div $cap"))
-        .withColumn("last_chunk", expr(s"(cum - 1) div $cap"))
+      placement(documents(s, d), cap)
         .select(col("doc_id"), col("n_tok"),
           col("first_chunk"), col("last_chunk"),
           (col("last_chunk") - col("first_chunk") + 1L).as("n_chunks"),
-          expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
+          col("chunk_offset"))
         .orderBy("doc_id")
     }
   }
@@ -621,6 +613,138 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Pack placement for one corpus snapshot — the [[packBins]] pipeline
+    * up to the chunk arithmetic, reused by the epoch query and the
+    * delta query below. */
+  private def placement(docs: DataFrame, cap: Long): DataFrame = {
+    val ws = split(trim(col("text")), " ")
+    val keep = docs
+      .filter(!TextAnalysis3.isHoldout(col("doc_id")) &&
+        !TextAnalysis3.qualityBad(col("text")))
+      .select(col("doc_id"), size(ws).cast("long").as("n_tok"))
+    ScalableWindows.globalRunningSum(keep,
+        Seq(col("doc_id")), col("n_tok"), "rn", "cum")
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"(cum - n_tok) div $cap").as("first_chunk"),
+        expr(s"(cum - 1) div $cap").as("last_chunk"),
+        expr(s"(cum - n_tok) % $cap").as("chunk_offset"))
+  }
+
+  /** The SQL face of [[placement]] over a (doc_id, text) relation named
+    * `src`, emitting doc_id/n_tok/first_chunk/last_chunk/chunk_offset. */
+  private def duckPlacement(src: String, cap: Long): String =
+    s"""SELECT doc_id, n_tok,
+       |    (cum - n_tok) // $cap AS first_chunk,
+       |    (cum - 1) // $cap AS last_chunk,
+       |    (cum - n_tok) % $cap AS chunk_offset
+       |  FROM (
+       |    SELECT doc_id, n_tok,
+       |      CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |    FROM (
+       |      SELECT doc_id,
+       |        LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS n_tok,
+       |        CAST(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS DOUBLE)
+       |          / LEN(STRING_SPLIT(TRIM(text), ' ')) AS ttr
+       |      FROM $src)
+       |    WHERE doc_id % 50 <> 0
+       |      AND NOT COALESCE(NOT (n_tok BETWEEN 20 AND 80 AND ttr >= 0.3),
+       |                       FALSE))""".stripMargin
+
+  /** Incremental PACK delta (r14 VERDICT task 6) — one composition step
+    * past [[recurationDelta]]: when a CDC batch of document edits flips
+    * curation verdicts (and token counts), WHICH context windows of the
+    * epoch's packing map ([[packBins]]) change? This is the
+    * chunk-invalidation set an incremental training-data refresh ships
+    * to its data loader instead of a full re-pack.
+    *
+    * The edit stream is [[recurationDelta]]'s, delivered at-least-once
+    * and compacted by [[Cdc.latestByKey]] (the ST2 primitive) — the
+    * same CDC provenance, composed one stage further. Placement deltas
+    * come from a full-outer join of the pre- and post-edit packing
+    * maps: `removed` (verdict flipped out of the pack), `added`
+    * (flipped in), `moved` (placement or token count changed). The
+    * exclusive-running-sum construction makes the PREFIX exact: every
+    * doc wholly before the first edit keeps its placement and never
+    * appears here (the spec asserts it); after the first edit the
+    * suffix is invalidated except where token corrections happen to
+    * cancel exactly — which the join detects per doc instead of
+    * over-invalidating the whole suffix.
+    *
+    * 100 TB shape: two [[ScalableWindows.globalRunningSum]] two-passes
+    * (range partition + per-partition offsets — the same cost class as
+    * the epoch pack this query patches) plus one key-partitioned
+    * full-outer join; no all-pairs, no driver loop. When the edit
+    * fraction is tiny, the post-edit prefix sum is further reducible to
+    * an as-of join against the running sum of per-edit token
+    * corrections (O(edits) instead of O(corpus)) — documented as the
+    * scale path; at the registered corpus the edit stream touches 1/7
+    * of all docs, so the two-pass IS the right plan. */
+  val packDelta: Q = {
+    val cap = 2048L
+    Q(
+      "curation_pack_delta",
+      s"""WITH chg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 14 = 3
+         |         THEN ARRAY_TO_STRING((STRING_SPLIT(TRIM(text), ' '))[1:15], ' ')
+         |         ELSE TRIM(text) || ' ' || TRIM(text) END AS new_text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |post AS (
+         |  SELECT d.doc_id, COALESCE(c.new_text, d.text) AS text
+         |  FROM documents d LEFT JOIN chg c ON c.doc_id = d.doc_id),
+         |oldp AS (${duckPlacement("documents", cap)}),
+         |newp AS (${duckPlacement("post", cap)})
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       ELSE 'moved' END AS change,
+         |  o.first_chunk AS old_first_chunk,
+         |  n.first_chunk AS new_first_chunk,
+         |  o.chunk_offset AS old_chunk_offset,
+         |  n.chunk_offset AS new_chunk_offset
+         |FROM oldp o FULL JOIN newp n ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+         |   OR o.first_chunk <> n.first_chunk OR o.last_chunk <> n.last_chunk
+         |   OR o.chunk_offset <> n.chunk_offset OR o.n_tok <> n.n_tok
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val trimmed = trim(col("text"))
+      val edited = when(col("doc_id") % 14 === 3,
+          array_join(slice(split(trimmed, " "), 1, 15), " "))
+        .otherwise(concat(trimmed, lit(" "), trimmed))
+      val touched = docs.filter(col("doc_id") % 7 === 3)
+      val batch = touched
+        .select(col("doc_id"), edited.as("text"), lit(2L).as("version"))
+        .unionByName(touched
+          .select(col("doc_id"), col("text"), lit(1L).as("version")))
+      val compacted = Cdc.latestByKey(batch, Seq("doc_id"),
+          Seq(col("version")))
+        .select(col("doc_id"), col("text").as("new_text"))
+      val post = docs.join(compacted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_text"), col("text")).as("text"))
+      val o = placement(docs, cap).select(col("doc_id").as("o_id"),
+        col("n_tok").as("o_n"), col("first_chunk").as("o_fc"),
+        col("last_chunk").as("o_lc"), col("chunk_offset").as("o_off"))
+      val n2 = placement(post, cap).select(col("doc_id").as("n_id"),
+        col("n_tok").as("n_n"), col("first_chunk").as("n_fc"),
+        col("last_chunk").as("n_lc"), col("chunk_offset").as("n_off"))
+      o.join(n2, col("o_id") === col("n_id"), "full_outer")
+        .filter(col("o_id").isNull || col("n_id").isNull ||
+          col("o_fc") =!= col("n_fc") || col("o_lc") =!= col("n_lc") ||
+          col("o_off") =!= col("n_off") || col("o_n") =!= col("n_n"))
+        .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .otherwise("moved").as("change"),
+          col("o_fc").as("old_first_chunk"),
+          col("n_fc").as("new_first_chunk"),
+          col("o_off").as("old_chunk_offset"),
+          col("n_off").as("new_chunk_offset"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(spanExact, boilerplate, semantic, bpeMerges,
-    dupInflation, tokenBudget, packBins, recurationDelta)
+    dupInflation, tokenBudget, packBins, recurationDelta, packDelta)
 }

@@ -152,6 +152,54 @@ class CurationSpec extends AnyFunSuite {
     assert(perSource.map(_._1).toSet === docs.map(_._2).toSet)
   }
 
+  test("pack delta matches a driver-side two-pack diff on the tiny " +
+    "corpus; the prefix before the first edit never appears") {
+    val docs = Tables.documents(spark, TestSpark.tiny)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def qualityBad(t: String): Boolean = {
+      if (t == null) return false
+      val ws = t.trim.split(" ", -1)
+      !(ws.length >= 20 && ws.length <= 80 &&
+        ws.distinct.length.toDouble / ws.length >= 0.3)
+    }
+    def pack(corpus: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long)] = {
+      var cum = 0L
+      val out = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+      for ((id, t) <- corpus if id % 50 != 0 && !qualityBad(t)) {
+        val n = t.trim.split(" ", -1).length.toLong
+        val prev = cum; cum += n
+        out(id) = (n, prev / 2048, (cum - 1) / 2048, prev % 2048)
+      }
+      out.toMap
+    }
+    def edit(t: String, id: Long): String = {
+      val tr = t.trim
+      if (id % 14 == 3) tr.split(" ", -1).take(15).mkString(" ")
+      else tr + " " + tr
+    }
+    val post = docs.map { case (id, t) =>
+      (id, if (id % 7 == 3) edit(t, id) else t)
+    }
+    val oldP = pack(docs.toSeq); val newP = pack(post.toSeq)
+    val expected = (oldP.keySet ++ newP.keySet).flatMap { id =>
+      (oldP.get(id), newP.get(id)) match {
+        case (Some(_), None) => Some(id -> "removed")
+        case (None, Some(_)) => Some(id -> "added")
+        case (Some(o), Some(n)) if o != n => Some(id -> "moved")
+        case _ => None
+      }
+    }.toMap
+    val got = Curation.packDelta.run(spark, TestSpark.tiny)
+      .select("doc_id", "change").as[(Long, String)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    assert(got.nonEmpty)
+    // prefix stability: nothing before the first edited doc id moves
+    val firstEdit = docs.map(_._1).filter(_ % 7 == 3).min
+    assert(got.forall(_._1 >= firstEdit))
+    // both membership-flip directions present on the tiny corpus
+    assert(got.map(_._2).toSet.contains("moved"))
+  }
+
   test("curation plans: no cartesian/BNL, island windows partitioned by doc") {
     // curation_token_budget cross-attaches the one-row corpus budget —
     // the documented bounded scalar-attach BNL exemption (PlanShapeSpec
