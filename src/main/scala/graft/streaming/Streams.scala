@@ -765,6 +765,137 @@ object Streams {
       .orderBy("q_id", "rank")
   }
 
+  /** ST6 incremental twin of the MEDIA signature near-dup family
+    * ([[graft.operators.Multimodal2]]'s image aHash / audio fingerprint
+    * / frame-sequence tiers, r14 VERDICT task 2): the banded 64-bit
+    * signature index maintained across micro-batches, ONE maintainer
+    * for every modality because each tier reduces to the same relation
+    * — (doc_id, block, hash) where `block` is the modality's blocking
+    * key (image geometry, audio duration class, frame count) and
+    * `hash` the codegen'd 64-bit signature.
+    *
+    * Contract: signatures are row-local and immutable per doc (derived
+    * from the media bytes — an append-only media corpus), so the index
+    * is incrementally maintainable without re-signing old docs. Per
+    * batch the emitted rows are PAIR DELTAS (a_id, b_id, block,
+    * hamming, op∈{add,remove}) whose running fold (adds minus removes)
+    * after batch N equals the one-shot banded pair set
+    * ([[graft.operators.Multimodal2]]'s bandedHammingPairs semantics:
+    * 4×16-bit bands, bucket join under the cap, exact Hamming verify)
+    * over all docs arrived through batch N — MediaDedupStreamSpec
+    * asserts the golden across batches, under cross-batch redelivery,
+    * AND across a cap crossing.
+    *
+    * The delta algebra is exact because candidacy is MONOTONE: bucket
+    * populations only grow, so a pair can gain candidacy only when one
+    * endpoint arrives (adds join new docs against the accumulated
+    * capped postings at current counts) and lose it only when its last
+    * supporting bucket crosses the cap (removes re-check exactly the
+    * stored pairs whose endpoints share a JUST-crossed bucket — never
+    * re-added, never re-scanned). Re-checked work per batch is bounded
+    * by |batch| + Σ(members of buckets crossing this batch) ≤ cap per
+    * bucket — never the corpus.
+    *
+    * State at `stateDir` is batchId-partitioned (`sigs/batch_id=N`,
+    * `deltas/batch_id=N`); reads filter batch_id < current, writes
+    * overwrite only their own partition → idempotent under foreachBatch
+    * retries (the house index scheme). 100 TB shape: per batch one
+    * band explode + three key equi-joins, all bounded by batch and
+    * crossed-bucket sizes; the signature pass happened upstream where
+    * the media bytes were read once. */
+  def mediaDedupIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, threshold: Int = 3,
+      cap: Long = graft.operators.Dedup.BandBucketCap): DataFrame = {
+    val spark = batch.sparkSession
+    def readPrior(name: String, cols: String*): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.parquet(p.toString)
+          .filter(col("batch_id") < batchId).select(cols.map(col): _*))
+      else None
+    }
+    val priorSigs = readPrior("sigs", "doc_id", "block", "hash")
+    // within-batch redelivery: signatures are immutable per doc, so
+    // distinct IS the compaction; cross-batch redelivery: already-known
+    // docs are not "new" (their pairs were emitted on first arrival)
+    val batchSigs = batch.select("doc_id", "block", "hash").distinct()
+    val newSigs = (priorSigs match {
+      case Some(p) => batchSigs.join(p.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      case None => batchSigs
+    }).localCheckpoint(true)
+    val allSigs = (priorSigs match {
+      case Some(p) => p.unionByName(newSigs)
+      case None => newSigs
+    }).localCheckpoint(true)
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc_id"), col("block"),
+      posexplode(array((0 until 4).map(k =>
+        (shiftright(col("hash"), 16 * k) bitwiseAND 0xFFFFL)): _*))
+        .as(Seq("band", "sig")))
+    val key = Seq("block", "band", "sig")
+    val allBands = bandsOf(allSigs)
+    val cnts = allBands.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_now"))
+    val capped = cnts.filter(col("n_now") <= cap).select(key.map(col): _*)
+    // --- adds: new docs × accumulated postings, capped buckets only ---
+    val newBands = bandsOf(newSigs)
+    val candRaw = newBands.join(capped, key)
+      .join(allBands.select(col("doc_id").as("o_id"), col("block"),
+        col("band"), col("sig")), key)
+      .filter(col("doc_id") =!= col("o_id"))
+      .select(least(col("doc_id"), col("o_id")).as("a_id"),
+        greatest(col("doc_id"), col("o_id")).as("b_id"), col("block"))
+      .distinct()
+    val hashes = allSigs.select(col("doc_id"), col("hash"))
+    val adds = candRaw
+      .join(hashes.select(col("doc_id").as("a_id"), col("hash").as("ha")), "a_id")
+      .join(hashes.select(col("doc_id").as("b_id"), col("hash").as("hb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("block"),
+        bit_count(col("ha") bitwiseXOR col("hb")).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= threshold)
+      .withColumn("op", lit("add"))
+    // --- removes: stored pairs whose last support crossed the cap ---
+    val removes = readPrior("deltas", "a_id", "b_id", "block", "hamming", "op")
+      .map { deltas =>
+        val statePairs = deltas.filter(col("op") === "add")
+          .select("a_id", "b_id", "block", "hamming")
+          .join(deltas.filter(col("op") === "remove")
+            .select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+        val prevCnts = priorSigs.map(p => bandsOf(p)
+            .groupBy(key.map(col): _*).agg(count(lit(1)).as("n_prev")))
+          .getOrElse(cnts.limit(0).withColumnRenamed("n_now", "n_prev"))
+        val crossed = cnts.filter(col("n_now") > cap)
+          .join(prevCnts.filter(col("n_prev") <= cap), key)
+          .select(key.map(col): _*)
+        val crossedMembers = allBands.join(crossed, key)
+        val suspects = statePairs
+          .join(crossedMembers.select(col("doc_id").as("a_id"),
+            col("block"), col("band"), col("sig")), Seq("a_id", "block"))
+          .join(crossedMembers.select(col("doc_id").as("b_id"),
+            col("block"), col("band"), col("sig")),
+            Seq("b_id", "block", "band", "sig"))
+          .select("a_id", "b_id", "block", "hamming").distinct()
+        val supported = suspects
+          .join(allBands.select(col("doc_id").as("a_id"), col("block"),
+            col("band"), col("sig")), Seq("a_id", "block"))
+          .join(allBands.select(col("doc_id").as("b_id"), col("block"),
+            col("band"), col("sig")), Seq("b_id", "block", "band", "sig"))
+          .join(capped, key)
+          .select("a_id", "b_id").distinct()
+        suspects.join(supported, Seq("a_id", "b_id"), "left_anti")
+          .withColumn("op", lit("remove"))
+      }.getOrElse(adds.limit(0))
+    val emitted = adds.unionByName(removes)
+      .localCheckpoint(true) // materialize BEFORE the state writes
+    newSigs.write.mode("overwrite")
+      .parquet(s"$stateDir/sigs/batch_id=$batchId")
+    emitted.write.mode("overwrite")
+      .parquet(s"$stateDir/deltas/batch_id=$batchId")
+    emitted
+  }
+
   /** ST6 incremental twin of
     * [[graft.operators.EventAnalytics4.q92DeltaSum]]: per-user deltaSum
     * maintained across micro-batches with bounded per-batch state — one
