@@ -29,6 +29,26 @@ object ScalePair {
     val a = math.min(timeOne(dirA), timeOne(dirA))
     val b = math.min(timeOne(dirB), timeOne(dirB))
     spark.stop()
-    println(f"""{"metric":"scale_pair","query":"$name","a":"$dirA","b":"$dirB","sec_a":$a%.3f,"sec_b":$b%.3f,"ratio":${b / a}%.3f}""")
+    val line =
+      f"""{"metric":"scale_pair","query":"$name","a":"$dirA","b":"$dirB","sec_a":$a%.3f,"sec_b":$b%.3f,"ratio":${b / a}%.3f}"""
+    println(line)
+    // r14 VERDICT task 4: adjudication readings must SURVIVE the round —
+    // /tmp/r14_scalepair.json held only the last reading, so two closed
+    // ratios reverted to prose. Append every reading to the committed
+    // JSONL so the artifact trail is in-repo.
+    append("records/scalepair.jsonl", line)
   }
+
+  /** append one JSON line to a committed records file (created with
+    * parents on first use; shared by [[TwsBench]]) */
+  private[tools] def append(path: String, line: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalepair] append to $path failed: ${e.getMessage}")
+    }
 }

@@ -125,6 +125,11 @@ object TwsBench {
         f""""kl_$n":{"events_per_sec":${total / (kl._3 / 1000)}%.0f,"p50_batch_ms":${kl._1}%.1f,"max_batch_ms":${kl._2}%.1f}""")
     }
     spark.stop()
-    println(s"""{"metric":"tws_bench","batches":$nBatches,"twins":{${entries.mkString(",")}}}""")
+    val line =
+      s"""{"metric":"tws_bench","batches":$nBatches,"twins":{${entries.mkString(",")}}}"""
+    println(line)
+    // committed artifact trail (r14 VERDICT task 4), same file scheme
+    // as ScalePair's readings
+    ScalePair.append("records/twsbench.jsonl", line)
   }
 }
