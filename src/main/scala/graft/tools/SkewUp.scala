@@ -76,7 +76,43 @@ object SkewUp {
 
     // untouched tables: verbatim copies so the corpus stays complete
     Seq("region", "nation", "customer", "supplier", "part",
-      "documents", "embeddings").foreach(t => write(read(t), t))
+      "embeddings").foreach(t => write(read(t), t))
+
+    // hot-TEMPLATE document tier (r14 VERDICT task 5): the join-key
+    // tiers above stress shuffles; the pair families (dedup/text/mm)
+    // never saw adversarial data. The real-world failure is a hot
+    // near-dup CLUSTER — one template × thousands of paraphrases (a
+    // boilerplate page, a licence header, a mirrored article) — which
+    // floods shingle document frequencies and LSH band buckets. 25% of
+    // documents are rewritten onto ONE template text, each keeping a
+    // per-doc variant tail word (doc_id % 97), so the corpus carries 97
+    // exact-dup groups inside one giant near-dup cluster:
+    //   - below the caps (sf0.1-scale: 1.25k hot docs) every
+    //     cross-variant pair is a candidate — the pair-flood case;
+    //   - above ShingleDfCap (sf1-scale: 12.5k hot docs) the template's
+    //     common shingles are dropped from the vocabulary on BOTH
+    //     engines (the QUALIFY mirror), so cross-variant pairs are
+    //     dropped BY DESIGN while within-variant pairs survive via
+    //     variant-local shingles — the cap-drop behavior the study
+    //     records instead of leaving silent.
+    // Template choice is deterministic: the smallest doc_id with ≥ 30
+    // words; n_chars re-derives for rewritten rows.
+    val docs = read("documents")
+    val template = docs
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 30)
+      .orderBy("doc_id").select("text").limit(1)
+      .collect()(0).getString(0)
+    val prefix = template.trim.split(" ").dropRight(1).mkString(" ")
+    val uDoc = pmod(xxhash64(col("doc_id")), lit(U))
+    val hotDoc = uDoc < U / 4
+    write(docs
+      .withColumn("text",
+        when(hotDoc, concat(lit(prefix + " pv"),
+          (col("doc_id") % 97).cast("string"))).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(hotDoc, length(col("text")).cast("long"))
+          .otherwise(col("n_chars"))), "documents")
 
     skewKey("lineitem", "l_orderkey", smallest(read("orders"), "o_orderkey"),
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"))

@@ -70,5 +70,33 @@ class SkewUpSpec extends AnyFunSuite {
     val b = spark.read.parquet(s"$dir2/lineitem.parquet")
     assert(a.exceptAll(b).count() === 0L)
     assert(b.exceptAll(a).count() === 0L)
+    val da = spark.read.parquet(s"$out/documents.parquet")
+    val db = spark.read.parquet(s"$dir2/documents.parquet")
+    assert(da.exceptAll(db).count() === 0L)
+    assert(db.exceptAll(da).count() === 0L)
+  }
+
+  test("hot-template document tier: ~25% of docs share one near-dup " +
+    "template with a per-doc variant tail; n_chars re-derived; the " +
+    "rest verbatim") {
+    val src = spark.read.parquet(s"${TestSpark.tiny}/documents.parquet")
+    val got = spark.read.parquet(s"$out/documents.parquet")
+    assert(got.schema === src.schema)
+    assert(got.count() === src.count())
+    val n = got.count().toDouble
+    val hot = got.filter(col("text").rlike(" pv[0-9]+$"))
+    val share = hot.count() / n
+    assert(share > 0.15 && share < 0.35, s"hot doc share $share")
+    // one template: all hot docs agree on every word but the tail
+    val prefixes = hot
+      .select(regexp_replace(col("text"), " pv[0-9]+$", "").as("p"))
+      .distinct().count()
+    assert(prefixes === 1L)
+    // n_chars tracks the rewritten text
+    assert(hot.filter(length(col("text")) =!= col("n_chars")).count() === 0L)
+    // cold docs are byte-identical to the source
+    val cold = got.filter(!col("text").rlike(" pv[0-9]+$"))
+    assert(cold.exceptAll(src.join(cold.select("doc_id"), "doc_id"))
+      .count() === 0L)
   }
 }
