@@ -365,12 +365,20 @@ object TextAnalysis6 {
     * and threshold tuning read ROUGE, not Jaccard).
     *
     * 100 TB shape: the pair set is the near-dup output (orders of
-    * magnitude below corpus size) and broadcasts into both token-side
-    * joins, so the corpus token stream is filtered to pair members
-    * before the unigram-intersection join; per-doc distinct-token
-    * sizes come from one hash agg. The oracle reuses the registered
-    * pair query's own SQL as a CTE, then recomputes the overlap
-    * independently.
+    * magnitude below corpus size); the corpus is filtered to pair
+    * MEMBERS with one broadcast join, and the intersection is a
+    * PER-ROW `array_intersect` over the two (already-distinct) token
+    * arrays carried through two pair-bounded key joins — no token
+    * explode, no aggregation in the hot path. The previous shape
+    * (explode → (b_id, w) shuffle join → groupBy(a_id, b_id) count)
+    * died at the sf5 (500×) spot tier with AGGREGATE_OUT_OF_MEMORY:
+    * the map-side partial hash agg's key space approached the pair
+    * count per task, and 32 concurrent tasks exhausted execution
+    * memory before the sort fallback could allocate. The per-row
+    * intersect is memory-bounded by two token arrays regardless of
+    * corpus size. The oracle reuses the registered pair query's own
+    * SQL as a CTE, then recomputes the overlap independently (via the
+    * token join — engine-independent formulation).
     */
   val rougePairs: Q = Q(
     "text_rouge_pairs",
@@ -406,17 +414,19 @@ object TextAnalysis6 {
     val members = documents(s, d).join(broadcast(memberIds), "doc_id")
       .select(col("doc_id"),
         array_distinct(TextAnalysis.words(col("text"))).as("ws"))
-    val n = members.select(col("doc_id"), size(col("ws")).cast("bigint").as("n"))
-    val tok = members.select(col("doc_id"), explode(col("ws")).as("w"))
-    val inter = tok.select(col("doc_id").as("a_id"), col("w"))
-      .join(broadcast(pairs), "a_id")
-      .join(tok.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     val pCol = col("inter").cast("double") / col("na")
     val rCol = col("inter").cast("double") / col("nb")
-    inter
-      .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+    pairs
+      .join(members.select(col("doc_id").as("a_id"), col("ws").as("wa")), "a_id")
+      .join(members.select(col("doc_id").as("b_id"), col("ws").as("wb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("wa"), col("wb"))).cast("bigint").as("inter"),
+        size(col("wa")).cast("bigint").as("na"),
+        size(col("wb")).cast("bigint").as("nb"))
+      // the oracle's intersection CTE is an inner token join: a pair
+      // with zero shared tokens has no row there (unreachable for
+      // J ≥ 0.5 pairs, mirrored anyway)
+      .filter(col("inter") > 0)
       .select(col("a_id"), col("b_id"), col("inter"),
         pCol.as("p"), rCol.as("r"),
         ((lit(2.0) * pCol * rCol) / (pCol + rCol)).as("f1"))
