@@ -127,5 +127,14 @@ class GifFramesSpec extends AnyFunSuite {
     val (fc, rs) = df.as[(Long, Long)].head()
     assert(fc === 3L)
     assert(rs === refResample(1L, 5, 3, 3, 2, 2, weighted = false))
+    // the r15 fingerprint pair (builder + temporal fingerprint) too:
+    // one codegen'd span end-to-end, value equal to the static walk
+    val df2 = spark.range(1, 2).toDF("c")
+      .select(GifFrames.fingerprint(
+        GifFrames.buildFp(col("c"), lit(70), 1), 64).as("h"))
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(plan2.contains("*(1) Project"), plan2)
+    assert(df2.as[Long].head() ===
+      GifFrames.gifFingerprint(GifFrames.buildGifFp(1L, 70, 1), 64))
   }
 }
