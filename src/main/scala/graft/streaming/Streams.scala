@@ -797,12 +797,17 @@ object Streams {
     * bucket — never the corpus.
     *
     * State at `stateDir` is batchId-partitioned (`sigs/batch_id=N`,
-    * `deltas/batch_id=N`); reads filter batch_id < current, writes
-    * overwrite only their own partition → idempotent under foreachBatch
-    * retries (the house index scheme). 100 TB shape: per batch one
-    * band explode + three key equi-joins, all bounded by batch and
-    * crossed-bucket sizes; the signature pass happened upstream where
-    * the media bytes were read once. */
+    * `cnts/batch_id=N`, `deltas/batch_id=N`); reads filter batch_id <
+    * current, writes overwrite only their own partition → idempotent
+    * under foreachBatch retries (the house index scheme). 100 TB
+    * shape: per batch one band explode + three key equi-joins, all
+    * bounded by batch and crossed-bucket sizes; bucket counts fold
+    * from the batchId-partitioned COUNT-DELTA table (the
+    * [[nearDupIncrementalBatch]] df-table pattern — vocabulary-
+    * bounded, never a posting re-aggregation); only the pairing join
+    * itself reads the stored postings, which is the index's job; the
+    * signature pass happened upstream where the media bytes were read
+    * once. */
   def mediaDedupIncrementalBatch(batch: DataFrame, stateDir: String,
       batchId: Long, threshold: Int = 3,
       cap: Long = graft.operators.Dedup.BandBucketCap): DataFrame = {
@@ -836,8 +841,16 @@ object Streams {
         .as(Seq("band", "sig")))
     val key = Seq("block", "band", "sig")
     val allBands = bandsOf(allSigs)
-    val cnts = allBands.groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("n_now"))
+    // bucket counts from the count-DELTA table: this batch's per-bucket
+    // counts are one batch-sized agg; cumulative counts fold stored
+    // per-batch counts (vocabulary-bounded rows, never postings)
+    val batchCnts = bandsOf(newSigs).groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val priorCnts = readPrior("cnts", "block", "band", "sig", "c")
+    val cnts = (priorCnts match {
+      case Some(p) => p.unionByName(batchCnts)
+      case None => batchCnts
+    }).groupBy(key.map(col): _*).agg(sum("c").as("n_now"))
     val capped = cnts.filter(col("n_now") <= cap).select(key.map(col): _*)
     // --- adds: new docs × accumulated postings, capped buckets only ---
     val newBands = bandsOf(newSigs)
@@ -863,8 +876,8 @@ object Streams {
           .select("a_id", "b_id", "block", "hamming")
           .join(deltas.filter(col("op") === "remove")
             .select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
-        val prevCnts = priorSigs.map(p => bandsOf(p)
-            .groupBy(key.map(col): _*).agg(count(lit(1)).as("n_prev")))
+        val prevCnts = priorCnts.map(_.groupBy(key.map(col): _*)
+            .agg(sum("c").as("n_prev")))
           .getOrElse(cnts.limit(0).withColumnRenamed("n_now", "n_prev"))
         val crossed = cnts.filter(col("n_now") > cap)
           .join(prevCnts.filter(col("n_prev") <= cap), key)
@@ -891,6 +904,8 @@ object Streams {
       .localCheckpoint(true) // materialize BEFORE the state writes
     newSigs.write.mode("overwrite")
       .parquet(s"$stateDir/sigs/batch_id=$batchId")
+    batchCnts.write.mode("overwrite")
+      .parquet(s"$stateDir/cnts/batch_id=$batchId")
     emitted.write.mode("overwrite")
       .parquet(s"$stateDir/deltas/batch_id=$batchId")
     emitted
