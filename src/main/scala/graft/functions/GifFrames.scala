@@ -142,58 +142,92 @@ object GifFrames {
     * stated identically by the oracle), fold Σ stat per window, set
     * bit f iff E_{f+1} > E_f. Uniform time-scaling (same clip at 2×
     * delay) preserves every delta sign — the gain-invariance argument
-    * in the time domain. Caller gates validity via [[gifWalk]] mode 0
-    * (an all-ones fingerprint is a legitimate crescendo, so no
-    * in-band sentinel exists). */
+    * in the time domain.
+    *
+    * Validity and fingerprint share ONE byte walk (r15 ADVICE: the
+    * expr previously gated with [[gifWalk]] and then re-walked inside
+    * the fingerprint — two-to-three container passes per row):
+    * [[gifFrameStats]] performs the fully-bounds-checked block walk
+    * exactly once, returning the per-frame stats array (null on any
+    * malformation — the out-of-band invalid sentinel a Long can't
+    * carry, since any 64-bit pattern is a legitimate hash), and
+    * [[gifFingerprintFromStats]] folds the windows in O(F) memory
+    * without touching the container again. */
   def gifFingerprint(b: Array[Byte], frames: Int): Long = {
-    val f = gifWalk(b, 0, 1)
-    if (f == -1L || f < frames + 1) return 0L // caller gates; belt+braces
-    val nf = f.toInt
-    val e = new Array[Long](frames + 1)
-    // same block walk as gifWalk (validity already proven by the count)
+    val stats = gifFrameStats(b)
+    if (stats == null || stats.length < frames + 1) return 0L // caller gates
+    gifFingerprintFromStats(stats, frames)
+  }
+
+  /** One fully-validated block walk collecting per-frame
+    * stat_i = delay_i + w_i·h_i. Returns null on any malformed
+    * structure — same acceptance set as [[gifWalk]] (a spec asserts
+    * the equivalence on the malformed corpus). */
+  def gifFrameStats(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 14 ||
+      b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || b(4) != '9' || b(5) != 'a') return null
     var p = 6
     val gctFlag = (b(p + 4) & 0x80) != 0
     val gctSize = 2 << (b(p + 4) & 7)
     p += 7
     if (gctFlag) p += 3 * gctSize
-    var idx = 0
+    val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
     var curDelay = 0L
-    while (idx < nf) {
+    while (p < b.length) {
       val tag = b(p) & 0xFF
-      if (tag == 0x21) {
+      if (tag == 0x3B) return stats.toArray
+      else if (tag == 0x21) { // extension: label + sized sub-blocks
+        if (p + 2 > b.length) return null
         val label = b(p + 1) & 0xFF
         p += 2
         var first = true
         var inBlocks = true
         while (inBlocks) {
+          if (p >= b.length) return null
           val sz = b(p) & 0xFF
           if (sz == 0) { p += 1; inBlocks = false }
           else {
+            if (p + 1 + sz > b.length) return null
             if (first && label == 0xF9 && sz >= 3)
               curDelay = ((b(p + 2) & 0xFF) | ((b(p + 3) & 0xFF) << 8)).toLong
             first = false
             p += 1 + sz
           }
         }
-      } else { // 0x2C — gifWalk proved no other tag precedes the trailer
+      } else if (tag == 0x2C) { // image descriptor = one frame
+        if (p + 10 > b.length) return null
         val fw = (b(p + 5) & 0xFF) | ((b(p + 6) & 0xFF) << 8)
         val fh = (b(p + 7) & 0xFF) | ((b(p + 8) & 0xFF) << 8)
         val lctFlag = (b(p + 9) & 0x80) != 0
         val lctSize = 2 << (b(p + 9) & 7)
         p += 10
         if (lctFlag) p += 3 * lctSize
-        p += 1
+        if (p >= b.length) return null
+        p += 1 // LZW minimum code size
         var inBlocks = true
         while (inBlocks) {
+          if (p >= b.length) return null
           val sz = b(p) & 0xFF
           if (sz == 0) { p += 1; inBlocks = false }
-          else p += 1 + sz
+          else { if (p + 1 + sz > b.length) return null; p += 1 + sz }
         }
-        e((((frames + 1).toLong * idx + frames) / nf).toInt) +=
-          curDelay + fw.toLong * fh
+        stats += curDelay + fw.toLong * fh
         curDelay = 0L
-        idx += 1
-      }
+      } else return null
+    }
+    null // ran off the end without a trailer
+  }
+
+  /** 65-window fold over an already-collected stats array — O(F)
+    * integers, no container access. */
+  def gifFingerprintFromStats(stats: Array[Long], frames: Int): Long = {
+    val nf = stats.length
+    val e = new Array[Long](frames + 1)
+    var idx = 0
+    while (idx < nf) {
+      e((((frames + 1).toLong * idx + frames) / nf).toInt) += stats(idx)
+      idx += 1
     }
     var hash = 0L
     var k = 0
@@ -333,19 +367,21 @@ object GifFrames {
     override def prettyName: String = "gif_fingerprint"
     override def nullSafeEval(v: Any): Any = {
       val b = v.asInstanceOf[Array[Byte]]
-      val f = gifWalk(b, 0, 1)
-      if (f == -1L || f < frames + 1) null
-      else gifFingerprint(b, frames)
+      val stats = gifFrameStats(b)
+      if (stats == null || stats.length < frames + 1) null
+      else gifFingerprintFromStats(stats, frames)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cls = GifFrames.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      val f = ctx.freshName("f")
+      val s = ctx.freshName("stats")
+      // ONE container walk per row: validity, frame count, and stats
+      // come out of the same gifFrameStats pass (r15 ADVICE)
       nullSafeCodeGen(ctx, ev, c => s"""
-        |long $f = $cls.gifWalk($c, 0, 1);
-        |if ($f == -1L || $f < ${frames + 1}L) {
+        |long[] $s = $cls.gifFrameStats($c);
+        |if ($s == null || $s.length < ${frames + 1}) {
         |  ${ev.isNull} = true;
         |} else {
-        |  ${ev.value} = $cls.gifFingerprint($c, $frames);
+        |  ${ev.value} = $cls.gifFingerprintFromStats($s, $frames);
         |}
       """.stripMargin)
     }

@@ -90,23 +90,35 @@ object JdbcUpsertSink {
         // same-named index on a different leading column would otherwise
         // make the unconditional CREATE INDEX throw a duplicate-name
         // SQLException and kill the stream on every resume attempt)
-        val hasKeyIndex = {
+        val (hasKeyIndex, takenNames) = {
           val rs = conn.getMetaData.getIndexInfo(null, null, table, false, false)
           try {
-            var found = false
-            while (!found && rs.next()) {
-              val leadsWithKey = rs.getShort("ORDINAL_POSITION") == 1 &&
+            var leads = false
+            val names = scala.collection.mutable.Set.empty[String]
+            while (rs.next()) {
+              val n = rs.getString("INDEX_NAME")
+              if (n != null) names += n.toLowerCase
+              leads ||= rs.getShort("ORDINAL_POSITION") == 1 &&
                 keyCol.equalsIgnoreCase(rs.getString("COLUMN_NAME"))
-              val nameTaken = (table + "_key_idx")
-                .equalsIgnoreCase(rs.getString("INDEX_NAME"))
-              found = leadsWithKey || nameTaken
             }
-            found
+            (leads, names.toSet)
           } finally rs.close()
         }
-        if (!hasKeyIndex)
+        if (!hasKeyIndex) {
+          // r15 ADVICE: when an UNRELATED index already squats on the
+          // canonical name, don't silently skip — that keeps the
+          // quadratic nested-loop MERGE forever. Create under the first
+          // free uniquified name and say so.
+          val name = (Iterator(table + "_key_idx") ++
+            Iterator.from(2).map(i => s"${table}_key_idx$i"))
+            .find(n => !takenNames.contains(n.toLowerCase)).get
+          if (name != table + "_key_idx")
+            System.err.println(
+              s"[upsert-sink] index name ${table}_key_idx is taken by a " +
+                s"non-key index; creating key index as $name")
           st.executeUpdate(
-            s"CREATE INDEX ${q(table + "_key_idx")} ON ${q(table)}(${q(keyCol)})")
+            s"CREATE INDEX ${q(name)} ON ${q(table)}(${q(keyCol)})")
+        }
         // schema evolution (the whole-DB CDC reality — upstream tables
         // gain columns mid-stream): add staging columns the target lacks,
         // typed from the staging table the JDBC writer just created.

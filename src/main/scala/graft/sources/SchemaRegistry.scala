@@ -85,19 +85,26 @@ object SchemaRegistry {
     import graft.functions.AvroCodec
     val (_, latestSchema) = registry.latest(s"$topic-value").getOrElse(
       throw new IllegalStateException(s"no schema for subject $topic-value"))
-    val ids = records.filter(col("value").isNotNull)
+    // materialize the micro-batch ONCE before slicing: the method runs
+    // 2+N jobs over it (distinct-id collect, tombstone slice, one
+    // filter per wire id) and without this the upstream source is
+    // re-scanned per slice inside foreachBatch (r15 ADVICE). Eager
+    // localCheckpoint both caches and cuts lineage, so each per-id
+    // filter reads local blocks.
+    val snap = records.localCheckpoint()
+    val ids = snap.filter(col("value").isNotNull)
       .select(AvroCodec.confluentSchemaId(col("value")).as("sid"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     // the latest-schema empty frame anchors column ORDER; tombstones
     // (null value) decode under any schema and ride this slice too
-    val anchor = KafkaCdc.decodeCdc(records.limit(0), latestSchema)
+    val anchor = KafkaCdc.decodeCdc(snap.limit(0), latestSchema)
     val tombstones =
-      KafkaCdc.decodeCdc(records.filter(col("value").isNull), latestSchema)
+      KafkaCdc.decodeCdc(snap.filter(col("value").isNull), latestSchema)
     val slices = ids.map { id =>
       val writer = registry.schemaById(id).getOrElse(throw
         new IllegalStateException(s"registry has no schema for wire id $id"))
       KafkaCdc.decodeCdc(
-        records.filter(AvroCodec.confluentSchemaId(col("value")) === id),
+        snap.filter(AvroCodec.confluentSchemaId(col("value")) === id),
         writer)
     }
     (anchor +: tombstones +: slices)

@@ -39,16 +39,47 @@ object ScalePair {
     append("records/scalepair.jsonl", line)
   }
 
-  /** append one JSON line to a committed records file (created with
-    * parents on first use; shared by [[TwsBench]]) */
-  private[tools] def append(path: String, line: String): Unit =
-    try {
-      val p = java.nio.file.Paths.get(path)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case e: Throwable =>
-      System.err.println(s"[scalepair] append to $path failed: ${e.getMessage}")
+  /** Resolve the repo root so a relative `records/<name>.jsonl` path lands in the
+    * committed tree no matter where the JVM was launched (r15 ADVICE: a run
+    * outside the repo root silently wrote the adjudication record elsewhere —
+    * the exact loss mode the committed-records change was meant to fix).
+    * Order: `-Dgraft.repo.root` / `GRAFT_REPO_ROOT`, else walk up from CWD to
+    * the first directory holding `build.sbt`. No root found = loud failure,
+    * because a lost adjudication reading is worse than a crashed tool run.
+    */
+  private[tools] def repoRoot(): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    sys.props.get("graft.repo.root").orElse(sys.env.get("GRAFT_REPO_ROOT")) match {
+      case Some(r) => Paths.get(r)
+      case None =>
+        var d = Paths.get("").toAbsolutePath
+        while (d != null && !Files.exists(d.resolve("build.sbt"))) d = d.getParent
+        if (d == null) throw new IllegalStateException(
+          "[records] cannot locate repo root (no build.sbt above CWD); " +
+            "set GRAFT_REPO_ROOT or -Dgraft.repo.root")
+        d
     }
+  }
+
+  /** Round id stamped onto every appended record (r15 VERDICT task 6: rows
+    * were indistinguishable across rounds). `Date.now` is unavailable by
+    * design, so the id is passed in via `-Dgraft.round` / `GRAFT_ROUND`. */
+  private[tools] def roundTag(): String =
+    sys.props.get("graft.round").orElse(sys.env.get("GRAFT_ROUND")).getOrElse("unset")
+
+  /** append one JSON line to a committed records file (created with parents
+    * on first use; shared by [[TwsBench]], [[MediaDedupBench]],
+    * [[SkewDocStudy]]). The line is stamped with a `round` field and the path
+    * is anchored to the repo root; a failed append throws rather than
+    * whispering to stderr. */
+  private[tools] def append(path: String, line: String): Unit = {
+    val stamped =
+      if (line.endsWith("}")) line.dropRight(1) + s""","round":"${roundTag()}"}"""
+      else line
+    val p = repoRoot().resolve(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, stamped + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
 }

@@ -83,6 +83,31 @@ class GifFramesSpec extends AnyFunSuite {
     assert(rows(3).isEmpty)
   }
 
+  test("gifFrameStats single walk ≡ gifWalk gate (valid + malformed corpus)") {
+    // r15 ADVICE: the fingerprint expr must walk the container ONCE;
+    // gifFrameStats is that walk, so its acceptance set and per-frame
+    // totals must match gifWalk's exactly.
+    val good = GifFrames.buildGif(7L, 3)
+    val fp = GifFrames.buildGifFp(11L, 70, 0)
+    for (b <- Seq(good, fp)) {
+      val stats = GifFrames.gifFrameStats(b)
+      assert(stats !== null)
+      assert(stats.length.toLong === GifFrames.gifWalk(b, 0, 1))
+      // Σ stats = Σ delay + Σ w·h; mode 2 with k=1 gives Σ (i+1)·stat_i —
+      // cross-check via the straight sum instead: mode 1 + per-frame area
+      val area = stats.sum - GifFrames.gifWalk(b, 1, 1)
+      assert(area > 0L)
+      // fingerprint from the one-walk stats ≡ the public wrapper
+      assert(GifFrames.gifFingerprintFromStats(stats, 2) ===
+        GifFrames.gifFingerprint(b, 2))
+    }
+    for (b <- Seq(good.dropRight(1), good.take(20),
+        "GIF87a junk".getBytes, Array[Byte](), null: Array[Byte])) {
+      assert(GifFrames.gifFrameStats(b) === null)
+      assert(GifFrames.gifWalk(b, 0, 1) === -1L)
+    }
+  }
+
   private def refResample(seed: Long, w: Int, h: Int, rw: Int, rh: Int,
       ch: Int, weighted: Boolean): Long = {
     var s = 0L
