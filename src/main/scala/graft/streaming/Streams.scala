@@ -1125,4 +1125,213 @@ object Streams {
     val mx = all.agg(max("b_mx").as("m_ts"))
     EventAnalytics14.survivalFromState(su, pu, mx)
   }
+
+  // ------------------------------------------------------------------
+  // ST6 incremental twin of `curation_pack_delta` — the O(edits) as-of
+  // path the batch query's scaladoc documents (r15 VERDICT task 4)
+  // ------------------------------------------------------------------
+
+  /** One-time epoch initialization for [[packDeltaIncrementalBatch]]:
+    * materialize the epoch packing state — for EVERY document (kept or
+    * not) its token count, the pack keep-gate, and the EXCLUSIVE
+    * prefix sum of kept-token contributions by doc_id. This is the
+    * epoch pack the incremental query patches; it is computed ONCE
+    * (the same [[graft.operators.ScalableWindows.globalRunningSum]]
+    * two-pass as the registered `curation_pack_bins`) and every
+    * subsequent micro-batch reads it at rest instead of re-tokenizing
+    * and re-summing the corpus. */
+  def packDeltaEpochInit(docs: DataFrame, stateDir: String): Unit = {
+    import graft.operators.{ScalableWindows, TextAnalysis3}
+    val base = docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"),
+        (!TextAnalysis3.isHoldout(col("doc_id")) &&
+          !TextAnalysis3.qualityBad(col("text"))).as("kept"))
+      .withColumn("__c", when(col("kept"), col("n_tok")).otherwise(lit(0L)))
+    ScalableWindows.globalRunningSum(base, Seq(col("doc_id")), col("__c"),
+        "__rn", "__cum")
+      .select(col("doc_id"), col("n_tok"), col("kept"),
+        (col("__cum") - col("__c")).as("cum_excl"))
+      .write.mode("overwrite").parquet(s"$stateDir/epoch")
+  }
+
+  /** ST6 incremental twin of
+    * [[graft.operators.Curation.packDelta]] (`curation_pack_delta`) —
+    * the O(edits) as-of path that batch query's scaladoc documents:
+    * per micro-batch of document edits (doc_id, text, version), emit
+    * the DELTA of the chunk-invalidation set (vs the pre-batch set)
+    * WITHOUT the O(corpus) two-pass re-pack the one-shot query runs.
+    *
+    * The invariant that makes this exact: the post-edit prefix sum at
+    * any doc d equals the EPOCH prefix sum at d plus the running sum
+    * of per-edit token CORRECTIONS at edits ≤ d (a step function with
+    * one step per effective edit). So the new placement of every doc
+    * is an AS-OF lookup of that step function against the at-rest
+    * epoch state — never a re-tokenization, never a corpus-wide
+    * running-sum rebuild. Concretely, per batch:
+    *
+    *   1. within-batch compaction + batchId-partitioned edit state,
+    *      version-gated exactly like [[recurationDeltaBatch]] (stale
+    *      cross-batch redeliveries fold to the SAME latest-per-key and
+    *      short-circuit to an empty emission);
+    *   2. two correction step tables — from the pre-batch edit set and
+    *      the post-batch edit set — each O(|edits|): per effective
+    *      edit, delta = (kept'·n_tok') − (kept_epoch·n_tok_epoch),
+    *      running-summed by [[graft.operators.ScalableWindows.globalRunningSum]];
+    *   3. the epoch state is read WITH a doc_id ≥ m pushdown, m = the
+    *      smallest doc whose effective edit changed this batch — every
+    *      doc before m has identical corrections under both step
+    *      functions and provably identical placement (the prefix-
+    *      stability argument of the batch query, now load-bearing);
+    *   4. each suffix doc picks up its correction via
+    *      [[graft.operators.Joins.binnedRangeJoin]] over the step
+    *      intervals (a HASH join — no global sort, no nested loop),
+    *      once per step function; rows whose pre/post delta-vs-epoch
+    *      rows differ emit: op=upsert carries the current
+    *      invalidation row, op=retract marks a doc RESTORED to its
+    *      epoch placement (corrections cancelled).
+    *
+    * Folding emissions (latest per doc across batches, dropping
+    * retracts) after batch N reproduces the registered
+    * `curation_pack_delta` over the total edit set — PackDeltaStreamSpec
+    * proves golden ≡ one-shot across batches, under cross-batch
+    * redelivery, and through a full revert (every emission retracted).
+    *
+    * Cost shape: per batch O(|batch| + |edits| + |affected suffix|):
+    * the only corpus-sized relation touched is the at-rest epoch state
+    * and its scan is pruned to doc_id ≥ m by parquet pushdown (the
+    * spec asserts the plan contains NO documents-table scan and
+    * carries the GreaterThanOrEqual pushdown). The affected suffix is
+    * the true answer's own size — the emission IS that set's change.
+    * At the registered 1/7 edit fraction the one-shot two-pass remains
+    * the right BATCH plan (the batch query's adjudication); this twin
+    * is the CDC-maintenance path where edit fractions are tiny. */
+  def packDeltaIncrementalBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, cap: Long): DataFrame = {
+    import graft.operators.{Joins, ScalableWindows, TextAnalysis3}
+    val spark = batch.sparkSession
+    val epoch = spark.read.parquet(s"$stateDir/epoch")
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy("doc_id")
+      .agg(max(struct(col("version"), col("text"))).as("_r"))
+      .select(col("doc_id"), col("_r.version").as("version"),
+        col("_r.text").as("text"))
+    val compacted = latest(batch.select("doc_id", "version", "text"))
+      .localCheckpoint(true)
+    val prior = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/edits")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(p.toString)
+          .filter(col("batch_id") < batchId)
+          .select("doc_id", "version", "text")
+      else compacted.limit(0).select("doc_id", "version", "text")
+    }
+    compacted.write.mode("overwrite")
+      .parquet(s"$stateDir/edits/batch_id=$batchId")
+    val prevLatest = latest(prior).localCheckpoint(true)
+    val allLatest = latest(prior.unionByName(compacted)).localCheckpoint(true)
+    val emptyOut = epoch.limit(0).select(col("doc_id"),
+      lit("").as("change"), lit(0L).as("old_first_chunk"),
+      lit(0L).as("new_first_chunk"), lit(0L).as("old_chunk_offset"),
+      lit(0L).as("new_chunk_offset"), lit("").as("op"))
+    // m = smallest doc whose EFFECTIVE edit changed this batch; a pure
+    // redelivery (every latest unchanged) emits nothing, by state
+    val changed = allLatest.select(col("doc_id"), col("version").as("__va"))
+      .join(prevLatest.select(col("doc_id"), col("version").as("__vp")),
+        Seq("doc_id"), "left")
+      .filter(!(col("__va") <=> col("__vp")))
+    val mRow = changed.agg(min("doc_id")).head()
+    if (mRow.isNullAt(0)) return emptyOut
+    val m = mRow.getLong(0)
+    val maxDoc = epoch.agg(max("doc_id")).head().getLong(0)
+    // per effective edit (epoch-scoped): post-edit gate/count and the
+    // token correction vs the doc's epoch contribution
+    def editInfo(lat: DataFrame): DataFrame = lat
+      .join(epoch.select(col("doc_id"), col("n_tok").as("__en"),
+        col("kept").as("__ek")), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("f_n"),
+        (!TextAnalysis3.isHoldout(col("doc_id")) &&
+          !TextAnalysis3.qualityBad(col("text"))).as("f_k"),
+        col("__en"), col("__ek"))
+      .withColumn("delta",
+        when(col("f_k"), col("f_n")).otherwise(lit(0L)) -
+          when(col("__ek"), col("__en")).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    // correction step function as [start, end) intervals carrying the
+    // INCLUSIVE running correction; sentinel covers (-inf, first step)
+    def intervals(ei: DataFrame): (DataFrame, Long) = {
+      val steps = ei.filter(col("delta") =!= 0L).select("doc_id", "delta")
+      val n = steps.count()
+      if (n == 0L)
+        (spark.range(1).select(lit(-1L).as("__start"),
+          lit(maxDoc + 1).as("__end"), lit(0L).as("__r")), 1L)
+      else {
+        val withR = ScalableWindows.globalRunningSum(steps,
+          Seq(col("doc_id")), col("delta"), "__rn", "__r")
+        val nxt = withR.select((col("__rn") - 1).as("__rn"),
+          col("doc_id").as("__next"))
+        val iv = withR.join(nxt, Seq("__rn"), "left")
+          .select(col("doc_id").as("__start"),
+            coalesce(col("__next"), lit(maxDoc + 1)).as("__end"), col("__r"))
+        val firstS = iv.agg(min("__start")).head().getLong(0)
+        (iv.unionByName(spark.range(1).select(lit(-1L).as("__start"),
+          lit(firstS).as("__end"), lit(0L).as("__r"))), n)
+      }
+    }
+    val suffix = epoch.filter(col("doc_id") >= m)
+    // delta-vs-epoch row for every suffix doc under one step function
+    def placed(ei: DataFrame, tag: String): DataFrame = {
+      val (iv, n) = intervals(ei)
+      val w = math.max(1L, (maxDoc + 2) / math.max(n, 32L))
+      val asOf = Joins.binnedRangeJoin(iv, suffix, "doc_id",
+          "__start", "__end", w)
+        .select(col("doc_id"), col("n_tok"), col("kept"), col("cum_excl"),
+          col("__r"))
+        .join(ei.select(col("doc_id"), col("delta").as("__own"),
+          col("f_n"), col("f_k")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("kept"), col("cum_excl"),
+          (col("__r") - coalesce(col("__own"), lit(0L))).as("__rx"),
+          coalesce(col("f_n"), col("n_tok")).as("__cn"),
+          coalesce(col("f_k"), col("kept")).as("__ck"))
+      asOf.select(col("doc_id"),
+          col("kept"), col("__ck"),
+          expr(s"cum_excl div $cap").as("__ofc"),
+          expr(s"(cum_excl + n_tok - 1) div $cap").as("__olc"),
+          expr(s"cum_excl % $cap").as("__ooff"),
+          expr(s"(cum_excl + __rx) div $cap").as("__nfc"),
+          expr(s"(cum_excl + __rx + __cn - 1) div $cap").as("__nlc"),
+          expr(s"(cum_excl + __rx) % $cap").as("__noff"),
+          col("n_tok"), col("__cn"))
+        .withColumn("__has",
+          (col("kept") || col("__ck")) &&
+            (!col("kept") || !col("__ck") ||
+              col("__ofc") =!= col("__nfc") || col("__olc") =!= col("__nlc") ||
+              col("__ooff") =!= col("__noff") || col("n_tok") =!= col("__cn")))
+        .select(col("doc_id"),
+          col("__has").as(s"has_$tag"),
+          when(col("__has"),
+            when(!col("kept"), "added").when(!col("__ck"), "removed")
+              .otherwise("moved")).as(s"chg_$tag"),
+          when(col("__has") && col("kept"), col("__ofc")).as(s"ofc_$tag"),
+          when(col("__has") && col("__ck"), col("__nfc")).as(s"nfc_$tag"),
+          when(col("__has") && col("kept"), col("__ooff")).as(s"ooff_$tag"),
+          when(col("__has") && col("__ck"), col("__noff")).as(s"noff_$tag"))
+    }
+    val cur = placed(editInfo(allLatest), "n")
+    val prev = placed(editInfo(prevLatest), "p")
+    cur.join(prev, Seq("doc_id"))
+      .filter((col("has_n") || col("has_p")) &&
+        !(col("has_n") && col("has_p") &&
+          col("chg_n") <=> col("chg_p") && col("ofc_n") <=> col("ofc_p") &&
+          col("nfc_n") <=> col("nfc_p") && col("ooff_n") <=> col("ooff_p") &&
+          col("noff_n") <=> col("noff_p")))
+      .select(col("doc_id"),
+        coalesce(col("chg_n"), lit("")).as("change"),
+        col("ofc_n").as("old_first_chunk"),
+        col("nfc_n").as("new_first_chunk"),
+        col("ooff_n").as("old_chunk_offset"),
+        col("noff_n").as("new_chunk_offset"),
+        when(col("has_n"), "upsert").otherwise("retract").as("op"))
+  }
 }
