@@ -571,6 +571,55 @@ object Dedup2 {
       .orderBy("cluster_size")
   }
 
+  /** DF-cap COST readout (r15 VERDICT task 7) — what the
+    * [[Dedup.ShingleDfCap]] document-frequency cap silently costs on
+    * THIS corpus, as a registered oracle-green report instead of a
+    * study tool: shingle document frequencies bucketed by power of
+    * two, split at the cap, with the co-occurrence pair volume
+    * Σ df·(df−1)/2 each class would feed into candidate generation.
+    * The `dropped=true` rows ARE the candidate pairs the cap throws
+    * away (the `records/skewdoc.jsonl` hot-template finding — 76.55M
+    * cross-variant pairs at sf1 — made production-visible): a pipeline
+    * owner reads this before deciding whether the drop is stopword
+    * noise (fine) or template mass worth the salt-split tier.
+    *
+    * Exactness: df, bucket bounds (a 40-row broadcast literal of
+    * 2^k bounds — no float log2), and pair sums are pure integers.
+    * 100 TB shape: one shingle explode + one vocabulary-sized hash
+    * agg + a 40-row broadcast range join; no pair relation is ever
+    * materialized — the report COUNTS pairs from aggregates only,
+    * like [[lshTuning]]'s candidate column. */
+  val dfCapReport: Q = Q(
+    "dedup_dfcap_report",
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.duckShingles} AS s FROM documents),
+       |ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+       |dfs AS (SELECT shingle, COUNT(*)::BIGINT AS df FROM ex GROUP BY 1),
+       |cls AS (SELECT (1::BIGINT << k) AS lo, (2::BIGINT << k) AS hi
+       |        FROM (SELECT UNNEST(RANGE(0, 40)) AS k)),
+       |r AS (SELECT lo AS df_bucket, df > ${Dedup.ShingleDfCap} AS dropped,
+       |        COUNT(*)::BIGINT AS n_shingles,
+       |        CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS co_pairs,
+       |        MAX(df) AS max_df
+       |      FROM dfs JOIN cls ON df >= lo AND df < hi
+       |      GROUP BY 1, 2)
+       |SELECT df_bucket, dropped, n_shingles, co_pairs, max_df
+       |FROM r ORDER BY df_bucket""".stripMargin) { (s, d) =>
+    val dfs = Dedup.shingleRows(documents(s, d))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val cls = {
+      import s.implicits._
+      Seq.tabulate(40)(k => (1L << k, 2L << k)).toDF("lo", "hi")
+    }
+    dfs.join(broadcast(cls), col("df") >= col("lo") && col("df") < col("hi"))
+      .withColumn("df_bucket", col("lo"))
+      .withColumn("dropped", col("df") > Dedup.ShingleDfCap)
+      .groupBy("df_bucket", "dropped")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(expr("df * (df - 1) div 2")).cast("long").as("co_pairs"),
+        max("df").as("max_df"))
+      .orderBy("df_bucket")
+  }
+
   val all: Seq[Q] = Seq(containment, containmentAsym, minhashEstimate,
-    lshTuning, thresholdCurve, prefixTrunc, clusterSizeHist)
+    lshTuning, thresholdCurve, prefixTrunc, clusterSizeHist, dfCapReport)
 }

@@ -484,6 +484,92 @@ object Multimodal2 {
     bandedHammingPairs(sigs, Seq("n"), 3).orderBy("a_id", "b_id")
   }
 
+  /** The frame-sequence temporal fingerprint over a SECOND container
+    * grammar (r15 VERDICT task 8): [[framehashDedup]]'s 65-window
+    * sign-of-delta fold applied to EBML (Matroska/WebM) CLUSTER
+    * TIMESTAMPS instead of GIF frame delays — same corpus pairing
+    * (doc pairs share c = doc_id div 2; the odd rendition re-encodes
+    * with disjoint SimpleBlock payload bytes and a ±1 timestamp
+    * re-quantization dither), same shared [[bandedHammingPairs]]
+    * machinery, same cluster-COUNT blocking, and literally the same
+    * fold code ([[graft.functions.GifFrames.gifFingerprintFromStats]])
+    * — the proof the fingerprint is container-agnostic: only the
+    * stats collector ([[graft.functions.EbmlTree.ebmlClusterStats]],
+    * one validated VINT-tree walk) knows the grammar.
+    *
+    * 100 TB shape identical to [[framehashDedup]]: one codegen'd walk
+    * per container, then the banded equi-join — no codec, no
+    * all-pairs. Oracle re-derives the per-cluster deltas from the
+    * generating formula ([[graft.functions.EbmlTree.fpClusterDelta]]). */
+  val ebmlFramehash: Q = Q(
+    "mm_ebml_framehash",
+    s"""WITH p AS (
+       |  SELECT doc_id, doc_id // 2 AS c,
+       |    66 + ((doc_id // 2) % 13) * 13 AS n
+       |  FROM documents),
+       |s AS (SELECT doc_id, c, n, UNNEST(RANGE(0, n)) AS i FROM p),
+       |d0 AS (
+       |  SELECT doc_id, c, n, i,
+       |    (XOR((c % 100003 + 5) * 2654435761 + (i + 1) * 48271,
+       |         (c % 100003 + 13) * 1103515245
+       |           + (i + 1) * (i + 1) * 2246822519)
+       |      % 500) + 1 AS d
+       |  FROM s),
+       |st AS (
+       |  SELECT doc_id, n, i,
+       |    CASE WHEN doc_id % 2 = 1 THEN d + (i * 37) % 3 - 1 ELSE d END
+       |      AS stat
+       |  FROM d0),
+       |e AS (
+       |  SELECT doc_id, n, (65 * i + 64) // n AS f,
+       |    CAST(SUM(stat) AS BIGINT) AS e
+       |  FROM st GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.doc_id, a.n, a.f AS idx,
+       |    CASE WHEN b.e > a.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |bands AS (
+       |  SELECT doc_id, n, idx // 16 AS band,
+       |    CAST(SUM(bit * (1::BIGINT << (idx % 16))) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2, 3),
+       |capped AS (
+       |  SELECT doc_id, n, band, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY n, band, sig) <= ${Dedup.BandBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.n = b.n AND a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
+       |bc AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN sig END) AS b3
+       |  FROM bands GROUP BY doc_id),
+       |ham AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(BIT_COUNT(XOR(x.b0, y.b0)) + BIT_COUNT(XOR(x.b1, y.b1))
+       |       + BIT_COUNT(XOR(x.b2, y.b2)) + BIT_COUNT(XOR(x.b3, y.b3))
+       |      AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bc x ON x.doc_id = c.a_id
+       |  JOIN bc y ON y.doc_id = c.b_id)
+       |SELECT a_id, b_id, hamming FROM ham
+       |WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import graft.functions.EbmlTree
+    val c = expr("doc_id div 2")
+    val n = lit(66) + (c % 13) * 13
+    val media = when(col("doc_id") % 2 === 0, EbmlTree.buildFp(c, n, 0))
+      .otherwise(EbmlTree.buildFp(c, n, 1))
+    val sigs = documents(s, d)
+      .select(col("doc_id"), n.cast("bigint").as("n"),
+        EbmlTree.fingerprint(media, 64).as("hash"))
+    bandedHammingPairs(sigs, Seq("n"), 3).orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(phashDedup, phashComponents, phashRescale,
-    audioFingerprint, framehashDedup)
+    audioFingerprint, framehashDedup, ebmlFramehash)
 }
