@@ -91,6 +91,11 @@ object AggAudit {
       ("same shared bandedHammingPairs machinery (frame-COUNT blocking): " +
         "candidates linear under BandBucketCap, fan-in <= 4 bands; " +
         "sf2-held 50k pairs"),
+    ("mm_ebml_framehash", "a_id|b_id") ->
+      ("same shared bandedHammingPairs machinery (cluster-COUNT " +
+        "blocking, the EBML twin of mm_framehash_dedup): candidates " +
+        "linear under BandBucketCap, fan-in <= 4 bands; sf2-held 50k " +
+        "pairs"),
     ("q133_cramers_v", "a|b") ->
       ("contingency cells: groups = |priorities| x |segments| (~25), " +
         "corpus-independent; everything after the agg is a <=25-row plan"),
