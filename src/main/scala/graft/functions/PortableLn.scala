@@ -41,48 +41,71 @@ object PortableLn {
     16.0 -> 4, 4.0 -> 2, 2.0 -> 1)
   private val SeriesTerms = 12
 
-  /** Adds `out` = ln(`x`) to `rel` (requires 2^-64 < x < 2^64). */
-  def withLn(rel: DataFrame, x: String, out: String): DataFrame = {
-    var cur = rel
-      .withColumn("__m", col(x).cast("double"))
-      .withColumn("__e", lit(0))
+  /** Adds `out` = ln(`x`) to `rel` (requires 2^-64 < x < 2^64).
+    *
+    * Each ladder stage is ONE `select` (r16 optimization): the previous
+    * withColumn/withColumn/drop/drop/rename/rename formulation cost ~6
+    * analyzer passes PER STAGE (~84 per ln call) — pure driver-side
+    * plan-construction time, ~0.3-0.5 s per call on chained consumers
+    * like text_bigram_llr (4 ladders). The per-stage EXPRESSIONS are
+    * unchanged op-for-op, so the produced doubles are bit-identical and
+    * the DuckDB mirror ([[sqlStages]]) is untouched. */
+  def withLn(rel: DataFrame, x: String, out: String): DataFrame =
+    withLns(rel, Seq(x -> out))
+
+  /** Adds `out` = ln(`x`) for EVERY (x, out) pair in one 14-stage ladder
+    * pass (r16): consumers that need several lns over the same relation
+    * (text_bigram_llr needs four) previously chained full ladders —
+    * k × 14 analyzer passes; carrying k (m, e) pairs through ONE ladder
+    * costs 14 passes total. Per-column expressions are unchanged
+    * op-for-op, so each output is bit-identical to the chained form. */
+  def withLns(rel: DataFrame, xs: Seq[(String, String)]): DataFrame = {
+    val keep: Seq[Column] = rel.columns.toSeq.map(col)
+    val idx = xs.indices
+    def m(i: Int) = s"__m$i"
+    def e(i: Int) = s"__e$i"
+    var cur = rel.select(keep ++ idx.flatMap { i =>
+      Seq(col(xs(i)._1).cast("double").as(m(i)), lit(0).as(e(i)))
+    }: _*)
+    def stage(f: (Column, Column) => (Column, Column)): Unit =
+      cur = cur.select(keep ++ idx.flatMap { i =>
+        val (mN, eN) = f(col(m(i)), col(e(i)))
+        Seq(mN.as(m(i)), eN.as(e(i)))
+      }: _*)
     // up-ladder: x ≥ 2 divided down by exact powers of two
     for ((p, sh) <- Halvings :+ (Sqrt2, 1)) {
       val div = if (p == Sqrt2) 2.0 else p
-      cur = cur
-        .withColumn("__mN", when(col("__m") >= p, col("__m") / div)
-          .otherwise(col("__m")))
-        .withColumn("__eN", when(col("__m") >= p, col("__e") + sh)
-          .otherwise(col("__e")))
-        .drop("__m", "__e")
-        .withColumnRenamed("__mN", "__m")
-        .withColumnRenamed("__eN", "__e")
+      stage((mc, ec) => (
+        when(mc >= p, mc / div).otherwise(mc),
+        when(mc >= p, ec + sh).otherwise(ec)))
     }
     // down-ladder: x < 1 multiplied up by exact powers of two (no-op for
     // x ≥ 1), ending with the √2/2 stage so |y| ≤ 0.1716 on both sides
     for ((p, sh) <- Halvings :+ (2.0 / Sqrt2, 1)) {
       val thr = if (p == 2.0 / Sqrt2) HalfSqrt2 else 1.0 / p
       val mul = if (p == 2.0 / Sqrt2) 2.0 else p
-      cur = cur
-        .withColumn("__mN", when(col("__m") < thr, col("__m") * mul)
-          .otherwise(col("__m")))
-        .withColumn("__eN", when(col("__m") < thr, col("__e") - sh)
-          .otherwise(col("__e")))
-        .drop("__m", "__e")
-        .withColumnRenamed("__mN", "__m")
-        .withColumnRenamed("__eN", "__e")
+      stage((mc, ec) => (
+        when(mc < thr, mc * mul).otherwise(mc),
+        when(mc < thr, ec - sh).otherwise(ec)))
     }
-    cur = cur
-      .withColumn("__y", (col("__m") - 1.0) / (col("__m") + 1.0))
-      .withColumn("__t", col("__y") * col("__y"))
-    val horner = (1 until SeriesTerms).foldRight(
-      lit(1.0 / (2 * SeriesTerms + 1)): Column) { (k, inner) =>
-      lit(1.0 / (2 * k + 1)) + col("__t") * inner
-    }
-    cur
-      .withColumn(out,
-        col("__e") * Ln2 + ((lit(2.0) * col("__y")) * (lit(1.0) + col("__t") * horner)))
-      .drop("__m", "__e", "__y", "__t")
+    def y(i: Int) = s"__y$i"
+    def t(i: Int) = s"__t$i"
+    val withY = cur.select(keep ++ idx.flatMap { i =>
+      Seq(col(e(i)),
+        ((col(m(i)) - 1.0) / (col(m(i)) + 1.0)).as(y(i)))
+    }: _*)
+    val withT = withY.select(keep ++ idx.flatMap { i =>
+      Seq(col(e(i)), col(y(i)), (col(y(i)) * col(y(i))).as(t(i)))
+    }: _*)
+    withT.select(keep ++ idx.map { i =>
+      val horner = (1 until SeriesTerms).foldRight(
+        lit(1.0 / (2 * SeriesTerms + 1)): Column) { (k, inner) =>
+        lit(1.0 / (2 * k + 1)) + col(t(i)) * inner
+      }
+      (col(e(i)) * Ln2 +
+        ((lit(2.0) * col(y(i))) * (lit(1.0) + col(t(i)) * horner)))
+        .as(xs(i)._2)
+    }: _*)
   }
 
   /** DuckDB mirror of [[withLn]]: nested SELECTs over `src` (a relation

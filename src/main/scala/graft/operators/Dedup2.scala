@@ -373,19 +373,26 @@ object Dedup2 {
         (1 until TuneHashes).map(j =>
           min((col("h") * lit(2L * j + 3) + lit(5L * j + 7)) % EstMod)
             .as(s"m$j")): _*)
-    val m = sig32.select(col("doc_id"),
-      posexplode(array((0 until TuneHashes).map(j => col(s"m$j")): _*))
-        .as(Seq("j", "mh")))
-    val geo = {
-      import s.implicits._
-      TuneGeometries.toDF("r", "b")
+    // r16: each band signature is the comma-join of a FIXED slice of the
+    // 32 signature columns (members ordered by j ≡ the column order), so
+    // the (geometry × band) signatures are a pure per-row projection —
+    // one explode of 56 prebuilt structs per doc. The previous shape
+    // exploded 32 rows/doc, cross-joined ×3 geometries, and rebuilt the
+    // strings via a 96-rows/doc shuffle into sort_array(collect_list(…))
+    // — a corpus-sized exchange for what is map-side string concat
+    // (guide §2.3/§2.4). Identical strings, identical types.
+    val bandStructs: Seq[Column] = TuneGeometries.flatMap { case (r, b) =>
+      (0 until b).map { k =>
+        struct(lit(r).as("r"), lit(b).as("b"), lit(k).as("band"),
+          concat_ws(",",
+            (k * r until (k + 1) * r).map(j => col(s"m$j").cast("string")): _*)
+            .as("sig"))
+      }
     }
-    val sigs = m.crossJoin(broadcast(geo))
-      .groupBy(col("r"), col("b"), col("doc_id"),
-        expr("j div r").as("band"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh").cast("string")), ",").as("sig"))
+    val sigs = sig32
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("g"))
+      .select(col("g.r").as("r"), col("g.b").as("b"), col("doc_id"),
+        col("g.band").as("band"), col("g.sig").as("sig"))
       .localCheckpoint(true) // feeds buckets AND both recall probes
     val cand = sigs.groupBy("r", "b", "band", "sig")
       .agg(count(lit(1)).as("c"))

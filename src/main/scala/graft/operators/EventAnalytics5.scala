@@ -190,6 +190,12 @@ object EventAnalytics5 {
       .select(col("event_type").as("t"),
         (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
       .groupBy("t", "b").agg(count(lit(1)).as("o"))
+      // r16: the contingency table is |types|×10 rows at ANY corpus size
+      // — materialize it once so the four consumers (rt, ct, n, terms)
+      // read 50 rows instead of re-running the corpus scan + JSON
+      // extraction (the static plan carried 4 copies of the subtree and
+      // only runtime exchange reuse MIGHT have unified them)
+      .localCheckpoint(true)
     val rt = cells.groupBy("t").agg(sum(col("o")).as("rtot"))
     val ct = cells.groupBy("b").agg(sum(col("o")).as("ctot"))
     val n = broadcast(cells.agg(sum(col("o")).as("nn"),

@@ -284,15 +284,20 @@ object Relational {
     val groups = withRn.groupBy("p_size").agg(min(col("rn")).as("rnk"))
     val sized = ScalableWindows.globalRowNumber(groups,
       Seq(col("p_size")), "drnk", parts = 8)
-    val n = base.count()
-    val k = 7L; val q = n / k; val r = n % k
-    // NTILE(k): first (n mod k) tiles hold one extra row, so tile i
-    // ends at i*q + min(i, r)
-    val ends = (1L to k).map(i => i * q + math.min(i, r))
-    val bucket = (2 to 7).foldLeft(when(col("rn") <= ends(0), 1L)) {
-      (acc, i) => acc.when(col("rn") <= ends(i - 1), i.toLong)
-    }
-    withRn.join(broadcast(sized), "p_size")
+    // NTILE(7) via the q117 in-plan integer arithmetic over (rn, n) —
+    // with q = n div 7 and r = n mod 7, SQL NTILE front-loads (the first
+    // r tiles hold q+1 rows), so the tile is pure arithmetic. r16: n was
+    // previously a SEPARATE driver-side count() action during query
+    // construction; it now rides the main action as a broadcast 1-row agg
+    // (identical front-loaded assignment — guide §5, driver does no data
+    // work)
+    val nDf = broadcast(withRn.agg(count(lit(1)).as("n")))
+    val bucket = expr(
+      """CASE WHEN rn <= (n % 7) * (n div 7 + 1)
+        |  THEN (rn - 1) div (n div 7 + 1) + 1
+        |  ELSE n % 7 + (rn - (n % 7) * (n div 7 + 1) - 1) div (n div 7) + 1
+        |END""".stripMargin)
+    withRn.join(broadcast(sized), "p_size").crossJoin(nDf)
       .select(col("p_partkey"), col("p_size"),
         col("rnk").cast("bigint").as("rnk"),
         col("drnk").cast("bigint").as("drnk"),

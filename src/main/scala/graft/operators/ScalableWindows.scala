@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   *   2. a PARTITIONED window per range computes local row numbers /
   *      running sums (parallel sorts of ~|rows|/parts each);
   *   3. each partition's exclusive offset — ≤ `parts` rows — is
-  *      cumulated on the driver and broadcast-joined back, and local +
-  *      offset = exact global value.
+  *      cumulated by a bounded in-plan window and broadcast-joined back,
+  *      and local + offset = exact global value.
   *
-  * The driver-side fold is over per-partition TOTALS (≤ `parts` rows,
-  * corpus-independent), the same benign class as the 16-row cell-stats
-  * collect in [[Dedup.cellCosinePairs]] — not a corpus collect.
+  * The offset cumulation is over per-partition TOTALS (≤ `parts` rows,
+  * corpus-independent), so its SinglePartition window exchange is benign
+  * at any scale — and since r16 it rides the main action instead of a
+  * separate driver-side collect+fold (one fewer Spark job per call).
   *
   * Determinism requires the sort key to be a total order (unique);
   * ranks over tie-heavy keys should instead be derived from row numbers
@@ -48,8 +49,6 @@ object ScalableWindows {
   private def twoPass(df: DataFrame, sortCols: Seq[Column],
       value: Option[Column], rnOut: String, sumOut: String,
       parts: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // MATERIALIZED once: the local-window branch and the totals branch
     // below must observe the SAME partition assignment, but
     // RangePartitioner picks its boundaries by SAMPLING at each
@@ -71,23 +70,32 @@ object ScalableWindows {
       case Some(v) => local0.withColumn("__lsum", sum(v).over(frame).cast("long"))
       case None    => local0
     }
-    // per-partition totals (≤ `parts` rows), exclusive-prefix-folded on
-    // the driver; partition ids are range-ordered so the fold order is
-    // the key order
+    // per-partition totals (≤ `parts` rows), exclusive-prefix-summed by
+    // a bounded window; partition ids are range-ordered so the window
+    // order is the key order. r16: this was a driver-side collect+fold
+    // (one EXTRA Spark action per call — 28 call sites paid it); the
+    // unpartitioned window below runs over ≤ `parts` rows (corpus-
+    // independent by construction), so the SinglePartition exchange is
+    // benign at any scale and the offsets now ride the main action.
     val totals = value match {
       case Some(v) => ranged.groupBy("__pid")
         .agg(count(lit(1)).as("__cnt"), sum(v).cast("long").as("__vsum"))
       case None => ranged.groupBy("__pid")
         .agg(count(lit(1)).as("__cnt"), lit(0L).as("__vsum"))
     }
-    val rows = totals.orderBy("__pid")
-      .select(col("__pid"), col("__cnt"), coalesce(col("__vsum"), lit(0L)))
-      .as[(Int, Long, Long)].collect()
-    var cn = 0L; var cs = 0L
-    val offsets = rows.map { case (pid, cnt, vs) =>
-      val o = (pid, cn, cs); cn += cnt; cs += vs; o
-    }.toSeq
-    val offDf = broadcast(offsets.toDF("__pid", "__rnoff", "__sumoff"))
+    // unpartitioned by design: the input is ≤ `parts` rows by
+    // construction, so one task is the CORRECT placement. PlanShapeSpec's
+    // nets recognize this window by its `__pid` order key (the
+    // ScalableWindows contract column) and still fail any OTHER
+    // unpartitioned/single-partition window.
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = broadcast(totals
+      .select(col("__pid"), col("__cnt"),
+        coalesce(col("__vsum"), lit(0L)).as("__vsum"))
+      .select(col("__pid"),
+        coalesce(sum("__cnt").over(wOff), lit(0L)).as("__rnoff"),
+        coalesce(sum("__vsum").over(wOff), lit(0L)).as("__sumoff")))
     val joined = local.join(offDf, "__pid")
       .withColumn(rnOut, col("__lrn") + col("__rnoff"))
     val finished = value match {

@@ -53,23 +53,32 @@ object Similarity12 {
     val compD = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("vec_id"), col("pos"), col("vf").cast("double").as("v"))
-    // per-dimension training: 64 rows of global state, broadcast back
+    // per-dimension training: 64 rows of global state (map-side combined)
     val dims = compD.groupBy("pos")
       .agg(min("v").as("mn"), max("v").as("mx"))
-    val codes = compD.join(broadcast(dims), "pos")
-      .select(col("vec_id"), col("pos"), col("mn"), col("mx"),
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(floor((col("v") - col("mn")) * lit(255.0)
-            / (col("mx") - col("mn")) + lit(0.5)).cast("long"))
-          .as("code"))
-    // reconstruction: when mx = mn the formula collapses to mn (code 0)
-    val recon = codes.select(col("vec_id"), col("pos"),
-      (col("mn") + col("code").cast("double") * (col("mx") - col("mn"))
-        / lit(255.0)).as("xh"))
-    val xhat = recon.groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("xh").as("xh")))),
-        x => x.getField("xh")).as("xhat"))
+    // r16: the codebook folds to ONE broadcast row of pos-ordered arrays,
+    // and encode+reconstruct run as a single array `transform` over the
+    // original embedding — the previous explode → per-(vec, pos) join →
+    // collect_list/array_sort regroup shuffled corpus×64 rows twice for
+    // what is a per-row map (guide §2.3/§2.4). Element expressions are
+    // op-for-op identical (same IEEE order), so xhat is bit-equal.
+    val dimArr = broadcast(dims.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn").as("v")))),
+        x => x.getField("v")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx").as("v")))),
+        x => x.getField("v")).as("mxs")))
+    val xhat = emb.crossJoin(dimArr)
+      .select(col("vec_id"),
+        transform(col("embedding"), (vf, i) => {
+          val v = vf.cast("double")
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          val code = when(mx === mn, lit(0L))
+            .otherwise(floor((v - mn) * lit(255.0) / (mx - mn) + lit(0.5))
+              .cast("long"))
+          // when mx = mn the formula collapses to mn (code 0)
+          mn + code.cast("double") * (mx - mn) / lit(255.0)
+        }).as("xhat"))
     // asymmetric scan: float query (widened) vs reconstructed corpus
     val qD = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"),

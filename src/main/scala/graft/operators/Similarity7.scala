@@ -110,13 +110,21 @@ object Similarity7 {
     var assign: DataFrame = null
     var update: DataFrame = null
     for (_ <- 1 to Rounds) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(cosine(col("e"), col("carr")).desc, col("cid"))
+      // r16: argmax-by-(cos DESC, cid ASC) as ONE hash agg instead of a
+      // row_number window — max(struct(cos, -cid)) picks the identical
+      // row (cid is unique per vector, so the double never ties into the
+      // second field), the K-way fan-out collapses MAP-SIDE before the
+      // shuffle (corpus rows instead of corpus×K, no sort — guide §2.3),
+      // and carrying q through the agg (all rows of a vec_id group share
+      // it) removes the former corpus⋈corpus re-join per round.
       assign = qv.crossJoin(broadcast(centroids))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      update = assign.join(qv, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+          max(struct(cosine(col("e"), col("carr")).as("c"),
+            (-col("cid")).as("nc"))).as("m"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), (-col("m.nc")).as("cid"), col("q"))
+      update = assign
         .select(col("cid"), posexplode(col("q")).as(Seq("p", "qv")))
         .groupBy(col("cid"), (col("p") + 1).cast("long").as("dim"))
         .agg(when(sum("qv") >= 0, expr("sum(qv) div count(1)"))

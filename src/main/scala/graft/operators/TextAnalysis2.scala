@@ -91,8 +91,11 @@ object TextAnalysis2 {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // r16: df ≡ the number of tf rows per term (tf is distinct on
+    // (doc, term) by construction), so the corpus-sized explode feeds ONE
+    // hash agg and df reuses tf's exchange instead of re-scanning +
+    // running a countDistinct expansion — guide §2.3/2.4; identical counts
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n"))
     // lnLibm, not functions.log: Spark's StrictMath.log differs from
     // glibc/DuckDB in the last ulp (see graft.functions.NaturalLog)
@@ -168,8 +171,13 @@ object TextAnalysis2 {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfr = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // r16: dl ≡ Σ tf per doc and df ≡ tf-row count per term (tf is
+    // distinct on (doc, term)), so the corpus explode feeds ONE hash agg
+    // and both marginals ride tf's reused exchange instead of two more
+    // corpus scans (one with a countDistinct Expand) — guide §2.3/2.4;
+    // identical BIGINTs, oracle SQL unchanged
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfx = dfr.crossJoin(broadcast(stats))
@@ -229,11 +237,14 @@ object TextAnalysis2 {
     val ws = documents(s, d).select(split(trim(col("text")), " ").as("w"))
     val ug = ws.select(explode(col("w")).as("tok"))
     val uc = ug.groupBy("tok").agg(count(lit(1)).as("c"))
-    val nu = ug.agg(count(lit(1)).as("n_u"))
+    // r16: totals are exact sums of the count aggregates (Σc ≡ |stream|),
+    // so each corpus-sized explode feeds ONE hash agg and the total rides
+    // the reused exchange — guide §2.3/2.4; identical BIGINTs
+    val nu = uc.agg(sum(col("c")).as("n_u"))
     val bg = ws.select(
       explode(graft.functions.WordShingles(col("w"), 2)).as("bigram"))
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-    val nb = bg.agg(count(lit(1)).as("n_b"))
+    val nb = bc.agg(sum(col("c_ab")).as("n_b"))
     // unigram-count joins are vocab-sized (no hint); nu/nb are one row
     val ratio = bc.filter(col("c_ab") >= 5)
       .join(uc.as("a"), col("a.tok") === split_part(col("bigram"), lit(" "), lit(1)))
@@ -326,11 +337,17 @@ object TextAnalysis2 {
       val bg = ws.select(
         explode(graft.functions.WordShingles(col("w"), 2)).as("bigram"))
       val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      val w1 = bg.groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("tok"))
-        .agg(count(lit(1)).as("ca"))
-      val w2 = bg.groupBy(split_part(col("bigram"), lit(" "), lit(2)).as("tok"))
-        .agg(count(lit(1)).as("cb"))
-      val nb = bg.agg(count(lit(1)).as("n"))
+      // r16: the marginals and the total are EXACT aggregates of bc
+      // (Σ c_ab grouped by first/second token ≡ counting the bigram
+      // stream directly), so the corpus-sized explode feeds ONE hash agg
+      // instead of four — the other three reads reuse bc's exchange
+      // (guide §2.3 "aggregate before you shuffle" / §2.4 shared
+      // exchange; identical BIGINTs, oracle SQL unchanged)
+      val w1 = bc.groupBy(split_part(col("bigram"), lit(" "), lit(1)).as("tok"))
+        .agg(sum(col("c_ab")).as("ca"))
+      val w2 = bc.groupBy(split_part(col("bigram"), lit(" "), lit(2)).as("tok"))
+        .agg(sum(col("c_ab")).as("cb"))
+      val nb = bc.agg(sum(col("c_ab")).as("n"))
       def cellX(k: Column, num: Column, den: Column): Column =
         when(k === 0, lit(1.0)).otherwise(num.cast("double") / den.cast("double"))
       val cells = bc.filter(col("c_ab") >= 5)
@@ -353,10 +370,10 @@ object TextAnalysis2 {
           cellX(col("n") - col("ca") - col("cb") + col("c_ab"),
             (col("n") - col("ca") - col("cb") + col("c_ab")) * col("n"),
             (col("n") - col("ca")) * (col("n") - col("cb"))).as("x22"))
-      val l1 = graft.functions.PortableLn.withLn(cells, "x11", "l11")
-      val l2 = graft.functions.PortableLn.withLn(l1, "x12", "l12")
-      val l3 = graft.functions.PortableLn.withLn(l2, "x21", "l21")
-      val l4 = graft.functions.PortableLn.withLn(l3, "x22", "l22")
+      // r16: one ladder pass carrying all four (m, e) pairs — identical
+      // per-column expressions, ~4× fewer analyzer passes than chaining
+      val l4 = graft.functions.PortableLn.withLns(cells, Seq(
+        "x11" -> "l11", "x12" -> "l12", "x21" -> "l21", "x22" -> "l22"))
       l4.select(col("bigram"), col("c_ab"),
           (lit(2.0) * (col("k11").cast("double") * col("l11") +
             col("k12").cast("double") * col("l12") +
