@@ -94,14 +94,17 @@ object EventAnalytics12 {
     val v = events(s, d).select(
       col("event_type"), col("ts"), col("event_id"),
       floor(col("value") * 10000.0 + 0.5).cast(dec).as("v4"))
-    val tot = v.groupBy("event_type")
-      .agg(count(lit(1)).cast(dec).as("n"), sum(col("v4")).as("sv"))
     // one global two-pass running sum over (type, ts, id); within-type
     // prefixes recovered by subtracting the per-type exclusive offsets
     val g = ScalableWindows.globalRunningSum(
       v.withColumn("v4l", col("v4").cast("long")),
       Seq(col("event_type"), col("ts"), col("event_id")),
       col("v4l"), "grn", "gsum")
+    // r16: per-type totals from the CHECKPOINTED two-pass output (same
+    // rows as v — g carries every v column) instead of a second corpus
+    // aggregation; identical integers
+    val tot = g.groupBy("event_type")
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("v4")).as("sv"))
     val offW = org.apache.spark.sql.expressions.Window
       .orderBy("event_type")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

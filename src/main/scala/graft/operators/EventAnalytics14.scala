@@ -739,7 +739,6 @@ object EventAnalytics14 {
     val rk = vc.select(col("event_type"), col("v4"),
       (lit(2L) * (sum("c").over(wv).cast("long") - col("c")) +
         col("c") + 1L).as("r2"))
-    val tot = v.groupBy("event_type").agg(count(lit(1)).as("n"))
     val vr = v.join(rk, Seq("event_type", "v4"))
     // one global two-pass running sum of r2 over (type, ts, id);
     // within-type prefixes recovered by the per-type exclusive offsets
@@ -749,9 +748,15 @@ object EventAnalytics14 {
       col("r2"), "grn", "gs2")
     val offW = Window.orderBy("event_type")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤5-row relation: bounded by event-type cardinality
-    val sums = vr.groupBy("event_type").agg(sum("r2").as("sr2"),
+    // ≤5-row relation: bounded by event-type cardinality. r16: aggregate
+    // the CHECKPOINTED two-pass output (g) instead of vr — the latter
+    // re-ran the corpus scan + rank join per consumer; g has the same
+    // rows, so the sums are identical. tot likewise derives from sums
+    // (every v row matches exactly one rk row, so |vr per type| =
+    // |v per type|) instead of a third corpus aggregation.
+    val sums = g.groupBy("event_type").agg(sum("r2").as("sr2"),
       count(lit(1)).as("cnt"))
+    val tot = sums.select(col("event_type"), col("cnt").as("n"))
     val offs = sums
       .withColumn("rnoff", coalesce(sum("cnt").over(offW), lit(0L)))
       .withColumn("s2off", coalesce(sum("sr2").over(offW), lit(0L)))

@@ -180,23 +180,33 @@ object EventAnalytics6 {
         floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))
       .filter(col("k").isNotNull)
+    // r16: ONE corpus aggregation to the joint (t, v4, k) distribution;
+    // both value-domain marginals derive from it (Σcnt grouped by each
+    // key ≡ counting events directly), and the power sums weight each
+    // joint cell by cnt — Σ_events f(rv2, rk2) ≡ Σ_cells cnt·f. The
+    // previous shape aggregated the corpus three times and shuffle-joined
+    // the full event stream twice; now the joins touch only the joint
+    // relation (bounded by the distinct (v4, k) pairing, ≪ corpus).
+    // Identical integers at every step. Guide §2.3/§2.4.
+    val joint = ev.groupBy("t", "v4", "k").agg(count(lit(1)).as("cnt"))
     def ranks(c: String, out: String) = {
       val w = Window.partitionBy("t").orderBy(c)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.groupBy("t", c).agg(count(lit(1)).as("c"))
+      joint.groupBy("t", c).agg(sum(col("cnt")).as("c"))
         .withColumn(out,
           lit(2L) * (sum("c").over(w) - col("c")) + col("c") + 1L)
         .drop("c")
     }
-    val j = ev
+    val j = joint
       .join(ranks("v4", "rv2"), Seq("t", "v4"))
       .join(ranks("k", "rk2"), Seq("t", "k"))
     val st = j.groupBy("t").agg(
-      count(lit(1)).as("n"),
-      sum(col("rv2")).cast(dec).as("sx"), sum(col("rk2")).cast(dec).as("sy"),
-      sum((col("rv2").cast(dec) * col("rv2"))).as("sxx"),
-      sum((col("rk2").cast(dec) * col("rk2"))).as("syy"),
-      sum((col("rv2").cast(dec) * col("rk2"))).as("sxy"))
+      sum(col("cnt")).as("n"),
+      sum(col("rv2") * col("cnt")).cast(dec).as("sx"),
+      sum(col("rk2") * col("cnt")).cast(dec).as("sy"),
+      sum(col("rv2").cast(dec) * col("rv2") * col("cnt")).as("sxx"),
+      sum(col("rk2").cast(dec) * col("rk2") * col("cnt")).as("syy"),
+      sum(col("rv2").cast(dec) * col("rk2") * col("cnt")).as("sxy"))
     st.select(col("t").as("event_type"), col("n"),
       ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
         (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double")) *
