@@ -88,6 +88,9 @@ object EventAnalytics6 {
       .select(col("event_type").as("t"),
         floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
       .groupBy("t", "v4").agg(count(lit(1)).as("c"))
+      // r16: the (t, v4) value spine feeds three consumers (base, tl,
+      // dom) — materialize once instead of three corpus scans (q119 fix)
+      .localCheckpoint(true)
     val base = cnt.filter(col("t") === "view").select(col("v4"), col("c").as("cb"))
     val tl = broadcast(cnt.filter(col("t") =!= "view").select("t").distinct())
     val dom = cnt.filter(col("t") =!= "view")
@@ -309,6 +312,11 @@ object EventAnalytics6 {
       .withColumn("b",
         expr(s"(x * $LttbBuckets) div (x1 - x0 + 1)"))
       .select("t", "event_id", "ts", "value", "x", "y", "b")
+      // r16: three consumers (bk, mid, anchors) — materialize the
+      // bucketed stream once instead of re-running the scan + bounds
+      // join per consumer (same cost class as the two-pass window
+      // checkpoints; the relation is one narrow row per event)
+      .localCheckpoint(true)
     val bk = eb.groupBy("t", "b")
       .agg(expr("sum(x) div count(*)").as("cx"),
         expr("sum(y) div count(*)").as("cy"))
@@ -502,6 +510,10 @@ object EventAnalytics6 {
       .select(col("event_type").as("t"),
         (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
       .groupBy("t", "b").agg(count(lit(1)).as("o"))
+      // r16: |types|×10 rows at ANY corpus size — materialize once so the
+      // four consumers (ct, n, clx, rt) read 50 rows instead of carrying
+      // four copies of the corpus scan + JSON extraction (the q100 fix)
+      .localCheckpoint(true)
     val ct = cells.groupBy("b").agg(sum("o").as("ctot"))
     val n = broadcast(cells.agg(sum("o").as("nn")))
     val clx = graft.functions.PortableLn.withLn(

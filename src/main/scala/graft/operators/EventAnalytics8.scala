@@ -141,6 +141,9 @@ object EventAnalytics8 {
       .select(col("event_type").as("t"),
         floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
       .groupBy("t", "v4").agg(count(lit(1)).as("c"))
+      // r16: the (t, v4) value spine feeds three consumers (base, tl,
+      // dom) — materialize once instead of three corpus scans (q119 fix)
+      .localCheckpoint(true)
     val base = cnt.filter(col("t") === "view").select(col("v4"), col("c").as("cb"))
     val tl = broadcast(cnt.filter(col("t") =!= "view").select("t").distinct())
     val dom = cnt.filter(col("t") =!= "view")
@@ -213,6 +216,9 @@ object EventAnalytics8 {
       .select(col("event_type").as("t"),
         floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
       .groupBy("t", "v4").agg(count(lit(1)).as("c"))
+      // r16: the (t, v4) value spine feeds three consumers (base, tl,
+      // dom) — materialize once instead of three corpus scans (q119 fix)
+      .localCheckpoint(true)
     val base = cnt.filter(col("t") === "view").select(col("v4"), col("c").as("cb"))
     val tl = broadcast(cnt.filter(col("t") =!= "view").select("t").distinct())
     val dom = cnt.filter(col("t") =!= "view")

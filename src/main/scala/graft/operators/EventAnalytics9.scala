@@ -183,6 +183,12 @@ object EventAnalytics9 {
       .select(col("event_type").as("t"),
         floor(col("value") * 10000.0 + 0.5).cast("long").as("v4"))
       .groupBy("t", "v4").agg(count(lit(1)).as("c"))
+      // r16: the (t, v4) value spine feeds THREE consumers (med, dev,
+      // the final outlier count) — without materialization the static
+      // plan carried 8 copies of the events scan; the spine is already
+      // the relation the query's per-type windows assume is far smaller
+      // than the corpus, so one checkpoint replaces 5 redundant scans
+      .localCheckpoint(true)
     val wCum = Window.partitionBy("t").orderBy("v4")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("t")
