@@ -191,6 +191,9 @@ object EventAnalytics7 {
       .select(col("event_type").as("ty"),
         (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("b"))
       .groupBy("ty", "b").agg(count(lit(1)).as("o"))
+      // r16: |types|×10 rows at ANY corpus size — materialized once for
+      // the four consumers (rt, ct, n, terms); the q100 fix
+      .localCheckpoint(true)
     val rt = cells.groupBy("ty").agg(sum(col("o")).as("rtot"))
     val ct = cells.groupBy("b").agg(sum(col("o")).as("ctot"))
     val n = broadcast(cells.agg(sum(col("o")).as("nn"),
