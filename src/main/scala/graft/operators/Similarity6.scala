@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -109,66 +110,117 @@ object Similarity6 {
        |  nn.n::BIGINT AS n
        |FROM it$Iterations, sgn, den, den4, ray, nn
        |ORDER BY dim""".stripMargin) { (s, d) =>
+    import graft.functions.Arith.idiv
+    // r17: ONE corpus pass for ALL sufficient statistics. The former
+    // shape checkpointed the CORPUS-sized sketch relation and re-scanned
+    // it three times (pair products, per-dim sums, count), then ran the
+    // five power rounds as per-round join+agg jobs over the 256-cell
+    // checkpointed matrix (~7 Spark jobs of pure scheduling floor). Now
+    // the per-row explode emits 136 pair products + 16 component values
+    // + 1 count marker (153 structs/row) into a single map-side-combined
+    // hash agg — no corpus materialization at any scale — and the whole
+    // iteration runs as array arithmetic over the ONE assembled row
+    // (guide §1.2 step 1: the iteration is O(Dim²) work, it never needed
+    // a distributed plan, only the moment aggregation does; §2.4/§5).
+    // Every arithmetic op is the same Catalyst node as before (same
+    // decimal(38,0) sums/products, same `div` truncation), so the
+    // integers — and the final doubles — are bit-identical.
     val sk = embeddings(s, d)
       .select(col("vec_id"),
         transform(
           graft.functions.SignMatrix
             .projectCol(col("embedding"), JlPlaneBase, Dim, scale = 0.25),
           y => floor(y * QScale.toDouble + 0.5).cast("long")).as("q"))
-      .localCheckpoint()
-    // per-row upper-triangle pair expansion — 136 products per row, no
-    // self-join, one hash agg with map-side combine
-    val px = sk.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
-           |  transform(sequence(i, ${Dim - 1}), j ->
-           |    struct(i as i, j as j, q[i] * q[j] as p))))""".stripMargin))
+    val mo = sk.select(explode(expr(
+        s"""concat(
+           |  flatten(transform(sequence(0, ${Dim - 1}), i ->
+           |    transform(sequence(i, ${Dim - 1}), j ->
+           |      struct(i as i, j as j, q[i] * q[j] as p)))),
+           |  transform(sequence(0, ${Dim - 1}), i ->
+           |    struct(i as i, -1 as j, q[i] as p)),
+           |  array(struct(-1 as i, -1 as j, 1L as p)))""".stripMargin))
         .as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j").agg(sum(col("p").cast(dec)).as("spp"))
-    val sv = sk.select(posexplode(col("q")).as(Seq("i", "qv")))
-      .groupBy("i").agg(sum(col("qv").cast(dec)).as("s"))
-    val nn = broadcast(sk.agg(count(lit(1)).cast(dec).as("n")))
-    val cu = px.crossJoin(nn)
-      .join(broadcast(sv.select(col("i"), col("s").as("sa"))), "i")
-      .join(broadcast(sv.select(col("i").as("j"), col("s").as("sb"))), "j")
-      .select(col("i"), col("j"),
-        (col("n") * col("spp") - col("sa") * col("sb")).cast(dec)
-          .as("cnum"))
-    val cm = cu.select("i", "j", "cnum")
-      .unionByName(cu.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cnum")))
-      .localCheckpoint()
-    import s.implicits._
-    var it = (0 until Dim).map(j => (j.toLong, VScale)).toDF("j", "vq")
-      .select(col("j"), col("vq").cast(dec).as("vq"))
-    var lastR: org.apache.spark.sql.DataFrame = null
-    var lastIt = it
-    for (_ <- 1 to Iterations) {
-      lastIt = it
-      val r = cm.join(it, Seq("j"))
-        .groupBy("i").agg(sum(col("cnum") * col("vq")).cast(dec).as("mv"))
-        .localCheckpoint()
-      lastR = r
-      val m = broadcast(r.agg(nullif(max(abs(col("mv"))), lit(0).cast(dec))
-        .as("m")))
-      it = r.crossJoin(m)
-        .select(col("i").as("j"),
-          when(col("mv") >= 0, expr(s"(abs(mv) * ${VScale}L) div m"))
-            .otherwise(-expr(s"(abs(mv) * ${VScale}L) div m"))
-            .cast(dec).as("vq"))
-    }
-    val sgn = broadcast(it.filter(col("vq") =!= 0).orderBy("j").limit(1)
-      .select(when(col("vq") > 0, 1).otherwise(-1).as("s")))
-    val den = broadcast(it.agg(sum(col("vq") * col("vq")).cast(dec).as("d")))
-    val den4 = broadcast(lastIt
-      .agg(sum(col("vq") * col("vq")).cast(dec).as("d4")))
-    val ray = broadcast(lastIt.select(col("j"), col("vq").as("pvq"))
-      .join(lastR.select(col("i").as("j"), col("mv")), "j")
-      .agg(sum(col("pvq") * col("mv")).cast(dec).as("num")))
-    it.crossJoin(sgn).crossJoin(den).crossJoin(den4).crossJoin(ray)
-      .crossJoin(nn)
-      .select(col("j").cast("long").as("dim"),
-        ((col("s") * col("vq")).cast("double") /
+      .groupBy("i", "j").agg(sum(col("p").cast(dec)).as("v"))
+    // moment lookup table keyed i·100+j (i, j ≥ −1 ⇒ keys unique); the
+    // map keeps the matrix-assembly expression tree ~100 nodes — a
+    // per-entry array-filter lookup (256 copies) made the optimizer's
+    // alias-trimming walk a ~10⁵-node tree per pattern match
+    val mp = mo.agg(
+      map_from_entries(collect_list(
+        struct((col("i") * 100 + col("j")).as("k"), col("v"))))
+        .as("mp"))
+    val seqDim = sequence(lit(0), lit(Dim - 1))
+    // n = count marker; s = per-dim sums; m = the mirrored covariance
+    // numerator matrix, flattened row-major (i*Dim + j), each entry the
+    // SAME (n·spp − sᵢ·sⱼ) decimal op chain as the former cu/cm relation
+    val withNs = mp.select(
+      try_element_at(col("mp"), lit(-101)).as("n"),
+      transform(seqDim, i => try_element_at(col("mp"), i * 100 - 1)).as("s"),
+      col("mp"))
+    val withM = withNs.select(col("n"),
+      flatten(transform(seqDim, i => transform(seqDim, j =>
+        (col("n") *
+          try_element_at(col("mp"), least(i, j) * 100 + greatest(i, j)) -
+          element_at(col("s"), i + 1) * element_at(col("s"), j + 1))
+          .cast(dec)))).as("m"))
+    // the five rounds run as ONE runtime fold over a (vq, pvq, mv, m)
+    // state struct — a FIXED-size expression tree evaluated per round
+    // at runtime. Two traps this shape dodges, both measured: chained
+    // per-round Projects get transitively inlined by the planner's
+    // alias trimming into a 16^(2·rounds)-node tree (multi-minute
+    // optimizer stall), and a matrix captured from OUTSIDE the lambda
+    // is a non-attribute capture that interpreted HOF evaluation
+    // re-computes per array element — so the matrix rides in the fold's
+    // INITIAL STATE (evaluated once) and every in-step reference is a
+    // cheap getField on the lambda variable.
+    val vq0 = transform(seqDim, _ => lit(VScale).cast(dec))
+    val iterated = withM.select(col("n"),
+      aggregate(sequence(lit(1), lit(Iterations)),
+        struct(vq0.as("vq"), vq0.as("pvq"),
+          transform(seqDim, _ => lit(null).cast(dec)).as("mv"),
+          col("m").as("m")),
+        (st, _) => {
+          // mv = M·vq (exact decimal fold ≡ the former per-round hash
+          // agg), then L∞ renormalize by truncating `div` — op-for-op
+          // the former `(abs(mv) * VScale) div m`, m = NULLIF(max|mv|,0)
+          val vq = st.getField("vq")
+          val mv = transform(seqDim, i =>
+            aggregate(seqDim, lit(0L).cast(dec), (acc, j) =>
+              acc + element_at(st.getField("m"), i * Dim + j + 1) *
+                element_at(vq, j + 1)))
+          val mx = nullif(array_max(transform(mv, x => abs(x))),
+            lit(0).cast(dec))
+          struct(
+            transform(mv, x =>
+              when(x >= 0, idiv(abs(x) * lit(VScale), mx))
+                .otherwise(-idiv(abs(x) * lit(VScale), mx))
+                .cast(dec)).as("vq"),
+            vq.as("pvq"), mv.as("mv"), st.getField("m").as("m"))
+        }).as("st"))
+    val cur = iterated.select(col("n"),
+      col("st.vq").as("vq"), col("st.pvq").as("pvq"), col("st.mv").as("mv"))
+    // sgn: first nonzero component (j order ≡ array order); the
+    // isNotNull filter reproduces the former empty-`sgn` degenerate
+    // behavior (all-zero vector ⇒ zero output rows)
+    val scalars = cur.select(col("n"), col("vq"),
+      when(try_element_at(filter(col("vq"), v => v =!= lit(0).cast(dec)), lit(1)) > 0,
+        lit(1))
+        .when(try_element_at(filter(col("vq"), v => v =!= lit(0).cast(dec)), lit(1)) < 0,
+          lit(-1)).as("sgn"),
+      aggregate(col("vq"), lit(0L).cast(dec),
+        (acc, v) => acc + v * v).cast(dec).as("d"),
+      aggregate(col("pvq"), lit(0L).cast(dec),
+        (acc, v) => acc + v * v).cast(dec).as("d4"),
+      aggregate(seqDim, lit(0L).cast(dec), (acc, j) =>
+        acc + element_at(col("pvq"), j + 1) * element_at(col("mv"), j + 1))
+        .cast(dec).as("num"))
+      .filter(col("sgn").isNotNull)
+    scalars
+      .select(col("n"), col("sgn"), col("d"), col("d4"), col("num"),
+        posexplode(col("vq")).as(Seq("pos", "vqv")))
+      .select(col("pos").cast("long").as("dim"),
+        ((col("sgn") * col("vqv")).cast("double") /
           sqrt(col("d").cast("double"))).as("component"),
         (col("num").cast("double") /
           (col("d4").cast("double") *

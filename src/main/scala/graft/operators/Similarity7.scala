@@ -107,7 +107,6 @@ object Similarity7 {
         transform(col("q"),
           v => (v.cast("double") / CScale.toDouble).cast("float"))
           .as("carr"))
-    var assign: DataFrame = null
     var update: DataFrame = null
     for (_ <- 1 to Rounds) {
       // r16: argmax-by-(cos DESC, cid ASC) as ONE hash agg instead of a
@@ -117,7 +116,7 @@ object Similarity7 {
       // shuffle (corpus rows instead of corpus×K, no sort — guide §2.3),
       // and carrying q through the agg (all rows of a vec_id group share
       // it) removes the former corpus⋈corpus re-join per round.
-      assign = qv.crossJoin(broadcast(centroids))
+      val assign = qv.crossJoin(broadcast(centroids))
         .groupBy("vec_id")
         .agg(
           max(struct(cosine(col("e"), col("carr")).as("c"),
@@ -128,15 +127,22 @@ object Similarity7 {
         .select(col("cid"), posexplode(col("q")).as(Seq("p", "qv")))
         .groupBy(col("cid"), (col("p") + 1).cast("long").as("dim"))
         .agg(when(sum("qv") >= 0, expr("sum(qv) div count(1)"))
-          .otherwise(-expr("(-sum(qv)) div count(1)")).as("cq"))
+          .otherwise(-expr("(-sum(qv)) div count(1)")).as("cq"),
+          // r17: member count rides the update agg (each member
+          // contributes exactly one row per dim), so the final output
+          // needs NO fourth corpus scan for sz and no sz join
+          count(lit(1)).as("nm"))
         .localCheckpoint()
       centroids = toCentroids(update)
     }
-    val sz = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
-    update.join(broadcast(sz), "cid")
+    // every update row's nm IS its cluster's member count — the former
+    // sz re-aggregation of the round-3 assignment re-ran the corpus
+    // scan in the final job (r16 plan: 4 corpus scans; now 3 + a
+    // 512-row RDD read)
+    update
       .select(col("cid"), col("dim"),
         (col("cq").cast("double") / CScale.toDouble).as("centroid"),
-        col("n_members"))
+        col("nm").as("n_members"))
       .orderBy("cid", "dim")
   }
 

@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Round-17 measurement helper — the r16 PlanDump plus the evidence fix
+  * r16's verdict asked for: the committed plan file now carries BOTH the
+  * initial `.explain("formatted")` plan AND the AQE FINAL plan captured
+  * from the SAME DataFrame instance after one execution, so runtime
+  * ReusedExchange / AQEShuffleRead nodes (invisible in the initial plan)
+  * are judge-checkable. Timings match the r16 tool: min-of-2 for the
+  * bench's `.count()` action and for the noop sink (guide §1.4), plus
+  * the DataFrame-construction / physical-plan split, jobs labelled via
+  * `setJobDescription` (guide §1.5). Dev tool; never on the bench path.
+  *
+  * Usage: runMain graft.tools.PlanDump17 <sfDir> <tag> <name> [name ...]
+  */
+object PlanDump17 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val tag = args(1)
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    Files.createDirectories(Paths.get("plans/r17"))
+    for (name <- args.drop(2)) {
+      val fn = graft.SparkEntry.queries(name)
+      def fresh() = fn(spark, sfDir)
+      def settle(): Unit = {
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      }
+      spark.sparkContext.setJobDescription(s"plandump17: $name")
+      val tc0 = System.nanoTime()
+      val df0 = fresh()
+      val tBuild = (System.nanoTime() - tc0) / 1e9
+      val tp0 = System.nanoTime()
+      df0.queryExecution.executedPlan
+      val tPlan = (System.nanoTime() - tp0) / 1e9
+      val initial = df0.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // execute THIS instance so its adaptive plan finalizes, then dump
+      // the final plan — runtime exchange reuse shows only here
+      df0.write.format("noop").mode("overwrite").save()
+      val finalPlan = df0.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"plans/r17/${name}_$tag.txt"),
+        s"== INITIAL PLAN (pre-execution) ==\n$initial\n" +
+          s"== FINAL PLAN (post-execution, AQE final) ==\n$finalPlan")
+      settle()
+      def timeCount(): Double = {
+        val t0 = System.nanoTime(); fresh().count(); (System.nanoTime() - t0) / 1e9
+      }
+      def timeNoop(): Double = {
+        val t0 = System.nanoTime()
+        fresh().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val c = { val a = timeCount(); settle(); val b = timeCount(); settle(); math.min(a, b) }
+      val n = { val a = timeNoop(); settle(); val b = timeNoop(); settle(); math.min(a, b) }
+      println(f"[plandump17] $name%-32s count=$c%7.2fs noop=$n%7.2fs build=$tBuild%6.2fs plan=$tPlan%6.2fs -> plans/r17/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}
