@@ -416,6 +416,10 @@ object Curation {
         size(array_distinct(ws)).cast("long").as("n_uniq"))
       .withColumn("score", expr("(1000 * n_uniq) div n_tok"))
       .select("doc_id", "n_tok", "score")
+      // r17: the budget agg, the range partitioner's sampling pass and
+      // its shuffle each re-tokenized the corpus (split per doc ×3);
+      // the narrow (doc_id, n_tok, score) spine materializes once
+      .localCheckpoint(true)
     val budget = broadcast(sc.agg(expr("sum(n_tok) div 4").as("budget")))
     ScalableWindows.globalRunningSum(sc,
         Seq(col("score").desc, col("doc_id")), col("n_tok"), "rn", "cum")
@@ -622,6 +626,9 @@ object Curation {
       .filter(!TextAnalysis3.isHoldout(col("doc_id")) &&
         !TextAnalysis3.qualityBad(col("text")))
       .select(col("doc_id"), size(ws).cast("long").as("n_tok"))
+      // r17: tokenize once — the two-pass sampling pass re-split every
+      // doc's text before this checkpoint existed
+      .localCheckpoint(true)
     ScalableWindows.globalRunningSum(keep,
         Seq(col("doc_id")), col("n_tok"), "rn", "cum")
       .select(col("doc_id"), col("n_tok"),

@@ -736,9 +736,18 @@ object EventAnalytics14 {
     val vc = v.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
     val wv = Window.partitionBy("event_type").orderBy("v4")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // r17: the rank spine is value-bounded (|types|×|distinct v4| —
+    // the same class as the q101/q111 spines), so materialize it once:
+    // the two-pass range partitioner below evaluates its child twice
+    // (sampling pass + materialization), and un-checkpointed each
+    // evaluation re-ran the corpus agg + the corpus-wide rank join
+    // from scratch. With the checkpointed spine AQE sees its true size
+    // and picks the broadcast join itself (no hint — the spine can
+    // outgrow a broadcast at extreme value cardinalities).
     val rk = vc.select(col("event_type"), col("v4"),
       (lit(2L) * (sum("c").over(wv).cast("long") - col("c")) +
         col("c") + 1L).as("r2"))
+      .localCheckpoint(true)
     val vr = v.join(rk, Seq("event_type", "v4"))
     // one global two-pass running sum of r2 over (type, ts, id);
     // within-type prefixes recovered by the per-type exclusive offsets

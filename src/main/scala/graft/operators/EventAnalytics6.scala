@@ -307,40 +307,56 @@ object EventAnalytics6 {
       floor(col("value") * 10000.0 + 0.5).cast("long").as("y"))
     val bounds = broadcast(
       e.groupBy("t").agg(min("xs").as("x0"), max("xs").as("x1")))
+    // r17 (r16 verdict item 1): eb is CORPUS-sized — its former eager
+    // localCheckpoint materialized the whole event stream into executor
+    // storage (not fault-tolerant, cluster-storage-sized at 100 TB).
+    // Only the ≤|t|·LttbBuckets bucket aggregate is checkpointed now;
+    // the three eb consumers re-scan parquet but each collapses into a
+    // map-combined hash agg (the two row_number windows below became
+    // min/max-struct aggs), so NO corpus rows are ever shuffled or
+    // sorted — cheaper than the checkpoint even at sf0.1.
     val eb = e.join(bounds, "t")
       .withColumn("x", col("xs") - col("x0"))
       .withColumn("b",
         expr(s"(x * $LttbBuckets) div (x1 - x0 + 1)"))
       .select("t", "event_id", "ts", "value", "x", "y", "b")
-      // r16: three consumers (bk, mid, anchors) — materialize the
-      // bucketed stream once instead of re-running the scan + bounds
-      // join per consumer (same cost class as the two-pass window
-      // checkpoints; the relation is one narrow row per event)
-      .localCheckpoint(true)
     val bk = eb.groupBy("t", "b")
       .agg(expr("sum(x) div count(*)").as("cx"),
         expr("sum(y) div count(*)").as("cy"))
+      .localCheckpoint(true) // bounded: |t| × LttbBuckets rows
     val wB = Window.partitionBy("t").orderBy("b")
     val nb = broadcast(bk.select(col("t"), col("b"),
       lag("cx", 1).over(wB).as("cxp"), lag("cy", 1).over(wB).as("cyp"),
       lead("cx", 1).over(wB).as("cxn"), lead("cy", 1).over(wB).as("cyn")))
     val a2 = abs((col("cxp") - col("cxn")).cast(dec) * (col("y") - col("cyp"))
       - (col("cxp") - col("x")).cast(dec) * (col("cyn") - col("cyp")))
-    val wPick = Window.partitionBy("t", "b")
-      .orderBy(col("a2").desc, col("ts"), col("event_id"))
+    // argmax per (t, b) by (a2 DESC, ts ASC, event_id ASC) as one
+    // map-combined agg — within a type, ts order ≡ x order (x = xs−x0,
+    // x0 constant per type) and event_id is unique, so the struct max
+    // picks exactly the former row_number()=1 row with no (t, b)-keyed
+    // corpus shuffle + sort
     val mid = eb.filter(col("b") > 0 && col("b") < LttbBuckets - 1)
       .join(nb, Seq("t", "b"))
       .withColumn("a2", a2)
-      .withColumn("rn", row_number().over(wPick))
-      .filter(col("rn") === 1)
-      .select("t", "b", "event_id", "ts", "value")
-    val wF = Window.partitionBy("t").orderBy(col("ts"), col("event_id"))
-    val wL = Window.partitionBy("t").orderBy(col("ts").desc, col("event_id").desc)
-    val anchors = eb
-      .withColumn("rf", row_number().over(wF))
-      .withColumn("rl", row_number().over(wL))
-      .filter(col("rf") === 1 || col("rl") === 1)
-      .select("t", "b", "event_id", "ts", "value")
+      .groupBy("t", "b")
+      .agg(max(struct(col("a2"), (-col("x")).as("nx"),
+        (-col("event_id")).as("nid"),
+        struct(col("event_id"), col("ts"), col("value")).as("p")))
+        .as("m"))
+      .select(col("t"), col("b"), col("m.p.event_id").as("event_id"),
+        col("m.p.ts").as("ts"), col("m.p.value").as("value"))
+    // first/last per type = min/max of the same unique (x, event_id)
+    // order (the former pair of opposite-order row_number windows);
+    // array_distinct collapses the single-event-type case to one row
+    // exactly like rf=1 ∧ rl=1 did
+    val anchorKey = struct(col("x"), col("event_id"), col("b"),
+      col("ts"), col("value"))
+    val anchors = eb.groupBy("t")
+      .agg(min(anchorKey).as("mn"), max(anchorKey).as("mx"))
+      .select(col("t"),
+        explode(array_distinct(array(col("mn"), col("mx")))).as("p"))
+      .select(col("t"), col("p.b").as("b"), col("p.event_id").as("event_id"),
+        col("p.ts").as("ts"), col("p.value").as("value"))
     mid.unionByName(anchors)
       .select(col("t").as("event_type"), col("b").cast("long").as("bucket"),
         col("ts"), col("value"))

@@ -199,23 +199,29 @@ object GraphAnalytics {
       val deg = und.groupBy(col("x").as("node"))
         .agg(count(lit(1)).as("degree"))
         .localCheckpoint()
+      // r17: each edge carries its SOURCE node's degree, so the rounds
+      // shed the per-round re-join against deg (the contribution
+      // (85·r) div (100·deg(x)) only ever needs deg(x) on the x side);
+      // deg is attached once to the output at the end. 5 joins removed
+      // from the round chain (guide §2.4).
+      val undDeg = und
+        .join(deg.select(col("node").as("x"), col("degree").as("degx")), "x")
+        .localCheckpoint()
       val nn = broadcast(deg.agg(count(lit(1)).as("n"),
         expr(s"(15 * ${U}L) div (100 * count(1))").as("base")))
       var r = deg.crossJoin(nn)
-        .select(col("node"), col("degree"),
-          expr(s"${U}L div n").as("r"))
+        .select(col("node"), expr(s"${U}L div n").as("r"))
       for (_ <- 1 to Iterations) {
-        r = und.join(r, col("x") === col("node"))
+        r = undDeg.join(r, col("x") === col("node"))
           .crossJoin(nn)
           .groupBy(col("y"))
           .agg((max("base") +
-            sum(expr("(85 * r) div (100 * degree)"))).as("r"))
+            sum(expr("(85 * r) div (100 * degx)"))).as("r"))
           .select(col("y").as("node"), col("r"))
-          .join(deg, "node")
-          .select(col("node"), col("degree"), col("r"))
       }
-      r.select(col("node"), col("degree"), col("r").as("rank_micro"),
-        (col("r").cast("double") / 1e12).as("rank"))
+      r.join(deg, "node")
+        .select(col("node"), col("degree"), col("r").as("rank_micro"),
+          (col("r").cast("double") / 1e12).as("rank"))
         .orderBy("node")
     }
   }
@@ -269,17 +275,26 @@ object GraphAnalytics {
           .unionAll(e.select(col("pb").as("x"), col("pa").as("y")))
           .localCheckpoint()
       }
+      def peel(survivors: org.apache.spark.sql.DataFrame) = und0
+        .join(survivors.as("a"), col("a.node") === col("x"))
+        .join(survivors.select(col("node").as("ynode")).as("b"),
+          col("b.ynode") === col("y"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= CoreK)
+        .select(col("x").as("node"))
       var survivors = und0.select(col("x").as("node")).distinct()
-      for (_ <- 1 to PeelRounds) {
-        survivors = und0
-          .join(survivors.as("a"), col("a.node") === col("x"))
-          .join(survivors.select(col("node").as("ynode")).as("b"),
-            col("b.ynode") === col("y"))
-          .groupBy(col("x"))
-          .agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= CoreK)
-          .select(col("x").as("node"))
-          .localCheckpoint()
+      // r17: checkpoint every SECOND peel instead of every peel — the
+      // inner round's aggregate subtree appears twice in the outer
+      // round's plan (both join sides), but the copies canonicalize
+      // identically so the runtime reuses one exchange; job count per
+      // query drops from R+1 to R/2+1 (guide §2.4/§5: the per-round
+      // eager materialization was pure scheduling floor)
+      for (_ <- 1 to PeelRounds / 2) {
+        survivors = peel(peel(survivors)).localCheckpoint()
+      }
+      for (_ <- 1 to PeelRounds % 2) {
+        survivors = peel(survivors).localCheckpoint()
       }
       und0
         .join(survivors.as("a"), col("a.node") === col("x"))

@@ -45,6 +45,10 @@ object Relational10 {
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
         .as("cents"))
+      // r17: three evaluations shared one corpus agg — the `tot`
+      // broadcast, the range partitioner's sampling pass, and its
+      // shuffle each re-ran the lineitem aggregation un-checkpointed
+      .localCheckpoint(true)
     val tot = broadcast(r.agg(sum("cents").as("tot")))
     val rs = ScalableWindows.globalRunningSum(
       r, Seq(col("cents").desc, col("pk")), col("cents"), "rn", "cum")

@@ -127,6 +127,11 @@ object Relational9 {
       .select(col("c_mktsegment").as("segment"), col("c_custkey").as("ck"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy("segment", "ck").agg(sum("cents").as("cents"))
+      // r17: materialized once — the two-pass range partitioner below
+      // evaluates its child TWICE (sampling pass + shuffle), and this
+      // child is a corpus join + aggregation; the checkpoint makes the
+      // second evaluation an RDD read (guide §2.4)
+      .localCheckpoint(true)
     // per-segment rank = global rank − segment start offset (5-row
     // broadcast), so no single task ever sorts a whole segment
     val rn = ScalableWindows.globalRowNumber(
@@ -262,24 +267,39 @@ object Relational9 {
     // exact NTILE(5) from a two-pass global rank: with q = n div 5 and
     // r = n mod 5, SQL NTILE front-loads — the first r buckets get q+1
     // rows — so tile(rank) is pure integer arithmetic on (rank, n)
-    // Column./ is double division — NTILE arithmetic must stay integer,
-    // so the buckets are built with SQL `div` over the rank column name
-    def tile5(rn: String): Column = expr(
-      s"""CASE WHEN $rn <= (n % 5) * (n div 5 + 1)
-         |  THEN ($rn - 1) div (n div 5 + 1) + 1
-         |  ELSE n % 5 + ($rn - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1
-         |END""".stripMargin)
-    val ranked = ScalableWindows.globalRowNumber(
-      ScalableWindows.globalRowNumber(
-        ScalableWindows.globalRowNumber(
-          c, Seq(col("recency"), col("ck")), "rnR"),
-        Seq(col("frequency"), col("ck")), "rnF"),
-      Seq(col("cents"), col("ck")), "rnM")
-    val nDf = broadcast(ranked.agg(count(lit(1)).as("n")))
-    val sc = ranked.crossJoin(nDf).select(col("ck"), col("cents"),
-      (lit(6L) - tile5("rnR")).as("r"),
-      tile5("rnF").as("f"),
-      tile5("rnM").as("m"))
+    // (built with SQL `div`: Column./ is double division).
+    // r17: ONE range-partition pass instead of three. The three NTILE
+    // keys (all longs) stack into a (which, key, ck) union — 3n rows —
+    // and a single two-pass global row number over that total order
+    // yields each key's in-group rank as rn − which·n (every group has
+    // exactly one row per customer). The former chain ran three
+    // repartitionByRange sample+materialize passes, the FIRST pair over
+    // the un-materialized per-customer aggregation pipeline (so the
+    // orders agg also ran twice); now the agg materializes once and
+    // the one sample pass reads it back (guide §2.4/§1.2). cents rides
+    // the which=2 rows, so no join back to c is needed.
+    val cm = c.localCheckpoint(true)
+    val u = cm.select(col("ck"), explode(array(
+      struct(lit(0L).as("w"), col("recency").as("key")),
+      struct(lit(1L).as("w"), col("frequency").as("key")),
+      struct(lit(2L).as("w"), col("cents").as("key")))).as("e"))
+      .select(col("ck"), col("e.w").as("w"), col("e.key").as("key"))
+    val ranked3 = ScalableWindows.globalRowNumber(
+      u, Seq(col("w"), col("key"), col("ck")), "grn")
+    val nDf = broadcast(cm.agg(count(lit(1)).as("n")))
+    val tiles = ranked3.crossJoin(nDf)
+      .select(col("ck"), col("w"), col("key"),
+        (col("grn") - col("w") * col("n")).as("rn"), col("n"))
+      .withColumn("tile", expr(
+        """CASE WHEN rn <= (n % 5) * (n div 5 + 1)
+          |  THEN (rn - 1) div (n div 5 + 1) + 1
+          |  ELSE n % 5 + (rn - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1
+          |END""".stripMargin))
+    val sc = tiles.groupBy("ck").agg(
+      (lit(6L) - max(when(col("w") === 0L, col("tile")))).as("r"),
+      max(when(col("w") === 1L, col("tile"))).as("f"),
+      max(when(col("w") === 2L, col("tile"))).as("m"),
+      max(when(col("w") === 2L, col("key"))).as("cents"))
     sc.groupBy(concat(col("r").cast("string"), col("f").cast("string"),
         col("m").cast("string")).as("rfm_cell"))
       .agg(count(lit(1)).as("n_customers"),

@@ -59,6 +59,9 @@ object TextAnalysis4 {
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .groupBy("w").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("new_tokens"))
+      // r17: the sampling pass otherwise re-runs the explode + two
+      // shuffles feeding this per-doc relation
+      .localCheckpoint(true)
     // global running sum via the two-pass range-partitioned shape —
     // the per-doc relation is corpus-sized (one row per document), so
     // the r04 `Window.orderBy` single-task sort was a scale killer
@@ -197,6 +200,9 @@ object TextAnalysis4 {
     val L = lit(PackLen)
     val toks = documents(s, d).select(col("doc_id"),
       size(split(trim(col("text")), " ")).cast("long").as("n"))
+      // r17: tokenize once — the two-pass sampling pass re-split every
+      // doc's text before this checkpoint existed
+      .localCheckpoint(true)
     val withCum = ScalableWindows.globalRunningSum(toks,
       Seq(col("doc_id")), col("n"), "__rn", "__cum")
     val spans = withCum

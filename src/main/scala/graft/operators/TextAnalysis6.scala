@@ -476,6 +476,8 @@ object TextAnalysis6 {
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val j = TextAnalysis3.nllPerDoc(s, d)
       .join(documents(s, d).select("doc_id", "lang", "n_chars"), "doc_id")
+      // r17: the sampling pass otherwise re-runs the doc_id join
+      .localCheckpoint(true)
     val ranked = ScalableWindows.globalRowNumber(j,
       Seq(col("lang"), col("nll"), col("doc_id")), "grn")
     val offs = ranked.groupBy("lang")

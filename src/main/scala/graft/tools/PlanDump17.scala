@@ -37,9 +37,10 @@ object PlanDump17 {
       val tPlan = (System.nanoTime() - tp0) / 1e9
       val initial = df0.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      // execute THIS instance so its adaptive plan finalizes, then dump
-      // the final plan — runtime exchange reuse shows only here
-      df0.write.format("noop").mode("overwrite").save()
+      // execute THIS QueryExecution (a noop write would build a NEW one
+      // and leave df0's adaptive plan un-finalized) so the dumped final
+      // plan shows runtime ReusedExchange / AQEShuffleRead nodes
+      df0.queryExecution.executedPlan.execute().count()
       val finalPlan = df0.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(Paths.get(s"plans/r17/${name}_$tag.txt"),
