@@ -60,6 +60,12 @@ object PortableLn {
     * costs 14 passes total. Per-column expressions are unchanged
     * op-for-op, so each output is bit-identical to the chained form. */
   def withLns(rel: DataFrame, xs: Seq[(String, String)]): DataFrame = {
+    // outputs are APPENDED via select (not replaced in place like the
+    // old withColumn form) — an `out` colliding with an existing column
+    // would produce an ambiguous reference downstream; fail fast instead
+    require(xs.forall(x => !rel.columns.contains(x._2)),
+      s"withLns output name collides with an input column: " +
+        s"${xs.map(_._2).filter(rel.columns.contains).mkString(", ")}")
     val keep: Seq[Column] = rel.columns.toSeq.map(col)
     val idx = xs.indices
     def m(i: Int) = s"__m$i"

@@ -317,13 +317,24 @@ object Dedup {
     * prefix filtering sound; rarity-first is what makes it effective
     * (prefix postings concentrate on low-DF shingles, so the candidate
     * self-join's Σ df² collapses). */
-  private[graft] def rankedShingleRows(docs: DataFrame, cap: Int): DataFrame =
-    shingleRows(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+  private[graft] def rankedShingleRows(docs: DataFrame, cap: Int): DataFrame = {
+    // r17: DF annotation as aggregate + shuffled-hash join instead of a
+    // count-over-shingle window — the window sorted the ENTIRE posting
+    // relation by shingle (hot shingles included) just to attach a per-
+    // group count; the join streams postings against a hash table of
+    // the ≤cap-df shingle counts (bounded per partition by construction)
+    // and drops capped-out shingles in the same pass (guide §2.3). The
+    // postings explode runs twice (both join inputs), which is map-side
+    // CPU — cheaper than materializing the corpus-sized posting list.
+    val rows = shingleRows(docs)
+    val dfc = rows.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
+    rows.join(dfc.hint("shuffle_hash"), "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+  }
 
   /** PPJoin-style prefix postings for a RELATIVE overlap requirement:
     * keep each doc's `n − oMin(n) + 1` rarest shingles, where `oMin(n)`

@@ -240,11 +240,11 @@ object TextAnalysis2 {
     // r16: totals are exact sums of the count aggregates (Σc ≡ |stream|),
     // so each corpus-sized explode feeds ONE hash agg and the total rides
     // the reused exchange — guide §2.3/2.4; identical BIGINTs
-    val nu = uc.agg(sum(col("c")).as("n_u"))
+    val nu = uc.agg(coalesce(sum(col("c")), lit(0L)).as("n_u"))
     val bg = ws.select(
       explode(graft.functions.WordShingles(col("w"), 2)).as("bigram"))
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-    val nb = bc.agg(sum(col("c_ab")).as("n_b"))
+    val nb = bc.agg(coalesce(sum(col("c_ab")), lit(0L)).as("n_b"))
     // unigram-count joins are vocab-sized (no hint); nu/nb are one row
     val ratio = bc.filter(col("c_ab") >= 5)
       .join(uc.as("a"), col("a.tok") === split_part(col("bigram"), lit(" "), lit(1)))
@@ -347,7 +347,7 @@ object TextAnalysis2 {
         .agg(sum(col("c_ab")).as("ca"))
       val w2 = bc.groupBy(split_part(col("bigram"), lit(" "), lit(2)).as("tok"))
         .agg(sum(col("c_ab")).as("cb"))
-      val nb = bc.agg(sum(col("c_ab")).as("n"))
+      val nb = bc.agg(coalesce(sum(col("c_ab")), lit(0L)).as("n"))
       def cellX(k: Column, num: Column, den: Column): Column =
         when(k === 0, lit(1.0)).otherwise(num.cast("double") / den.cast("double"))
       val cells = bc.filter(col("c_ab") >= 5)

@@ -63,6 +63,16 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"${q.name} plans a BNL:\n$plan")
     }
+    // the scalar-attach exemptions above are BNL-only: those queries
+    // must still never plan a true cartesian (r16 ADVICE — q10 had
+    // silently left both nets when only the BNL needed exempting)
+    for (q <- Relational.q10RankFamily +:
+        (Relational5.all ++ Relational6.all)) {
+      val plan = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian:\n$plan")
+    }
   }
 
   test("q02 filter is pushed to the parquet scan") {
@@ -141,29 +151,53 @@ class PlanShapeSpec extends AnyFunSuite {
         // r13: the packing map's global running token sum must also
         // ride the two-pass shape, not a single-task window
         graft.operators.Curation.packBins)) {
-      val plan = q.run(spark, TestSpark.tiny)
-        .queryExecution.executedPlan.toString
+      val exec = q.run(spark, TestSpark.tiny)
+        .queryExecution.executedPlan
       // r16: ScalableWindows' per-partition offset fold moved from a
       // separate driver collect action into an IN-PLAN window over the
       // ≤`parts`-row totals (bounded by construction), so exactly that
-      // window's exchange — recognizable by its `__pid` order key — is
-      // allowed; any OTHER single-partition exchange is still the
-      // corpus-serializing regression this test exists to catch.
-      val lines = plan.split("\n")
-      val offending = lines.zipWithIndex
-        .filter(_._1.contains("Exchange SinglePartition"))
-        .filterNot { case (_, i) =>
-          // bounded by construction: the exchange's CHILD is either the
-          // ≤`parts`-row partial aggregate keyed on `__pid` (the twoPass
-          // totals) or a partial GLOBAL aggregate (keys=[] — one partial
-          // row per map task, the standard two-phase scalar agg)
-          lines.slice(i + 1, i + 3).exists(l =>
-            (l.contains("HashAggregate") && l.contains("__pid")) ||
-              l.contains("HashAggregate(keys=[],"))
-        }
+      // window's exchange is allowed; any OTHER single-partition
+      // exchange is still the corpus-serializing regression this test
+      // exists to catch. r17 (r16 ADVICE): the exemption walks the plan
+      // TREE — the exchange's direct (codegen-unwrapped) child must BE
+      // the `__pid`-keyed totals partial aggregate or a partial GLOBAL
+      // aggregate (keys=[]) — instead of string-matching nearby explain
+      // lines, which an unrelated sibling line could satisfy.
+      import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case w: WholeStageCodegenExec => unwrap(w.child)
+        case i: InputAdapter => unwrap(i.child)
+        case other => other
+      }
+      def boundedTotalsAgg(p: SparkPlan): Boolean = unwrap(p) match {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.isEmpty ||
+            a.groupingExpressions.forall(
+              _.references.forall(_.name == "__pid"))
+        case _ => false
+      }
+      // AdaptiveSparkPlanExec is a LEAF node — collect over it alone
+      // sees nothing; walk its initial plan (inputPlan predates
+      // EnsureRequirements and carries no exchanges at all)
+      val roots = exec.collect {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.initialPlan
+      } match { case Seq() => Seq(exec); case rs => rs }
+      val singleParts = roots.flatMap(_.collect {
+        case ex: ShuffleExchangeExec
+            if ex.outputPartitioning.numPartitions == 1 => ex
+      })
+      // non-vacuity: q10's two-pass ranks guarantee at least one bounded
+      // offsets exchange — if the walk stops seeing it, the net is blind
+      if (q.name == "q10_rank_family")
+        assert(singleParts.nonEmpty,
+          "plan walk found no single-partition exchange in q10 — vacuous net")
+      val offending = singleParts.filterNot(ex => boundedTotalsAgg(ex.child))
       assert(offending.isEmpty,
         s"${q.name} plans a single-partition exchange (not the bounded " +
-          s"__pid-totals offsets window):\n$plan")
+          s"__pid-totals offsets window):\n$exec")
     }
   }
 
