@@ -199,29 +199,29 @@ object GraphAnalytics {
       val deg = und.groupBy(col("x").as("node"))
         .agg(count(lit(1)).as("degree"))
         .localCheckpoint()
-      // r17: each edge carries its SOURCE node's degree, so the rounds
-      // shed the per-round re-join against deg (the contribution
-      // (85·r) div (100·deg(x)) only ever needs deg(x) on the x side);
-      // deg is attached once to the output at the end. 5 joins removed
-      // from the round chain (guide §2.4).
-      val undDeg = und
-        .join(deg.select(col("node").as("x"), col("degree").as("degx")), "x")
-        .localCheckpoint()
+      // r17 note: carrying deg(x) ON THE EDGE LIST (one prep join +
+      // checkpoint, rounds shed the deg re-join) measured 0.99 → 1.31 s
+      // and was reverted — the per-round deg join attaches to the TINY
+      // rank relation (broadcast, cheap), while the carried column
+      // widened every edge row in all five round scans and the prep
+      // join added an eager job. Guide §1.1: measured, kept the winner.
       val nn = broadcast(deg.agg(count(lit(1)).as("n"),
         expr(s"(15 * ${U}L) div (100 * count(1))").as("base")))
       var r = deg.crossJoin(nn)
-        .select(col("node"), expr(s"${U}L div n").as("r"))
+        .select(col("node"), col("degree"),
+          expr(s"${U}L div n").as("r"))
       for (_ <- 1 to Iterations) {
-        r = undDeg.join(r, col("x") === col("node"))
+        r = und.join(r, col("x") === col("node"))
           .crossJoin(nn)
           .groupBy(col("y"))
           .agg((max("base") +
-            sum(expr("(85 * r) div (100 * degx)"))).as("r"))
+            sum(expr("(85 * r) div (100 * degree)"))).as("r"))
           .select(col("y").as("node"), col("r"))
+          .join(deg, "node")
+          .select(col("node"), col("degree"), col("r"))
       }
-      r.join(deg, "node")
-        .select(col("node"), col("degree"), col("r").as("rank_micro"),
-          (col("r").cast("double") / 1e12).as("rank"))
+      r.select(col("node"), col("degree"), col("r").as("rank_micro"),
+        (col("r").cast("double") / 1e12).as("rank"))
         .orderBy("node")
     }
   }
