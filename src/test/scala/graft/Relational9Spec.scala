@@ -130,4 +130,41 @@ class Relational9Spec extends AnyFunSuite {
     assert(got.forall(r => r._1.length == 3 &&
       r._1.forall(c => c >= '1' && c <= '5')))
   }
+
+  test("q117 stacked single-pass ranks ≡ three plain NTILE windows") {
+    // r17 rewrite equivalence: the (which, key, ck) union two-pass with
+    // rank = grn − which·n must reproduce EXACTLY what three separate
+    // NTILE(5) windows over (recency|frequency|cents, ck) produce —
+    // checked cell-for-cell on the tiny corpus (single-task windows are
+    // fine at test scale; the production query may never use them)
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, TestSpark.tiny)
+    val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    val c = o.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        datediff(max("mxd"), max(col("o_orderdate").cast("date")))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("cents"))
+    val ref = c
+      .withColumn("r", lit(6L) -
+        ntile(5).over(Window.orderBy(col("recency"), col("ck"))).cast("long"))
+      .withColumn("f",
+        ntile(5).over(Window.orderBy(col("frequency"), col("ck"))).cast("long"))
+      .withColumn("m",
+        ntile(5).over(Window.orderBy(col("cents"), col("ck"))).cast("long"))
+      .groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("rfm_cell"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("total_monetary"))
+      .select("rfm_cell", "n_customers", "total_monetary")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val got = Relational9.q117Rfm.run(spark, TestSpark.tiny)
+      .select("rfm_cell", "n_customers", "total_monetary")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got === ref)
+  }
 }
